@@ -1,0 +1,218 @@
+"""Minimizer index as sorted CSR arrays.
+
+Replaces the reference's bucketed khash (index.c:27-98) with a flat,
+device-friendly layout:
+
+  keys[]   sorted distinct minimizer hashes (minier = x >> 8), uint64
+  start[]  offset of each key's hit run in pos[], int64
+  cnt[]    run length per key, int32
+  pos[]    hit payloads y = rid<<32 | last_pos<<1 | strand, sorted by y
+           within each key (matches index.c:230 radix_sort_64 of p[])
+
+Lookup is a binary search (host: np.searchsorted; device: vectorized
+searchsorted gather in ops/seed_gather.py). The reference's 1-occurrence
+inlining trick (index.c:226-228) is unnecessary here — singleton runs are
+just length-1 runs.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .sketch import sketch_np, encode_nt4
+
+MM_I_HPC = 0x1
+MM_I_NO_SEQ = 0x2
+MM_I_NO_NAME = 0x4
+
+
+@dataclass
+class IndexOptions:
+    """mm_idxopt_t equivalent (minimap.h:103, defaults options.c:8-15)."""
+    k: int = 15
+    w: int = 10
+    flag: int = 0
+    bucket_bits: int = 14
+    mini_batch_size: int = 50_000_000
+    batch_size: int = 4_000_000_000
+
+
+@dataclass
+class RefSeq:
+    name: Optional[str]
+    offset: int
+    length: int
+    is_alt: bool = False
+
+
+@dataclass
+class MMIndex:
+    w: int
+    k: int
+    b: int
+    flag: int
+    seq: List[RefSeq] = field(default_factory=list)
+    keys: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint64))
+    start: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
+    cnt: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int32))
+    pos: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint64))
+    S: Optional[np.ndarray] = None  # 4-bit packed reference, uint32
+    index: int = 0                  # part number in a multi-part index
+    n_alt: int = 0
+
+    @property
+    def n_seq(self) -> int:
+        return len(self.seq)
+
+    # ---- query (mm_idx_get, index.c:81-98) ----
+    def get(self, minier: int) -> np.ndarray:
+        """All hit payloads for a minimizer hash; empty array if absent."""
+        i = np.searchsorted(self.keys, np.uint64(minier))
+        if i >= len(self.keys) or self.keys[i] != np.uint64(minier):
+            return self.pos[0:0]
+        s = int(self.start[i])
+        return self.pos[s: s + int(self.cnt[i])]
+
+    def get_many(self, miniers: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized lookup: returns (start, cnt) per query; cnt==0 if absent."""
+        idx = np.searchsorted(self.keys, miniers)
+        idx_c = np.minimum(idx, len(self.keys) - 1) if len(self.keys) else idx
+        hit = np.zeros(len(miniers), dtype=bool)
+        if len(self.keys):
+            hit = self.keys[idx_c] == miniers
+            hit &= idx < len(self.keys)
+        start = np.where(hit, self.start[idx_c] if len(self.keys) else 0, 0)
+        cnt = np.where(hit, self.cnt[idx_c] if len(self.keys) else 0, 0)
+        return start.astype(np.int64), cnt.astype(np.int32)
+
+    # ---- reference sequence fetch (mm_idx_getseq, index.c:152-162) ----
+    def getseq(self, rid: int, st: int, en: int) -> np.ndarray:
+        """nt4 codes of the reference subsequence [st, en)."""
+        assert self.S is not None, "index was built with NO_SEQ"
+        s = self.seq[rid]
+        en = min(en, s.length)
+        out = np.empty(en - st, dtype=np.uint8)
+        for j, o in enumerate(range(s.offset + st, s.offset + en)):
+            out[j] = (int(self.S[o >> 3]) >> ((o & 7) << 2)) & 0xF
+        return out
+
+    def getseq_fast(self, rid: int, st: int, en: int) -> np.ndarray:
+        """Vectorized getseq."""
+        assert self.S is not None
+        s = self.seq[rid]
+        en = min(en, s.length)
+        o = np.arange(s.offset + st, s.offset + en, dtype=np.int64)
+        return ((self.S[o >> 3] >> ((o & 7) << 2).astype(np.uint32)) & 0xF).astype(np.uint8)
+
+    # ---- occurrence threshold (mm_idx_cal_max_occ, index.c:164-185) ----
+    def cal_max_occ(self, f: float) -> int:
+        if f <= 0.0 or len(self.cnt) == 0:
+            return np.iinfo(np.int32).max
+        a = np.sort(self.cnt.astype(np.uint32))
+        kk = int((1.0 - f) * len(a))
+        return int(a[min(kk, len(a) - 1)]) + 1
+
+    def name2id(self, name: str) -> int:
+        for i, s in enumerate(self.seq):
+            if s.name == name:
+                return i
+        return -1
+
+    # ---- stats (mm_idx_stat, index.c:100-122) ----
+    def stat(self) -> dict:
+        n = len(self.keys)
+        n1 = int(np.sum(self.cnt == 1)) if n else 0
+        total = int(np.sum(self.cnt)) if n else 0
+        length = sum(s.length for s in self.seq)
+        return dict(distinct_minimizers=n, singleton_pct=100.0 * n1 / max(n, 1),
+                    avg_occurrences=total / max(n, 1),
+                    avg_spacing=length / max(total, 1), total_length=length)
+
+
+def _pack_seq4(codes: np.ndarray, S: np.ndarray, offset: int) -> None:
+    """mm_seq4_set (mmpriv.h:29) over a code array starting at offset."""
+    o = np.arange(offset, offset + len(codes), dtype=np.int64)
+    np.bitwise_or.at(S, o >> 3, codes.astype(np.uint32) << ((o.astype(np.uint32) & 7) << 2))
+
+
+def build_index(names: Sequence[Optional[str]], seqs: Sequence[str],
+                opt: IndexOptions | None = None, *,
+                w: int | None = None, k: int | None = None,
+                flag: int | None = None, bucket_bits: int | None = None) -> MMIndex:
+    """Build a one-part index from in-memory sequences
+    (mm_idx_gen / mm_idx_str semantics, index.c:354-434)."""
+    opt = opt or IndexOptions()
+    w = opt.w if w is None else w
+    k = opt.k if k is None else k
+    flag = opt.flag if flag is None else flag
+    b = opt.bucket_bits if bucket_bits is None else bucket_bits
+    if k * 2 < b:
+        b = k * 2
+    w = max(w, 1)
+
+    mi = MMIndex(w=w, k=k, b=b, flag=flag)
+    sum_len = sum(len(s) for s in seqs)
+    if not (flag & MM_I_NO_SEQ):
+        mi.S = np.zeros((sum_len + 7) // 8, dtype=np.uint32)
+
+    chunks = []
+    offset = 0
+    for rid, (name, s) in enumerate(zip(names, seqs)):
+        mi.seq.append(RefSeq(name=None if (flag & MM_I_NO_NAME) else name,
+                             offset=offset, length=len(s)))
+        if len(s) > 0:
+            if mi.S is not None:
+                _pack_seq4(encode_nt4(s), mi.S, offset)
+            chunks.append(sketch_np(s, w, k, rid, bool(flag & MM_I_HPC)))
+        offset += len(s)
+
+    mm = np.concatenate(chunks, axis=0) if chunks else np.zeros((0, 2), np.uint64)
+    finalize_index(mi, mm)
+    return mi
+
+
+def finalize_index(mi: MMIndex, mm: np.ndarray) -> None:
+    """Sort collected minimizers into the CSR layout (index.c:191-243)."""
+    if len(mm) == 0:
+        return
+    minier = mm[:, 0] >> np.uint64(8)
+    y = mm[:, 1]
+    order = np.lexsort((y, minier))  # group by hash, position-sorted runs
+    minier_s, y_s = minier[order], y[order]
+    keys, start, cnt = np.unique(minier_s, return_index=True, return_counts=True)
+    mi.keys = keys
+    mi.start = start.astype(np.int64)
+    mi.cnt = cnt.astype(np.int32)
+    mi.pos = y_s
+
+
+# ---- serialization (device-ready; .mmi interop lives in mmi.py) ----
+
+def save_index(mi: MMIndex, path: str) -> None:
+    np.savez_compressed(
+        path,
+        header=np.array([mi.w, mi.k, mi.b, mi.flag, mi.n_seq, mi.index], np.int64),
+        names=np.array([s.name or "" for s in mi.seq]),
+        lens=np.array([s.length for s in mi.seq], np.int64),
+        offsets=np.array([s.offset for s in mi.seq], np.int64),
+        is_alt=np.array([s.is_alt for s in mi.seq], bool),
+        keys=mi.keys, start=mi.start, cnt=mi.cnt, pos=mi.pos,
+        S=mi.S if mi.S is not None else np.zeros(0, np.uint32),
+        has_S=np.array([mi.S is not None]),
+    )
+
+
+def load_index(path: str) -> MMIndex:
+    z = np.load(path, allow_pickle=False)
+    w, k, b, flag, n_seq, part = [int(v) for v in z["header"]]
+    mi = MMIndex(w=w, k=k, b=b, flag=flag, index=part)
+    names, lens, offs, alt = z["names"], z["lens"], z["offsets"], z["is_alt"]
+    for i in range(n_seq):
+        mi.seq.append(RefSeq(name=str(names[i]) or None, offset=int(offs[i]),
+                             length=int(lens[i]), is_alt=bool(alt[i])))
+    mi.keys, mi.start, mi.cnt, mi.pos = z["keys"], z["start"], z["cnt"], z["pos"]
+    mi.S = z["S"] if bool(z["has_S"][0]) else None
+    mi.n_alt = int(np.sum(alt))
+    return mi

@@ -1,0 +1,36 @@
+#!/bin/bash
+# Regenerate golden outputs from the reference fork compiled in software-only
+# mode (OpenCL host stubbed so chain.c always takes its SW fallback, which is
+# bit-identical to upstream minimap2 2.18-r1015 chaining; see
+# /root/reference/chain.c:105-164). Build recipe: see repo docs/golden.md.
+set -e
+BIN=${BIN:-/tmp/golden/minimap2-golden}
+T=/root/reference/test
+G=$(dirname $0)/../tests/golden
+run() { out=$1; shift; $BIN "$@" 2>/dev/null > $G/$out; }
+run mapont_MT.paf      -x map-ont $T/MT-orang.fa $T/MT-human.fa
+run mappb_MT.paf       -x map-pb  $T/MT-orang.fa $T/MT-human.fa
+run asm5_MT.paf        -x asm5    $T/MT-orang.fa $T/MT-human.fa
+run asm20_MT.paf       -x asm20   $T/MT-orang.fa $T/MT-human.fa
+cat $T/MT-human.fa $T/MT-orang.fa > /tmp/ava_reads.fa
+run avaont_MT.paf      -x ava-ont /tmp/ava_reads.fa /tmp/ava_reads.fa
+run default_MT.paf               $T/MT-orang.fa $T/MT-human.fa
+run mapont_MT_c.paf    -x map-ont -c $T/MT-orang.fa $T/MT-human.fa
+run mapont_MT_cs.paf   -x map-ont -c --cs $T/MT-orang.fa $T/MT-human.fa
+run asm20_MT_c.paf     -x asm20 -c $T/MT-orang.fa $T/MT-human.fa
+run mapont_MT_a.sam    -x map-ont -a $T/MT-orang.fa $T/MT-human.fa
+run q2t2_a.sam         -a $T/t2.fa $T/q2.fa
+run q2t2_splice.paf    -x splice -c --cs -k10 -w3 -m10 -n1 -s10 $T/t2.fa $T/q2.fa
+run q2t2_splice_a.sam  -x splice -a -k10 -w3 -m10 -n1 -s10 $T/t2.fa $T/q2.fa
+run q2t2_k10.paf       -c -k10 -w3 -m10 -n1 -s10 $T/t2.fa $T/q2.fa
+run qinv_a.sam         -a $T/t-inv.fa $T/q-inv.fa
+run qinv_cs.paf        -c --cs $T/t-inv.fa $T/q-inv.fa
+run mapont_MT_md.sam   -x map-ont -a --MD $T/MT-orang.fa $T/MT-human.fa
+run mapont_MT_eqx.sam  -x map-ont -a --eqx $T/MT-orang.fa $T/MT-human.fa
+# per-stage anchor dumps (SD = sorted anchors pre-chain, CN = per-chain anchors)
+$BIN -x map-ont --print-seeds $T/MT-orang.fa $T/MT-human.fa 2> $G/mapont_MT.seeds >/dev/null
+$BIN -x map-pb  --print-seeds $T/MT-orang.fa $T/MT-human.fa 2> $G/mappb_MT.seeds  >/dev/null
+# binary .mmi index dumps
+$BIN -x map-ont -d $G/mapont_MTorang.mmi $T/MT-orang.fa >/dev/null 2>&1
+$BIN -x map-pb  -d $G/mappb_MTorang.mmi  $T/MT-orang.fa >/dev/null 2>&1
+echo "golden fixtures written to $G"

@@ -1,0 +1,63 @@
+"""Index build parity vs the reference's binary .mmi dumps."""
+import numpy as np
+import pytest
+
+from mm2tpu.io.bseq import read_fastx
+from mm2tpu.index.build import build_index, save_index, load_index, MM_I_HPC
+from mm2tpu.index.mmi import read_mmi, write_mmi
+
+
+def _build_from_fasta(path, w, k, flag=0):
+    seqs = list(read_fastx(str(path)))
+    return build_index([s.name for s in seqs], [s.seq for s in seqs],
+                       w=w, k=k, flag=flag)
+
+
+@pytest.mark.parametrize("mmi,w,k,flag", [
+    ("mapont_MTorang.mmi", 10, 15, 0),
+    ("mappb_MTorang.mmi", 10, 19, MM_I_HPC),
+])
+def test_index_matches_reference_mmi(golden_dir, ref_test_dir, mmi, w, k, flag):
+    ref = read_mmi(str(golden_dir / mmi))
+    ours = _build_from_fasta(ref_test_dir / "MT-orang.fa", w=w, k=k, flag=flag)
+    assert ref.w == ours.w and ref.k == ours.k and (ref.flag & 1) == (flag & 1)
+    assert [s.name for s in ref.seq] == [s.name for s in ours.seq]
+    assert [s.length for s in ref.seq] == [s.length for s in ours.seq]
+    np.testing.assert_array_equal(ref.keys, ours.keys)
+    np.testing.assert_array_equal(ref.cnt, ours.cnt)
+    np.testing.assert_array_equal(ref.start, ours.start)
+    np.testing.assert_array_equal(ref.pos, ours.pos)
+    if ref.S is not None and ours.S is not None:
+        np.testing.assert_array_equal(ref.S[: len(ours.S)], ours.S)
+
+
+def test_mmi_roundtrip(golden_dir, tmp_path):
+    ref = read_mmi(str(golden_dir / "mapont_MTorang.mmi"))
+    write_mmi(ref, str(tmp_path / "rt.mmi"))
+    rt = read_mmi(str(tmp_path / "rt.mmi"))
+    np.testing.assert_array_equal(ref.keys, rt.keys)
+    np.testing.assert_array_equal(ref.cnt, rt.cnt)
+    np.testing.assert_array_equal(ref.pos, rt.pos)
+    if ref.S is not None:
+        np.testing.assert_array_equal(ref.S, rt.S)
+
+
+def test_npz_roundtrip(golden_dir, tmp_path):
+    ref = read_mmi(str(golden_dir / "mapont_MTorang.mmi"))
+    save_index(ref, str(tmp_path / "idx.npz"))
+    rt = load_index(str(tmp_path / "idx.npz"))
+    np.testing.assert_array_equal(ref.keys, rt.keys)
+    np.testing.assert_array_equal(ref.pos, rt.pos)
+    assert [s.name for s in ref.seq] == [s.name for s in rt.seq]
+
+
+def test_get_and_max_occ(golden_dir, ref_test_dir):
+    mi = _build_from_fasta(ref_test_dir / "MT-orang.fa", w=10, k=15)
+    # every key must be retrievable and runs position-sorted
+    for i in np.random.default_rng(0).choice(len(mi.keys), 50, replace=False):
+        run = mi.get(int(mi.keys[i]))
+        assert len(run) == mi.cnt[i]
+        assert np.all(np.diff(run.astype(np.uint64)) >= 0)
+    assert mi.get(0xDEADBEEF) is not None  # miss returns empty
+    assert len(mi.get(0xDEADBEEF)) in (0, mi.cnt[np.searchsorted(mi.keys, 0xDEADBEEF)] if np.searchsorted(mi.keys, 0xDEADBEEF) < len(mi.keys) and mi.keys[np.searchsorted(mi.keys, 0xDEADBEEF)] == 0xDEADBEEF else 0)
+    assert mi.cal_max_occ(2e-4) >= 1
