@@ -1,0 +1,402 @@
+"""minimap2-compatible command-line driver (reference: main.c).
+
+Supports the option surface of the reference CLI; preset (-x) is applied
+first, exactly as main.c:131-145 does.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from typing import List, Optional
+
+from . import __version__
+from .index.build import build_index, load_index, save_index, MM_I_HPC, MM_I_NO_SEQ
+from .index.mmi import read_mmi, write_mmi, MAGIC
+from .io.bseq import FastxReader, read_fastx
+from .io.format import write_paf, write_sam, sam_header
+from .mapping.pipeline import map_frag
+from .options import (set_opt, mapopt_update, check_opt, MapOptions, IdxOptions,
+                      MM_F_CIGAR, MM_F_OUT_SAM, MM_F_OUT_CG, MM_F_OUT_CS,
+                      MM_F_OUT_CS_LONG, MM_F_OUT_MD, MM_F_NO_PRINT_2ND,
+                      MM_F_ALL_CHAINS, MM_F_NO_DIAG, MM_F_NO_DUAL,
+                      MM_F_NO_LJOIN, MM_F_SR, MM_F_FRAG_MODE, MM_F_EQX,
+                      MM_F_SOFTCLIP, MM_F_PAF_NO_HIT, MM_F_SAM_HIT_ONLY,
+                      MM_F_FOR_ONLY, MM_F_REV_ONLY, MM_F_COPY_COMMENT,
+                      MM_F_SPLICE, MM_F_SPLICE_FOR, MM_F_SPLICE_REV,
+                      MM_F_HARD_MLEVEL, MM_F_NO_END_FLT, MM_F_INDEPEND_SEG,
+                      MM_F_LONG_CIGAR, MM_F_NO_QUAL, MM_F_HEAP_SORT)
+
+MM_VERSION = f"2.18-mm2tpu-{__version__}"
+
+
+def _parse_num(s: str) -> int:
+    mult = 1
+    if s and s[-1] in "GgMmKk":
+        mult = {"g": 10**9, "m": 10**6, "k": 10**3}[s[-1].lower()]
+        s = s[:-1]
+    return int(float(s) * mult + 0.499)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mm2tpu", add_help=True,
+                                description="TPU-native minimap2-class mapper")
+    p.add_argument("target", nargs="?")
+    p.add_argument("query", nargs="*")
+    p.add_argument("-x", dest="preset")
+    p.add_argument("-k", type=int)
+    p.add_argument("-w", type=int)
+    p.add_argument("-H", action="store_true", help="HPC k-mers")
+    p.add_argument("-d", dest="dump_index")
+    p.add_argument("-r", dest="bw")
+    p.add_argument("-t", type=int, default=3, help="threads (host-side)")
+    p.add_argument("-v", type=int, default=3)
+    p.add_argument("-g", dest="max_gap")
+    p.add_argument("-G", dest="max_intron_len")
+    p.add_argument("-F", dest="max_frag_len")
+    p.add_argument("-N", dest="best_n", type=int)
+    p.add_argument("-p", dest="pri_ratio", type=float)
+    p.add_argument("-M", dest="mask_level", type=float)
+    p.add_argument("-c", action="store_true", help="PAF CIGAR")
+    p.add_argument("-D", action="store_true", help="--no-self")
+    p.add_argument("-P", action="store_true", help="--all-chain")
+    p.add_argument("-X", action="store_true")
+    p.add_argument("-a", action="store_true", help="SAM output")
+    p.add_argument("-Q", action="store_true")
+    p.add_argument("-Y", action="store_true")
+    p.add_argument("-L", action="store_true")
+    p.add_argument("-y", action="store_true")
+    p.add_argument("-T", dest="sdust_thres", type=int)
+    p.add_argument("-n", dest="min_cnt", type=int)
+    p.add_argument("-m", dest="min_chain_score", type=int)
+    p.add_argument("-A", dest="match_sc", type=int)
+    p.add_argument("-B", dest="mismatch", type=int)
+    p.add_argument("-s", dest="min_dp_max", type=int)
+    p.add_argument("-I", dest="batch_size")
+    p.add_argument("-K", dest="mb_size")
+    p.add_argument("-R", dest="rg")
+    p.add_argument("-2", dest="two_io", action="store_true")
+    p.add_argument("-o", dest="output")
+    p.add_argument("-f", dest="occ_frac")
+    p.add_argument("-u", dest="splice_dir")
+    p.add_argument("-z", dest="zdrop")
+    p.add_argument("-O", dest="gap_open")
+    p.add_argument("-E", dest="gap_ext")
+    p.add_argument("-V", "--version", action="store_true")
+    p.add_argument("--seed", type=int)
+    p.add_argument("--bucket-bits", type=int)
+    p.add_argument("--max-chain-skip", type=int)
+    p.add_argument("--max-chain-iter", type=int)
+    p.add_argument("--min-dp-len", type=int)
+    p.add_argument("--splice", action="store_true")
+    p.add_argument("--no-long-join", action="store_true")
+    p.add_argument("--sr", action="store_true")
+    p.add_argument("--frag", choices=["yes", "no"])
+    p.add_argument("--secondary", choices=["yes", "no"])
+    p.add_argument("--cs", nargs="?", const="short")
+    p.add_argument("--MD", action="store_true")
+    p.add_argument("--eqx", action="store_true")
+    p.add_argument("--end-bonus", type=int)
+    p.add_argument("--no-pairing", action="store_true")
+    p.add_argument("--splice-flank", choices=["yes", "no"])
+    p.add_argument("--idx-no-seq", action="store_true")
+    p.add_argument("--end-seed-pen", type=int)
+    p.add_argument("--for-only", action="store_true")
+    p.add_argument("--rev-only", action="store_true")
+    p.add_argument("--heap-sort", choices=["yes", "no"])
+    p.add_argument("--dual", choices=["yes", "no"])
+    p.add_argument("--max-clip-ratio", type=float)
+    p.add_argument("--min-occ-floor", type=int)
+    p.add_argument("--lj-min-ratio", type=float)
+    p.add_argument("--score-N", type=int)
+    p.add_argument("--paf-no-hit", action="store_true")
+    p.add_argument("--split-prefix")
+    p.add_argument("--no-end-flt", action="store_true")
+    p.add_argument("--hard-mask-level", action="store_true")
+    p.add_argument("--max-qlen")
+    p.add_argument("--junc-bed")
+    p.add_argument("--junc-bonus", type=int)
+    p.add_argument("--sam-hit-only", action="store_true")
+    p.add_argument("--chain-gap-scale", type=float)
+    p.add_argument("--alt")
+    p.add_argument("--alt-drop", type=float)
+    p.add_argument("--mask-len")
+    p.add_argument("--print-seeds", action="store_true")
+    p.add_argument("--chain-backend", choices=["auto", "tpu", "native", "python"])
+    return p
+
+
+def apply_args(args, io: IdxOptions, mo: MapOptions) -> None:
+    if args.k is not None:
+        io.k = args.k
+    if args.w is not None:
+        io.w = args.w
+    if args.H:
+        io.flag |= MM_I_HPC
+    if args.bucket_bits is not None:
+        io.bucket_bits = args.bucket_bits
+    if args.idx_no_seq:
+        io.flag |= MM_I_NO_SEQ
+    if args.batch_size:
+        io.batch_size = _parse_num(args.batch_size)
+
+    if args.bw is not None:
+        mo.bw = _parse_num(args.bw)
+    if args.max_gap is not None:
+        mo.max_gap = _parse_num(args.max_gap)
+    if args.max_intron_len is not None and (mo.flag & MM_F_SPLICE):
+        mo.max_gap_ref = mo.bw = _parse_num(args.max_intron_len)
+    if args.max_frag_len is not None:
+        mo.max_frag_len = _parse_num(args.max_frag_len)
+    if args.best_n is not None:
+        mo.best_n = args.best_n
+    if args.pri_ratio is not None:
+        mo.pri_ratio = args.pri_ratio
+    if args.mask_level is not None:
+        mo.mask_level = args.mask_level
+    if args.c:
+        mo.flag |= MM_F_OUT_CG | MM_F_CIGAR
+    if args.D:
+        mo.flag |= MM_F_NO_DIAG
+    if args.P:
+        mo.flag |= MM_F_ALL_CHAINS
+    if args.X:
+        mo.flag |= MM_F_ALL_CHAINS | MM_F_NO_DIAG | MM_F_NO_DUAL | MM_F_NO_LJOIN
+    if args.a:
+        mo.flag |= MM_F_OUT_SAM | MM_F_CIGAR
+    if args.Q:
+        mo.flag |= MM_F_NO_QUAL
+    if args.Y:
+        mo.flag |= MM_F_SOFTCLIP
+    if args.L:
+        mo.flag |= MM_F_LONG_CIGAR
+    if args.y:
+        mo.flag |= MM_F_COPY_COMMENT
+    if args.sdust_thres is not None:
+        mo.sdust_thres = args.sdust_thres
+    if args.min_cnt is not None:
+        mo.min_cnt = args.min_cnt
+    if args.min_chain_score is not None:
+        mo.min_chain_score = args.min_chain_score
+    if args.match_sc is not None:
+        mo.a = args.match_sc
+    if args.mismatch is not None:
+        mo.b = args.mismatch
+    if args.min_dp_max is not None:
+        mo.min_dp_max = args.min_dp_max
+    if args.mb_size:
+        mo.mini_batch_size = _parse_num(args.mb_size)
+    if args.seed is not None:
+        mo.seed = args.seed
+    if args.max_chain_skip is not None:
+        mo.max_chain_skip = args.max_chain_skip
+    if args.max_chain_iter is not None:
+        mo.max_chain_iter = args.max_chain_iter
+    if args.min_dp_len is not None:
+        mo.min_ksw_len = args.min_dp_len
+    if args.splice:
+        mo.flag |= MM_F_SPLICE
+    if args.no_long_join:
+        mo.flag |= MM_F_NO_LJOIN
+    if args.sr:
+        mo.flag |= MM_F_SR
+    if args.frag == "yes":
+        mo.flag |= MM_F_FRAG_MODE
+    elif args.frag == "no":
+        mo.flag &= ~MM_F_FRAG_MODE
+    if args.secondary == "no":
+        mo.flag |= MM_F_NO_PRINT_2ND
+    elif args.secondary == "yes":
+        mo.flag &= ~MM_F_NO_PRINT_2ND
+    if args.cs is not None:
+        mo.flag |= MM_F_OUT_CS | MM_F_CIGAR
+        if args.cs == "long":
+            mo.flag |= MM_F_OUT_CS_LONG
+        elif args.cs == "none":
+            mo.flag &= ~MM_F_OUT_CS
+    if args.MD:
+        mo.flag |= MM_F_OUT_MD
+    if args.eqx:
+        mo.flag |= MM_F_EQX
+    if args.end_bonus is not None:
+        mo.end_bonus = args.end_bonus
+    if args.no_pairing:
+        mo.flag |= MM_F_INDEPEND_SEG
+    if args.end_seed_pen is not None:
+        mo.anchor_ext_shift = args.end_seed_pen
+    if args.for_only:
+        mo.flag |= MM_F_FOR_ONLY
+    if args.rev_only:
+        mo.flag |= MM_F_REV_ONLY
+    if args.heap_sort == "yes":
+        mo.flag |= MM_F_HEAP_SORT
+    elif args.heap_sort == "no":
+        mo.flag &= ~MM_F_HEAP_SORT
+    if args.dual == "no":
+        mo.flag |= MM_F_NO_DUAL
+    elif args.dual == "yes":
+        mo.flag &= ~MM_F_NO_DUAL
+    if args.max_clip_ratio is not None:
+        mo.max_clip_ratio = args.max_clip_ratio
+    if args.min_occ_floor is not None:
+        mo.min_mid_occ = args.min_occ_floor
+    if args.lj_min_ratio is not None:
+        mo.min_join_flank_ratio = args.lj_min_ratio
+    if args.score_N is not None:
+        mo.sc_ambi = args.score_N
+    if args.paf_no_hit:
+        mo.flag |= MM_F_PAF_NO_HIT
+    if args.split_prefix:
+        mo.split_prefix = args.split_prefix
+    if args.no_end_flt:
+        mo.flag |= MM_F_NO_END_FLT
+    if args.hard_mask_level:
+        mo.flag |= MM_F_HARD_MLEVEL
+    if args.max_qlen:
+        mo.max_qlen = _parse_num(args.max_qlen)
+    if args.junc_bonus is not None:
+        mo.junc_bonus = args.junc_bonus
+    if args.sam_hit_only:
+        mo.flag |= MM_F_SAM_HIT_ONLY
+    if args.chain_gap_scale is not None:
+        mo.chain_gap_scale = args.chain_gap_scale
+    if args.alt_drop is not None:
+        mo.alt_drop = args.alt_drop
+    if args.mask_len:
+        mo.mask_len = _parse_num(args.mask_len)
+    if args.occ_frac:
+        x = float(args.occ_frac.split(",")[0])
+        if x < 1.0:
+            mo.mid_occ_frac = x
+            mo.mid_occ = 0
+        else:
+            mo.mid_occ = int(x + 0.499)
+        if "," in args.occ_frac:
+            mo.max_occ = int(float(args.occ_frac.split(",")[1]) + 0.499)
+    if args.splice_dir:
+        d = args.splice_dir[0]
+        if d == "b":
+            mo.flag |= MM_F_SPLICE_FOR | MM_F_SPLICE_REV
+        elif d == "f":
+            mo.flag |= MM_F_SPLICE_FOR
+            mo.flag &= ~MM_F_SPLICE_REV
+        elif d == "r":
+            mo.flag |= MM_F_SPLICE_REV
+            mo.flag &= ~MM_F_SPLICE_FOR
+        elif d == "n":
+            mo.flag &= ~(MM_F_SPLICE_FOR | MM_F_SPLICE_REV)
+    if args.zdrop:
+        parts = args.zdrop.split(",")
+        mo.zdrop = mo.zdrop_inv = int(parts[0])
+        if len(parts) > 1:
+            mo.zdrop_inv = int(parts[1])
+    if args.gap_open:
+        parts = args.gap_open.split(",")
+        mo.q = mo.q2 = int(parts[0])
+        if len(parts) > 1:
+            mo.q2 = int(parts[1])
+    if args.gap_ext:
+        parts = args.gap_ext.split(",")
+        mo.e = mo.e2 = int(parts[0])
+        if len(parts) > 1:
+            mo.e2 = int(parts[1])
+    if args.chain_backend:
+        mo.chain_backend = args.chain_backend
+
+
+def load_or_build_index(target: str, io: IdxOptions, out=sys.stderr):
+    with open(target, "rb") as f:
+        magic = f.read(4)
+    if magic == MAGIC:
+        return read_mmi(target)
+    refs = list(read_fastx(target))
+    return build_index([r.name for r in refs], [r.seq for r in refs],
+                       w=io.w, k=io.k, flag=io.flag, bucket_bits=io.bucket_bits)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.version:
+        print(MM_VERSION)
+        return 0
+    if not args.target:
+        parser.print_usage()
+        return 1
+
+    io, mo = set_opt(None)
+    if args.preset:
+        io, mo = set_opt(args.preset, io, mo)
+    apply_args(args, io, mo)
+    if not args.dump_index and not (mo.flag & MM_F_CIGAR):
+        io.flag |= MM_I_NO_SEQ
+    check_opt(io, mo)
+
+    out = open(args.output, "w") if args.output and args.output != "-" else sys.stdout
+
+    mi = load_or_build_index(args.target, io)
+    if args.dump_index:
+        if args.dump_index.endswith(".npz"):
+            save_index(mi, args.dump_index)
+        else:
+            write_mmi(mi, args.dump_index)
+        if not args.query:
+            return 0
+    if args.alt:
+        n_alt = 0
+        with open(args.alt) as f:
+            for line in f:
+                nm = line.split()[0] if line.split() else ""
+                rid = mi.name2id(nm)
+                if rid >= 0:
+                    mi.seq[rid].is_alt = True
+                    n_alt += 1
+        mi.n_alt = n_alt
+
+    if args.query:
+        mapopt_update(mo, mi)
+    if mo.flag & MM_F_OUT_SAM:
+        cmdline = "minimap2 " + " ".join(argv)
+        print(sam_header(mi, args.rg, MM_VERSION, cmdline), file=out)
+
+    frag_mode = bool(mo.flag & MM_F_FRAG_MODE) or len(args.query) > 1
+    reader = FastxReader(args.query, mo.mini_batch_size, frag_mode)
+    for batch in reader.batches():
+        for frag in batch:
+            seqs = [s.seq for s in frag]
+            res = map_frag(mi, seqs, mo, frag[0].name)
+            emit(mi, mo, frag, res, out)
+    if out is not sys.stdout:
+        out.close()
+    return 0
+
+
+def emit(mi, mo: MapOptions, frag, res, out) -> None:
+    """Ordered per-fragment emission (map.c:563-618 step 2)."""
+    n_seg = len(frag)
+    n_regss = [len(r) for r in res.regs]
+    for i, seq in enumerate(frag):
+        regs = res.regs[i]
+        if regs:
+            for j, r in enumerate(regs):
+                if (mo.flag & MM_F_NO_PRINT_2ND) and r.id != r.parent:
+                    continue
+                if mo.flag & MM_F_OUT_SAM:
+                    print(write_sam(mi, seq, i, j, n_seg, n_regss, res.regs,
+                                    mo.flag, res.rep_len), file=out)
+                else:
+                    print(write_paf(mi, seq.name, seq.l_seq, r, mo.flag,
+                                    res.rep_len, seq.comment, seq.seq), file=out)
+        elif (mo.flag & MM_F_PAF_NO_HIT) or ((mo.flag & MM_F_OUT_SAM) and
+                                             not (mo.flag & MM_F_SAM_HIT_ONLY)):
+            if mo.flag & MM_F_OUT_SAM:
+                print(write_sam(mi, seq, i, -1, n_seg, n_regss, res.regs,
+                                mo.flag, res.rep_len), file=out)
+            else:
+                print(write_paf(mi, seq.name, seq.l_seq, None, mo.flag,
+                                res.rep_len, seq.comment), file=out)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,87 @@
+"""Chaining orchestration: backend routing + backtrack (chain.c:29-423).
+
+Backend routing re-expresses the fork's learned HW/SW cost-model split
+(chain.c:80-111): large tasks go to the TPU Pallas kernel (bounded-lookback
+semantics, like the FPGA kernel), small tasks to the exact host DP (native
+C++ when built, Python otherwise). The routing threshold is by predicted
+work, mirroring hw_time_pred/sw_time_pred.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..ops import chain_ref
+from ..options import MapOptions
+
+
+class ChainRouter:
+    """Size-based backend selection (the reference's cost-model analogue)."""
+
+    def __init__(self, backend: str = "auto", tpu_min_anchors: int = 8192):
+        self.backend = backend
+        self.tpu_min_anchors = tpu_min_anchors
+
+    def pick(self, n: int) -> str:
+        if self.backend != "auto":
+            return self.backend
+        return "tpu" if n >= self.tpu_min_anchors else "native"
+
+
+_NATIVE = None
+
+
+def _native():
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from ..native import lib as native_lib
+            _NATIVE = native_lib if native_lib.available() else False
+        except Exception:
+            _NATIVE = False
+    return _NATIVE
+
+
+def chain_dp(max_dist_x: int, max_dist_y: int, bw: int, max_skip: int,
+             max_iter: int, min_cnt: int, min_sc: int, gap_scale: float,
+             is_cdna: bool, n_segs: int, a: np.ndarray,
+             backend: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
+    """mm_chain_dp equivalent. a: (n,2) uint64 anchors sorted by x.
+    Returns (anchors_compacted, u) with u[i] = score<<32 | cnt."""
+    n = len(a)
+    if n == 0:
+        return np.zeros((0, 2), np.uint64), np.zeros(0, np.uint64)
+
+    router = ChainRouter(backend)
+    which = router.pick(n)
+    if which == "tpu":
+        from ..ops.chain_pallas import chain_scores_tpu
+        f, p, v = chain_scores_tpu(a, max_dist_x, max_dist_y, bw, max_iter,
+                                   gap_scale, is_cdna, n_segs)
+    elif which == "native" and _native():
+        f, p, v = _native().chain_scores_exact(
+            a, max_dist_x, max_dist_y, bw, max_skip, max_iter,
+            gap_scale, is_cdna, n_segs)
+    else:
+        f, p, v = chain_ref.chain_scores_exact(
+            a, max_dist_x, max_dist_y, bw, max_skip, max_iter,
+            gap_scale, is_cdna, n_segs)
+
+    return chain_ref.chain_backtrack(n, f, p, v, a, min_cnt, min_sc)
+
+
+def chain_gaps(opt: MapOptions, qlen_sum: int) -> Tuple[int, int]:
+    """max chaining gap on query/ref (map.c:305-314)."""
+    is_sr = bool(opt.flag & 0x1000)
+    if is_sr:
+        max_chain_gap_qry = max(qlen_sum, opt.max_gap)
+    else:
+        max_chain_gap_qry = opt.max_gap
+    if opt.max_gap_ref > 0:
+        max_chain_gap_ref = opt.max_gap_ref
+    elif opt.max_frag_len > 0:
+        max_chain_gap_ref = max(opt.max_frag_len - qlen_sum, opt.max_gap)
+    else:
+        max_chain_gap_ref = opt.max_gap
+    return max_chain_gap_qry, max_chain_gap_ref

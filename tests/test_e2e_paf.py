@@ -1,0 +1,49 @@
+"""End-to-end PAF byte-parity vs the reference binary's golden outputs."""
+import io as _io
+import sys
+from contextlib import redirect_stdout
+
+import pytest
+
+from mm2tpu.cli import main as cli_main
+
+T = "/root/reference/test"
+
+
+def run_cli(args):
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(args.split())
+    assert rc == 0
+    return buf.getvalue()
+
+
+CASES = [
+    ("mapont_MT.paf", f"-x map-ont {T}/MT-orang.fa {T}/MT-human.fa"),
+    ("mappb_MT.paf", f"-x map-pb {T}/MT-orang.fa {T}/MT-human.fa"),
+    ("asm5_MT.paf", f"-x asm5 {T}/MT-orang.fa {T}/MT-human.fa"),
+    ("asm20_MT.paf", f"-x asm20 {T}/MT-orang.fa {T}/MT-human.fa"),
+    ("default_MT.paf", f"{T}/MT-orang.fa {T}/MT-human.fa"),
+]
+
+
+@pytest.mark.parametrize("golden,args", CASES, ids=[c[0] for c in CASES])
+def test_paf_parity(golden_dir, ref_test_dir, golden, args):
+    out = run_cli("--chain-backend python " + args)
+    expected = (golden_dir / golden).read_text()
+    assert out == expected
+
+
+def test_paf_parity_ava(golden_dir, ref_test_dir, tmp_path):
+    reads = tmp_path / "ava_reads.fa"
+    reads.write_text((ref_test_dir / "MT-human.fa").read_text() +
+                     (ref_test_dir / "MT-orang.fa").read_text())
+    out = run_cli(f"--chain-backend python -x ava-ont {reads} {reads}")
+    assert out == (golden_dir / "avaont_MT.paf").read_text()
+
+
+def test_mmi_index_input(golden_dir, ref_test_dir):
+    """Mapping against the reference's own .mmi binary index."""
+    out = run_cli(f"--chain-backend python -x map-ont "
+                  f"{golden_dir}/mapont_MTorang.mmi {T}/MT-human.fa")
+    assert out == (golden_dir / "mapont_MT.paf").read_text()
