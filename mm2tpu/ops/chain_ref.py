@@ -38,10 +38,15 @@ def avg_qspan_scaled(a: np.ndarray) -> np.float32:
 
 
 def unpack_anchors(a: np.ndarray):
-    """Split packed (n,2) uint64 anchors into DP-relevant int arrays."""
+    """Split packed (n,2) uint64 anchors into DP-relevant int arrays.
+
+    x is compared as uint64 in the C code (chain.c:121); flipping the sign
+    bit maps it to int64 preserving both order and differences, so the
+    strand bit (1<<63) doesn't break window arithmetic.
+    """
     x = a[:, 0]
     y = a[:, 1]
-    ax = x.astype(np.int64)  # full x for window arithmetic (strand|rid|pos)
+    ax = (x ^ np.uint64(1 << 63)).astype(np.int64)
     qi = (y & np.uint64(0xFFFFFFFF)).astype(np.int64).astype(np.int32)
     q_span = ((y >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int32)
     sid = ((y & np.uint64(MM_SEED_SEG_MASK)) >> np.uint64(MM_SEED_SEG_SHIFT)).astype(np.int32)
@@ -221,7 +226,7 @@ def num_subparts(a: np.ndarray, max_dist_x: int) -> Tuple[np.ndarray, int, int]:
     at MAX_TRIPCOUNT, quantized into subparts of 128. Returns
     (subparts uint8, total_subparts, total_trip_count)."""
     n = len(a)
-    ax = a[:, 0].astype(np.int64)
+    ax = (a[:, 0] ^ np.uint64(1 << 63)).astype(np.int64)  # unsigned order
     sub = np.zeros(n, dtype=np.uint8)
     total_sub = 0
     total_trip = 0

@@ -1,0 +1,61 @@
+"""Differential tests: Pallas chaining kernel vs the NumPy windowed oracle
+(the VERIFY_OUTPUT pattern of the reference, chain.c:244-262).
+
+Runs in interpreter mode on the CPU test mesh; the same kernel compiles
+for TPU (exercised by bench.py on hardware).
+"""
+import numpy as np
+import pytest
+
+from mm2tpu.ops.chain_ref import chain_scores_window, chain_scores_exact
+from mm2tpu.ops.chain_pallas import chain_scores_tpu
+
+
+def synth_anchors(n, seed=0, n_rids=1, rev_frac=0.0, span=15, scale=50):
+    rng = np.random.default_rng(seed)
+    refpos = np.sort(rng.integers(0, scale * n, n))
+    qpos = np.clip(refpos + rng.integers(-400, 400, n), 0, None)
+    rid = rng.integers(0, n_rids, n).astype(np.uint64)
+    strand = (rng.random(n) < rev_frac).astype(np.uint64)
+    x = (strand << np.uint64(63)) | (rid << np.uint64(32)) | refpos.astype(np.uint64)
+    y = (np.uint64(span) << np.uint64(32)) | qpos.astype(np.uint64)
+    a = np.stack([x, y], axis=1)
+    return a[np.argsort(a[:, 0], kind="stable")]
+
+
+CASES = [
+    dict(n=500, seed=1),
+    dict(n=2000, seed=2, n_rids=3, rev_frac=0.3),
+    dict(n=3000, seed=3, scale=2),     # dense: windows hit the 1024 cap
+    dict(n=1024, seed=4, scale=1),     # ties and zero-distance cases
+]
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_kernel_matches_window_oracle(case):
+    a = synth_anchors(**case)
+    args = (5000, 5000, 500, 5000, 1.0, False, 1)
+    f1, p1, v1 = chain_scores_window(a, *args)
+    f2, p2, v2 = chain_scores_tpu(a, *args, interpret=True)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(v1, v2)
+
+
+def test_kernel_matches_window_oracle_cdna():
+    a = synth_anchors(n=800, seed=5)
+    args = (200000, 2000, 200000, 5000, 1.0, True, 1)
+    f1, p1, v1 = chain_scores_window(a, *args)
+    f2, p2, v2 = chain_scores_tpu(a, *args, interpret=True)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(p1, p2)
+
+
+def test_window_matches_exact_when_unconstrained():
+    """With no max_skip pressure and windows < 1024, the bounded-lookback DP
+    equals the exact SW DP (chain.c VERIFY assumption)."""
+    a = synth_anchors(n=600, seed=6, scale=200)  # sparse: small windows
+    f1, p1, v1 = chain_scores_exact(a, 5000, 5000, 500, 25, 5000, 1.0, False, 1)
+    f2, p2, v2 = chain_scores_window(a, 5000, 5000, 500, 5000, 1.0, False, 1)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(v1, v2)
