@@ -1,0 +1,115 @@
+"""Device-mesh scale-out: data parallelism over reads with a replicated
+HBM-resident index (SURVEY.md §5 'Distributed communication backend').
+
+The reference is single-node pthreads + one PCIe FPGA; the TPU-native
+equivalent shards read batches over a 1-D 'data' mesh axis with shard_map,
+keeps the minimizer index replicated in HBM on every chip, and gathers
+per-read results to the host for ordered emission. No collectives are
+needed on the hot path (pure data parallelism); index-sharded all-gather
+variants (ava-* modes at scale) layer on top later.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.chain_pallas import chain_scores_device
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data",
+              devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def sharded_chain_step(mesh: Mesh, *, max_dist_x: int, max_dist_y: int,
+                       bw: int, iter_cap: int, gap_scale: float,
+                       is_cdna: bool, n_segs: int, interpret: bool = False,
+                       axis: str = "data"):
+    """Returns a jitted function mapping sharded (B,N) anchor batches to
+    sharded (B,N) chaining scores; B must be divisible by the mesh size."""
+    kernel = functools.partial(
+        chain_scores_device, max_dist_x=max_dist_x, max_dist_y=max_dist_y,
+        bw=bw, iter_cap=iter_cap, gap_scale=gap_scale, is_cdna=is_cdna,
+        n_segs=n_segs, interpret=interpret)
+
+    spec = P(axis, None)
+    spec1 = P(axis, None)
+
+    @functools.partial(shard_map, mesh=mesh, check_vma=False,
+                       in_specs=(spec, spec, spec, spec, spec, spec1, spec1),
+                       out_specs=(spec, spec, spec))
+    def step(hi, lo, qi, span, sid, n, avg):
+        return kernel(hi, lo, qi, span, sid, n, avg)
+
+    return jax.jit(step)
+
+
+def split_keys(keys_u64: np.ndarray):
+    """uint64 minimizer hashes -> (hi, lo) int32 pair for device search.
+    hi = top 32 bits (< 2^24 for k<=28, so plain int32); lo = low 32 bits
+    stored sign-flipped so int32 comparison matches unsigned order."""
+    hi = (keys_u64 >> np.uint64(32)).astype(np.int64).astype(np.int32)
+    lo = ((keys_u64 & np.uint64(0xFFFFFFFF)) ^ np.uint64(0x80000000))
+    return hi, lo.astype(np.int64).astype(np.int32)
+
+
+def lookup_index_device(khi: jnp.ndarray, klo: jnp.ndarray,
+                        start: jnp.ndarray, cnt: jnp.ndarray,
+                        qhi: jnp.ndarray, qlo: jnp.ndarray):
+    """Vectorized index probe on device (mm_idx_get equivalent): branchless
+    lexicographic binary search over the replicated CSR key array, one
+    gather per log2 step — no 64-bit integer support needed. Returns
+    (start, cnt) with cnt==0 on miss."""
+    n = khi.shape[0]
+    steps = max(1, int(np.ceil(np.log2(n + 1))))
+    lo_b = jnp.zeros(qhi.shape, jnp.int32)
+    hi_b = jnp.full(qhi.shape, n, jnp.int32)
+    for _ in range(steps):
+        mid = (lo_b + hi_b) >> 1
+        midc = jnp.minimum(mid, n - 1)
+        kh = khi[midc]
+        kl = klo[midc]
+        less = (kh < qhi) | ((kh == qhi) & (kl < qlo))
+        lo_b = jnp.where(less, mid + 1, lo_b)
+        hi_b = jnp.where(less, hi_b, mid)
+    idx = jnp.minimum(lo_b, n - 1)
+    hit = (khi[idx] == qhi) & (klo[idx] == qlo) & (lo_b < n)
+    return (jnp.where(hit, start[idx], 0).astype(jnp.int32),
+            jnp.where(hit, cnt[idx], 0).astype(jnp.int32))
+
+
+def sharded_map_step(mesh: Mesh, *, max_dist_x: int, max_dist_y: int,
+                     bw: int, iter_cap: int, gap_scale: float,
+                     is_cdna: bool, n_segs: int, interpret: bool = False,
+                     axis: str = "data"):
+    """The full device-side mapping step over a mesh: per-shard index probe
+    of query minimizers (replicated index) + bounded-lookback chaining of
+    pre-built anchors. This is the unit the multi-chip dry-run compiles."""
+    chain = functools.partial(
+        chain_scores_device, max_dist_x=max_dist_x, max_dist_y=max_dist_y,
+        bw=bw, iter_cap=iter_cap, gap_scale=gap_scale, is_cdna=is_cdna,
+        n_segs=n_segs, interpret=interpret)
+
+    dp = P(axis, None)
+    dp1 = P(axis, None)
+    rep = P(None)
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_vma=False,
+        in_specs=(rep, rep, rep, rep, P(axis, None), P(axis, None),
+                  dp, dp, dp, dp, dp, dp1, dp1),
+        out_specs=(P(axis, None), P(axis, None), dp, dp, dp))
+    def step(khi, klo, kstart, kcnt, qhi, qlo, hi, lo, qi, span, sid, n, avg):
+        hit_start, hit_cnt = lookup_index_device(khi, klo, kstart, kcnt, qhi, qlo)
+        f, p, v = chain(hi, lo, qi, span, sid, n, avg)
+        return hit_start, hit_cnt, f, p, v
+
+    return jax.jit(step)

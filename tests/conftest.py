@@ -1,11 +1,16 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh; the real TPU is only used by
-# bench.py / __graft_entry__ driven externally.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# bench.py / __graft_entry__ driven externally. (JAX_PLATFORMS may be
+# pre-set to a hardware plugin, so force via jax.config at import.)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
