@@ -1,10 +1,16 @@
-"""Benchmark: anchor-chaining throughput on the TPU chip.
+"""Benchmark: anchor-chaining throughput on the TPU chip (device compute).
+
+Methodology: K kernel invocations chained inside one jit (each consuming a
+checksum of the previous results, so XLA cannot reorder or elide them),
+tiny scalar readback; per-invocation time = (T(K) - T(1)) / (K - 1). This
+isolates device compute from the host<->device transport, which in this
+environment is a high-latency tunnel.
 
 Prints one JSON line. Baseline: the reference fork's trained AWS F1 FPGA
 time model for ONT chaining (chain_hardware.h:19-21):
     t_hw[ms] = 2.992e-4*n + 1.215e-5*total_subparts + 0.3194
 With 8 subparts/anchor (dense windows, the regime benchmarked here) the
-FPGA rate is 1e6 / (2.992e-4 + 8*1.215e-5) = 2.52e6 anchors/s per F1 card.
+FPGA rate is 1e3 / (2.992e-4 + 8*1.215e-5) ~= 2.52e6 anchors/s per F1 card.
 """
 import json
 import os
@@ -20,7 +26,8 @@ F1_ANCHORS_PER_S = 1e3 / (2.992e-4 + 8 * 1.215e-5)  # ms -> ~2.52M anchors/s
 
 def main():
     import jax
-    from mm2tpu.ops.chain_pallas import chain_scores_device
+    import jax.numpy as jnp
+    from mm2tpu.ops.chain_pallas_v2 import chain_scores_device_v2
 
     B, N = 32, 8192  # 32 ONT-like chaining tasks of 8k anchors
     rng = np.random.default_rng(0)
@@ -38,22 +45,35 @@ def main():
                   gap_scale=1.0, is_cdna=False, n_segs=1,
                   interpret=jax.default_backend() != "tpu")
 
-    # warmup / compile
-    out = chain_scores_device(hi, lo, qi, span, sid, n, avg, **kwargs)
-    jax.device_get(out)
+    def harness(K):
+        @jax.jit
+        def run(x):
+            acc = jnp.int32(0)
+            for _ in range(K):
+                f, p = chain_scores_device_v2(hi, x, qi, span, sid, n, avg,
+                                              **kwargs)
+                acc = acc + f[0, 0] + p[-1, -1] + f[B // 2, N // 2]
+                x = x + (acc & 1)  # serialize invocations
+            return acc
+        return run
 
-    # steady state: pipeline several batches, one readback at the end
-    CALLS = 8
+    K = 9
+    r1, rk = harness(1), harness(K)
+    float(r1(lo))
+    float(rk(lo))
+    reps = 3
+
     t0 = time.time()
-    outs = []
-    for _ in range(CALLS):
-        outs.append(chain_scores_device(hi, lo, qi, span, sid, n, avg, **kwargs))
-    for o in outs:
-        jax.device_get(o)
-    dt = time.time() - t0
+    for _ in range(reps):
+        float(r1(lo))
+    t1 = (time.time() - t0) / reps
+    t0 = time.time()
+    for _ in range(reps):
+        float(rk(lo))
+    tk = (time.time() - t0) / reps
 
-    total_anchors = CALLS * B * N
-    rate = total_anchors / dt
+    per_invocation = (tk - t1) / (K - 1)
+    rate = B * N / per_invocation
     print(json.dumps({
         "metric": "chaining_anchors_per_s",
         "value": round(rate, 1),

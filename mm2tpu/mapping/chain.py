@@ -56,9 +56,9 @@ def chain_dp(max_dist_x: int, max_dist_y: int, bw: int, max_skip: int,
     router = ChainRouter(backend)
     which = router.pick(n)
     if which == "tpu":
-        from ..ops.chain_pallas import chain_scores_tpu
-        f, p, v = chain_scores_tpu(a, max_dist_x, max_dist_y, bw, max_iter,
-                                   gap_scale, is_cdna, n_segs)
+        from ..ops.chain_pallas_v2 import chain_scores_tpu_v2
+        f, p, v = chain_scores_tpu_v2(a, max_dist_x, max_dist_y, bw, max_iter,
+                                      gap_scale, is_cdna, n_segs)
     elif which == "native" and _native():
         f, p, v = _native().chain_scores_exact(
             a, max_dist_x, max_dist_y, bw, max_skip, max_iter,

@@ -19,7 +19,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.chain_pallas import chain_scores_device
+from ..ops.chain_pallas_v2 import chain_scores_device_v2 as chain_scores_device
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data",
@@ -45,7 +45,7 @@ def sharded_chain_step(mesh: Mesh, *, max_dist_x: int, max_dist_y: int,
 
     @functools.partial(shard_map, mesh=mesh, check_vma=False,
                        in_specs=(spec, spec, spec, spec, spec, spec1, spec1),
-                       out_specs=(spec, spec, spec))
+                       out_specs=(spec, spec))
     def step(hi, lo, qi, span, sid, n, avg):
         return kernel(hi, lo, qi, span, sid, n, avg)
 
@@ -106,10 +106,10 @@ def sharded_map_step(mesh: Mesh, *, max_dist_x: int, max_dist_y: int,
         shard_map, mesh=mesh, check_vma=False,
         in_specs=(rep, rep, rep, rep, P(axis, None), P(axis, None),
                   dp, dp, dp, dp, dp, dp1, dp1),
-        out_specs=(P(axis, None), P(axis, None), dp, dp, dp))
+        out_specs=(P(axis, None), P(axis, None), dp, dp))
     def step(khi, klo, kstart, kcnt, qhi, qlo, hi, lo, qi, span, sid, n, avg):
         hit_start, hit_cnt = lookup_index_device(khi, klo, kstart, kcnt, qhi, qlo)
-        f, p, v = chain(hi, lo, qi, span, sid, n, avg)
-        return hit_start, hit_cnt, f, p, v
+        f, p = chain(hi, lo, qi, span, sid, n, avg)
+        return hit_start, hit_cnt, f, p
 
     return jax.jit(step)

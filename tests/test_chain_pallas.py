@@ -59,3 +59,25 @@ def test_window_matches_exact_when_unconstrained():
     f2, p2, v2 = chain_scores_window(a, 5000, 5000, 500, 5000, 1.0, False, 1)
     np.testing.assert_array_equal(f1, f2)
     np.testing.assert_array_equal(v1, v2)
+
+
+@pytest.mark.parametrize("case", CASES)
+def test_kernel_v2_matches_window_oracle(case):
+    from mm2tpu.ops.chain_pallas_v2 import chain_scores_tpu_v2
+    a = synth_anchors(**case)
+    args = (5000, 5000, 500, 5000, 1.0, False, 1)
+    f1, p1, v1 = chain_scores_window(a, *args)
+    f2, p2, v2 = chain_scores_tpu_v2(a, *args, interpret=True)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(v1, v2)
+
+
+def test_kernel_v2_cdna():
+    from mm2tpu.ops.chain_pallas_v2 import chain_scores_tpu_v2
+    a = synth_anchors(n=800, seed=5)
+    args = (200000, 2000, 200000, 5000, 1.0, True, 1)
+    f1, p1, v1 = chain_scores_window(a, *args)
+    f2, p2, v2 = chain_scores_tpu_v2(a, *args, interpret=True)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(p1, p2)
