@@ -121,8 +121,16 @@ def sketch(seq: str | bytes | np.ndarray, w: int, k: int, rid: int,
 
 
 def sketch_np(seq, w, k, rid, is_hpc=False) -> np.ndarray:
-    """sketch() returning a (n,2) uint64 array [[x, y], ...]."""
-    mm = sketch(seq, w, k, rid, is_hpc)
+    """sketch() returning a (n,2) uint64 array [[x, y], ...]. Uses the
+    native runtime when built (differentially tested against sketch())."""
+    codes = seq if isinstance(seq, np.ndarray) else encode_nt4(seq)
+    try:
+        from ..native import lib as native_lib
+        if native_lib.available():
+            return native_lib.sketch(codes, w, k, rid, is_hpc)
+    except Exception:
+        pass
+    mm = sketch(codes, w, k, rid, is_hpc)
     if not mm:
         return np.zeros((0, 2), dtype=np.uint64)
     return np.array(mm, dtype=np.uint64)

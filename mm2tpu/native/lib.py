@@ -1,20 +1,94 @@
-"""ctypes binding to the native C++ runtime (built from native/*.cpp).
-Falls back gracefully when the shared library is absent."""
+"""ctypes binding to the native C++ runtime (native/libmm2tpu.so).
+
+Build with `make -C native`. All entry points fall back gracefully to the
+Python/NumPy references when the shared library is absent.
+"""
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
+from typing import Optional, Tuple
+
+import numpy as np
 
 _SO = pathlib.Path(__file__).resolve().parent.parent.parent / "native" / "libmm2tpu.so"
-_lib = None
+_lib: Optional[ctypes.CDLL] = None
+_checked = False
+
+_i8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _checked
+    if _checked:
+        return _lib or None
+    _checked = True
+    if not _SO.exists():
+        _lib = None
+        return None
+    lib = ctypes.CDLL(str(_SO))
+    lib.mm2_chain_exact.argtypes = [
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+        ctypes.c_int32, _u64p, _u64p, _i32p, _i32p, _i32p]
+    lib.mm2_chain_exact.restype = None
+    lib.mm2_v_carry.argtypes = [ctypes.c_int64, _i32p, _i32p, _i32p]
+    lib.mm2_v_carry.restype = None
+    lib.mm2_sketch.argtypes = [
+        _i8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_uint32, ctypes.c_int32, _u64p, _u64p, ctypes.c_int64]
+    lib.mm2_sketch.restype = ctypes.c_int64
+    _lib = lib
+    return lib
 
 
 def available() -> bool:
-    global _lib
-    if _lib is None:
-        try:
-            _lib = ctypes.CDLL(str(_SO)) if _SO.exists() else False
-        except OSError:
-            _lib = False
-    return bool(_lib)
+    return _load() is not None
+
+
+def chain_scores_exact(a: np.ndarray, max_dist_x: int, max_dist_y: int,
+                       bw: int, max_skip: int, max_iter: int,
+                       gap_scale: float, is_cdna: bool, n_segs: int
+                       ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Native exact chaining DP; same contract as chain_ref.chain_scores_exact."""
+    lib = _load()
+    n = len(a)
+    f = np.zeros(n, np.int32)
+    p = np.full(n, -1, np.int32)
+    v = np.zeros(n, np.int32)
+    if n:
+        ax = np.ascontiguousarray(a[:, 0])
+        ay = np.ascontiguousarray(a[:, 1])
+        lib.mm2_chain_exact(n, max_dist_x, max_dist_y, bw, max_skip,
+                            max_iter, gap_scale, int(is_cdna), n_segs,
+                            ax, ay, f, p, v)
+    return f, p.astype(np.int64), v
+
+
+def v_carry(f: np.ndarray, p: np.ndarray) -> np.ndarray:
+    lib = _load()
+    n = len(f)
+    v = np.zeros(n, np.int32)
+    if n:
+        lib.mm2_v_carry(n, np.ascontiguousarray(f, np.int32),
+                        np.ascontiguousarray(p, np.int32), v)
+    return v
+
+
+def sketch(codes: np.ndarray, w: int, k: int, rid: int,
+           is_hpc: bool) -> np.ndarray:
+    """Native minimizer sketch over nt4 codes; returns (n,2) uint64."""
+    lib = _load()
+    codes = np.ascontiguousarray(codes, np.uint8)
+    cap = max(len(codes), 64)
+    x = np.empty(cap, np.uint64)
+    y = np.empty(cap, np.uint64)
+    n = lib.mm2_sketch(codes, len(codes), w, k, rid, int(is_hpc), x, y, cap)
+    if n < 0:  # capacity miss (pathological w/k); retry with exact size
+        cap = -n
+        x = np.empty(cap, np.uint64)
+        y = np.empty(cap, np.uint64)
+        n = lib.mm2_sketch(codes, len(codes), w, k, rid, int(is_hpc), x, y, cap)
+    return np.stack([x[:n], y[:n]], axis=1)

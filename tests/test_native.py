@@ -1,0 +1,82 @@
+"""Differential tests: native C++ runtime vs the Python references."""
+import subprocess
+import pathlib
+
+import numpy as np
+import pytest
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+@pytest.fixture(scope="module")
+def native():
+    so = REPO / "native" / "libmm2tpu.so"
+    if not so.exists():
+        subprocess.run(["make", "-C", str(REPO / "native")], check=True)
+    from mm2tpu.native import lib as nl
+    assert nl.available()
+    return nl
+
+
+def test_native_chain_exact(native):
+    from tests.test_chain_pallas import synth_anchors
+    from mm2tpu.ops.chain_ref import chain_scores_exact
+    for seed in (1, 2, 3):
+        a = synth_anchors(n=1500, seed=seed, n_rids=2, rev_frac=0.3, scale=4)
+        args = (5000, 5000, 500, 25, 5000, 1.0, False, 1)
+        f1, p1, v1 = chain_scores_exact(a, *args)
+        f2, p2, v2 = native.chain_scores_exact(a, *args)
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(v1, v2)
+
+
+def test_native_chain_cdna(native):
+    from tests.test_chain_pallas import synth_anchors
+    from mm2tpu.ops.chain_ref import chain_scores_exact
+    a = synth_anchors(n=800, seed=9)
+    args = (200000, 2000, 200000, 25, 5000, 1.0, True, 1)
+    f1, p1, v1 = chain_scores_exact(a, *args)
+    f2, p2, v2 = native.chain_scores_exact(a, *args)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_array_equal(p1, p2)
+
+
+def test_native_sketch(native, ref_test_dir):
+    from mm2tpu.index.sketch import sketch, encode_nt4
+    from mm2tpu.io.bseq import read_fastx
+    q = next(read_fastx(str(ref_test_dir / "MT-human.fa")))
+    codes = encode_nt4(q.seq)
+    for w, k, hpc in ((10, 15, False), (10, 19, True), (5, 15, False), (19, 19, False)):
+        py = np.array(sketch(codes, w, k, 3, hpc), dtype=np.uint64).reshape(-1, 2)
+        nat = native.sketch(codes, w, k, 3, hpc)
+        np.testing.assert_array_equal(py, nat)
+
+
+def test_native_sketch_ambiguous(native):
+    from mm2tpu.index.sketch import sketch, encode_nt4
+    seq = "ACGTNNACGTACGTGGGGGGTTTACGNATC" * 20
+    codes = encode_nt4(seq)
+    py = np.array(sketch(codes, 5, 7, 0, True), dtype=np.uint64).reshape(-1, 2)
+    nat = native.sketch(codes, 5, 7, 0, True)
+    np.testing.assert_array_equal(py, nat)
+
+
+def test_native_v_carry(native):
+    rng = np.random.default_rng(0)
+    n = 1000
+    f = rng.integers(0, 100, n).astype(np.int32)
+    p = np.minimum(np.arange(n) - rng.integers(1, 50, n), 10**9).astype(np.int32)
+    p = np.where(p < 0, -1, p)
+    v1 = np.zeros(n, np.int32)
+    for i in range(n):
+        v1[i] = v1[p[i]] if (p[i] >= 0 and v1[p[i]] > f[i]) else f[i]
+    v2 = native.v_carry(f, p)
+    np.testing.assert_array_equal(v1, v2)
+
+
+def test_e2e_with_native_backend(golden_dir, ref_test_dir, native):
+    from tests.test_e2e_paf import run_cli
+    out = run_cli(f"--chain-backend native -x map-ont "
+                  f"/root/reference/test/MT-orang.fa /root/reference/test/MT-human.fa")
+    assert out == (golden_dir / "mapont_MT.paf").read_text()
