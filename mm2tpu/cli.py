@@ -316,6 +316,9 @@ def load_or_build_index(target: str, io: IdxOptions, out=sys.stderr):
 
 def main(argv: Optional[List[str]] = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
+    # ketopt optional-argument semantics: only '--cs=long' carries a value;
+    # bare '--cs' means 'short' and must not consume the next token
+    argv = ["--cs=short" if a == "--cs" else a for a in argv]
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.version:

@@ -1,11 +1,871 @@
-"""Base-level alignment orchestration (reference: align.c).
+"""Base-level alignment orchestration (port of the reference align.c).
 
-Round-1 placeholder: raises until the ksw2 extension kernels land
-(ops/ksw2_ref.py, ops/ksw2_pallas.py). See SURVEY.md §7 step 6.
+Drives the ksw2 extension kernels (ops/ksw2_ref.py, differential-tested
+against the reference SSE builds) through the reference's exact recipe:
+chain-end fixing, bad-seed filters, DP window computation, left extension,
+seed-to-seed gap fills with two-pass Z-drop and inversion detection, right
+extension, CIGAR fixups and stats (align.c:565-920).
 """
 from __future__ import annotations
 
+import math
+from typing import List, Optional, Tuple
 
-def align_skeleton(mi, opt, qlen, seq, regs, a):
-    raise NotImplementedError(
-        "base-level alignment (-a/-c) not yet implemented; PAF without CIGAR only")
+import numpy as np
+
+from ..options import (MapOptions, MM_F_SR, MM_F_SPLICE, MM_F_SPLICE_FOR,
+                       MM_F_SPLICE_REV, MM_F_SPLICE_FLANK, MM_F_FOR_ONLY,
+                       MM_F_REV_ONLY, MM_F_EQX, MM_F_NO_END_FLT,
+                       MM_SEED_IGNORE, MM_SEED_TANDEM, MM_SEED_LONG_JOIN,
+                       MM_SEED_SELF)
+from ..ops import ksw2_ref as K
+from .hit import (Region, Extra, _i32, split_reg, filter_regs, hit_sort,
+                  squeeze_a, MM_PARENT_UNSET, MM_PARENT_TMP_PRI)
+
+INT32_MIN = -2**31
+
+
+def _span(ay: int) -> int:
+    return (ay >> 32) & 0xFF
+
+
+def _update_max_zdrop(score, i, j, state, e, pos):
+    """align.c:32-45; state = [max, max_i, max_j, max_zdrop]."""
+    if score < state[0]:
+        li = i - state[1]
+        lj = j - state[2]
+        diff = abs(li - lj)
+        z = state[0] - score - diff * e
+        if z > state[3]:
+            state[3] = z
+            pos[0][0], pos[0][1] = state[1], i
+            pos[1][0], pos[1][1] = state[2], j
+    else:
+        state[0], state[1], state[2] = score, i, j
+
+
+def test_zdrop(opt: MapOptions, qseq, tseq, cigar, mat) -> int:
+    """mm_test_zdrop (align.c:47-89): 0 = pass, 1 = zdrop, 2 = inversion."""
+    state = [INT32_MIN, -1, -1, 0]  # max, max_i, max_j, max_zdrop
+    pos = [[-1, -1], [-1, -1]]
+    score = 0
+    i = j = 0
+    for c in cigar:
+        op, ln = c & 0xF, c >> 4
+        if op == 0:
+            for l in range(ln):
+                score += int(mat[tseq[i + l] * 5 + qseq[j + l]])
+                _update_max_zdrop(score, i + l, j + l, state, opt.e, pos)
+            i += ln
+            j += ln
+        elif op in (1, 2, 3):
+            score -= opt.q + opt.e * ln
+            if op == 1:
+                j += ln
+            else:
+                i += ln
+            _update_max_zdrop(score, i, j, state, opt.e, pos)
+    max_zdrop = state[3]
+    q_len = pos[1][1] - pos[1][0]
+    t_len = pos[0][1] - pos[0][0]
+    if (not (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_FOR_ONLY | MM_F_REV_ONLY))
+            and max_zdrop > opt.zdrop_inv and q_len < opt.max_gap
+            and t_len < opt.max_gap):
+        sub = qseq[pos[1][1] - q_len: pos[1][1]][::-1]
+        qseq2 = np.where(sub >= 4, 4, 3 - sub).astype(np.uint8)
+        score, _, _ = K.ksw_ll(q_len, qseq2, t_len,
+                               tseq[pos[0][0]: pos[0][0] + t_len], mat,
+                               opt.q, opt.e)
+        if score >= opt.min_chain_score * opt.a and score >= opt.min_dp_max:
+            return 2
+    return 1 if max_zdrop > opt.zdrop else 0
+
+
+def fix_cigar(r: Region, qseq, tseq) -> Tuple[int, int]:
+    """mm_fix_cigar (align.c:91-167): indel left-shift, 5I6D7I merge,
+    leading-indel trim. Returns (qshift, tshift)."""
+    p = r.p
+    qshift = tshift = 0
+    if p.n_cigar <= 1:
+        return 0, 0
+    cig = p.cigar
+    toff = qoff = 0
+    to_shrink = False
+    for k in range(len(cig)):
+        op, ln = cig[k] & 0xF, cig[k] >> 4
+        if ln == 0:
+            to_shrink = True
+        if op == 0:
+            toff += ln
+            qoff += ln
+        elif op in (1, 2):
+            if 0 < k < len(cig) - 1 and (cig[k - 1] & 0xF) == 0 and (cig[k + 1] & 0xF) == 0:
+                prev_len = cig[k - 1] >> 4
+                l = 0
+                if op == 1:
+                    while l < prev_len and qseq[qoff - 1 - l] == qseq[qoff + ln - 1 - l]:
+                        l += 1
+                else:
+                    while l < prev_len and tseq[toff - 1 - l] == tseq[toff + ln - 1 - l]:
+                        l += 1
+                if l > 0:
+                    cig[k - 1] -= l << 4
+                    cig[k + 1] += l << 4
+                    qoff -= l
+                    toff -= l
+                if l == prev_len:
+                    to_shrink = True
+            if op == 1:
+                qoff += ln
+            else:
+                toff += ln
+        elif op == 3:
+            toff += ln
+    assert qoff == r.qe - r.qs and toff == r.re - r.rs
+    k = 0
+    while k + 2 < len(cig):  # fix CIGAR like 5I6D7I
+        if (cig[k] & 0xF) > 0 and (cig[k] & 0xF) + (cig[k + 1] & 0xF) == 3:
+            s = [0, 0, 0]
+            l = k
+            while l < len(cig):
+                op = cig[l] & 0xF
+                if op == 1 or op == 2 or cig[l] >> 4 == 0:
+                    if op < 3:
+                        s[op] += cig[l] >> 4
+                else:
+                    break
+                l += 1
+            if s[1] > 0 and s[2] > 0 and l - k > 2:
+                cig[k] = s[1] << 4 | 1
+                cig[k + 1] = s[2] << 4 | 2
+                for kk in range(k + 2, l):
+                    cig[kk] &= 0xF
+                to_shrink = True
+            k = l
+        else:
+            k += 1
+    if to_shrink:
+        cig[:] = [c for c in cig if c >> 4 != 0]
+        merged: List[int] = []
+        for c in cig:
+            if merged and (merged[-1] & 0xF) == (c & 0xF):
+                merged[-1] += (c >> 4) << 4
+            else:
+                merged.append(c)
+        cig[:] = merged
+    if cig and (cig[0] & 0xF) in (1, 2):
+        l = cig[0] >> 4
+        if (cig[0] & 0xF) == 1:
+            if r.rev:
+                r.qe -= l
+            else:
+                r.qs += l
+            qshift = l
+        else:
+            r.rs += l
+            tshift = l
+        cig.pop(0)
+    return qshift, tshift
+
+
+def update_cigar_eqx(r: Region, qseq, tseq) -> None:
+    """mm_update_cigar_eqx (align.c:169-238)."""
+    if r.p is None:
+        return
+    out: List[int] = []
+    toff = qoff = 0
+    for c in r.p.cigar:
+        op, ln = c & 0xF, c >> 4
+        if op == 0:
+            while ln > 0:
+                l = 0
+                while l < ln and qseq[qoff + l] == tseq[toff + l]:
+                    l += 1
+                if l > 0:
+                    out.append(l << 4 | 7)
+                    ln -= l
+                    toff += l
+                    qoff += l
+                l = 0
+                while l < ln and qseq[qoff + l] != tseq[toff + l]:
+                    l += 1
+                if l > 0:
+                    out.append(l << 4 | 8)
+                    ln -= l
+                    toff += l
+                    qoff += l
+            continue
+        elif op == 1:
+            qoff += ln
+        elif op in (2, 3):
+            toff += ln
+        out.append(c)
+    r.p.cigar = out
+
+
+def update_extra(r: Region, qseq, tseq, mat, q: int, e: int, is_eqx: bool) -> None:
+    """mm_update_extra (align.c:240-286). qseq/tseq start at qs1/rs1."""
+    p = r.p
+    if p is None:
+        return
+    qshift, tshift = fix_cigar(r, qseq, tseq)
+    qseq = qseq[qshift:]
+    tseq = tseq[tshift:]
+    r.blen = r.mlen = 0
+    s = mx = 0
+    toff = qoff = 0
+    for c in p.cigar:
+        op, ln = c & 0xF, c >> 4
+        if op == 0:
+            cq = qseq[qoff: qoff + ln]
+            ct = tseq[toff: toff + ln]
+            ambi = (ct > 3) | (cq > 3)
+            n_ambi = int(np.sum(ambi))
+            n_diff = int(np.sum(~ambi & (ct != cq)))
+            # running clamped score (sequential; uses per-base mat values)
+            vals = mat.reshape(5, 5)[ct, cq]
+            for vv in vals:
+                s += int(vv)
+                if s < 0:
+                    s = 0
+                elif s > mx:
+                    mx = s
+            r.blen += ln - n_ambi
+            r.mlen += ln - (n_ambi + n_diff)
+            p.n_ambi += n_ambi
+            toff += ln
+            qoff += ln
+        elif op == 1:
+            n_ambi = int(np.sum(qseq[qoff: qoff + ln] > 3))
+            r.blen += ln - n_ambi
+            p.n_ambi += n_ambi
+            s -= q + e * ln
+            if s < 0:
+                s = 0
+            qoff += ln
+        elif op == 2:
+            n_ambi = int(np.sum(tseq[toff: toff + ln] > 3))
+            r.blen += ln - n_ambi
+            p.n_ambi += n_ambi
+            s -= q + e * ln
+            if s < 0:
+                s = 0
+            toff += ln
+        elif op == 3:
+            toff += ln
+    p.dp_max = mx
+    assert qoff == r.qe - r.qs and toff == r.re - r.rs
+    if is_eqx:
+        update_cigar_eqx(r, qseq, tseq)
+
+
+def append_cigar(r: Region, cigar: List[int]) -> None:
+    """mm_append_cigar (align.c:288-311)."""
+    if not cigar:
+        return
+    if r.p is None:
+        r.p = Extra()
+    p = r.p
+    if p.cigar and (p.cigar[-1] & 0xF) == (cigar[0] & 0xF):
+        p.cigar[-1] += (cigar[0] >> 4) << 4
+        p.cigar.extend(cigar[1:])
+    else:
+        p.cigar.extend(cigar)
+
+
+def align_pair(opt: MapOptions, qseq, tseq, junc, mat, w: int,
+               end_bonus: int, zdrop: int, flag: int) -> K.ExtzResult:
+    """mm_align_pair (align.c:313-339)."""
+    qlen, tlen = len(qseq), len(tseq)
+    if opt.max_sw_mat > 0 and tlen * qlen > opt.max_sw_mat:
+        ez = K.ExtzResult()
+        ez.zdropped = True
+        return ez
+    if opt.flag & MM_F_SPLICE:
+        from ..ops.ksw2_splice_ref import ksw_exts2
+        return ksw_exts2(qlen, qseq, tlen, tseq, mat, opt.q, opt.e, opt.q2,
+                         opt.noncan, zdrop, opt.junc_bonus, flag, junc)
+    elif opt.q == opt.q2 and opt.e == opt.e2:
+        return K.ksw_extz2(qlen, qseq, tlen, tseq, mat, opt.q, opt.e, w,
+                           zdrop, end_bonus, flag)
+    else:
+        return K.ksw_extd2(qlen, qseq, tlen, tseq, mat, opt.q, opt.e,
+                           opt.q2, opt.e2, w, zdrop, end_bonus, flag)
+
+
+def _get_hplen_back(mi, rid: int, x: int) -> int:
+    """mm_get_hplen_back (align.c:341-348)."""
+    seq = mi.getseq_fast(rid, 0, x + 1)
+    c = seq[x]
+    i = x - 1
+    while i >= 0 and seq[i] == c:
+        i -= 1
+    return x - i
+
+
+def adjust_minier(mi, qseq0, ax: int, ay: int) -> Tuple[int, int]:
+    """mm_adjust_minier (align.c:350-365): returns (r, q)."""
+    if mi.flag & 0x1:  # HPC
+        qseq = qseq0[ax >> 63]
+        qpos = _i32(ay)
+        c = qseq[qpos]
+        i = qpos - 1
+        while i > 0 and qseq[i] == c:
+            i -= 1
+        qv = i + 1
+        c = _get_hplen_back(mi, (ax << 1 >> 33) & 0x7FFFFFFF, _i32(ax))
+        rv = _i32(ax) + 1 - c
+    else:
+        rv = _i32(ax) - (mi.k >> 1)
+        qv = _i32(ay) - (mi.k >> 1)
+    return rv, qv
+
+
+def collect_long_gaps(as1, cnt1, a, min_gap) -> List[int]:
+    """align.c:367-384."""
+    ks = []
+    for i in range(1, cnt1):
+        gap = (_i32(a[as1 + i, 1]) - _i32(a[as1 + i - 1, 1])) - \
+              (_i32(a[as1 + i, 0]) - _i32(a[as1 + i - 1, 0]))
+        if gap < -min_gap or gap > min_gap:
+            ks.append(i)
+    return ks if len(ks) > 1 else []
+
+
+def filter_bad_seeds(as1, cnt1, a, min_gap, diff_thres, max_ext_len,
+                     max_ext_cnt) -> None:
+    """mm_filter_bad_seeds (align.c:386-421)."""
+    ks = collect_long_gaps(as1, cnt1, a, min_gap)
+    if not ks:
+        return
+    n = len(ks)
+    mx, max_st, max_en = 0, -1, -1
+    k = 0
+    while True:
+        if k == n or k >= max_en:
+            if max_en > 0:
+                for i in range(ks[max_st], ks[max_en]):
+                    a[as1 + i, 1] |= np.uint64(MM_SEED_IGNORE)
+            mx, max_st, max_en = 0, -1, -1
+            if k == n:
+                break
+        i = ks[k]
+        gap = (_i32(a[as1 + i, 1]) - _i32(a[as1 + i - 1, 1])) - \
+              (_i32(a[as1 + i, 0]) - _i32(a[as1 + i - 1, 0]))
+        n_ins = gap if gap > 0 else 0
+        n_del = -gap if gap <= 0 else 0
+        qs = _i32(a[as1 + i - 1, 1])
+        rs = _i32(a[as1 + i - 1, 0])
+        max_diff, max_diff_l = 0, -1
+        l = k + 1
+        while l < n and l <= k + max_ext_cnt:
+            j = ks[l]
+            if _i32(a[as1 + j, 1]) - qs > max_ext_len or \
+               _i32(a[as1 + j, 0]) - rs > max_ext_len:
+                break
+            gap = (_i32(a[as1 + j, 1]) - _i32(a[as1 + j - 1, 1])) - \
+                  (_i32(a[as1 + j, 0]) - _i32(a[as1 + j - 1, 0]))
+            if gap > 0:
+                n_ins += gap
+            else:
+                n_del += -gap
+            diff = n_ins + n_del - abs(n_ins - n_del)
+            if max_diff < diff:
+                max_diff, max_diff_l = diff, l
+            l += 1
+        if max_diff > diff_thres and max_diff > mx:
+            mx, max_st, max_en = max_diff, k, max_diff_l
+        k += 1
+
+
+def filter_bad_seeds_alt(as1, cnt1, a, min_gap, max_ext) -> None:
+    """mm_filter_bad_seeds_alt (align.c:423-457)."""
+    ks = collect_long_gaps(as1, cnt1, a, min_gap)
+    if not ks:
+        return
+    n = len(ks)
+    k = 0
+    while k < n:
+        i = ks[k]
+        gap1 = (_i32(a[as1 + i, 1]) - _i32(a[as1 + i - 1, 1])) - \
+               (_i32(a[as1 + i, 0]) - _i32(a[as1 + i - 1, 0]))
+        re1 = _i32(a[as1 + i, 0])
+        qe1 = _i32(a[as1 + i, 1])
+        gap1 = abs(gap1)
+        l = k + 1
+        while l < n:
+            j = ks[l]
+            if _i32(a[as1 + j, 1]) - qe1 > max_ext or \
+               _i32(a[as1 + j, 0]) - re1 > max_ext:
+                break
+            gap2 = (_i32(a[as1 + j, 1]) - _i32(a[as1 + j - 1, 1])) - \
+                   (_i32(a[as1 + j, 0]) - _i32(a[as1 + j - 1, 0]))
+            q_span_pre = _span(int(a[as1 + j - 1, 1]))
+            rs2 = _i32(a[as1 + j - 1, 0]) + q_span_pre
+            qs2 = _i32(a[as1 + j - 1, 1]) + q_span_pre
+            mval = min(rs2 - re1, qs2 - qe1)
+            gap2 = abs(gap2)
+            if mval > gap1 + gap2:
+                break
+            re1 = _i32(a[as1 + j, 0])
+            qe1 = _i32(a[as1 + j, 1])
+            gap1 = gap2
+            l += 1
+        if l > k + 1:
+            end = ks[l - 1]
+            for j in range(ks[k], end):
+                a[as1 + j, 1] |= np.uint64(MM_SEED_IGNORE)
+            a[as1 + end, 1] |= np.uint64(MM_SEED_LONG_JOIN)
+        k = l
+
+
+def fix_bad_ends(r: Region, a, bw: int, min_match: int) -> Tuple[int, int]:
+    """mm_fix_bad_ends (align.c:459-493)."""
+    as_, cnt = r.as_, r.cnt
+    if r.cnt < 3:
+        return as_, cnt
+    m = l = _span(int(a[r.as_, 1]))
+    for i in range(r.as_ + 1, r.as_ + r.cnt - 1):
+        q_span = _span(int(a[i, 1]))
+        if int(a[i, 1]) & MM_SEED_LONG_JOIN:
+            break
+        lr = _i32(a[i, 0]) - _i32(a[i - 1, 0])
+        lq = _i32(a[i, 1]) - _i32(a[i - 1, 1])
+        mn, mx = min(lr, lq), max(lr, lq)
+        if mx - mn > l >> 1:
+            as_ = i
+        l += mn
+        m += min(mn, q_span)
+        if l >= bw << 1 or (m >= min_match and m >= bw) or m >= r.mlen >> 1:
+            break
+    cnt = r.as_ + r.cnt - as_
+    m = l = _span(int(a[r.as_ + r.cnt - 1, 1]))
+    for i in range(r.as_ + r.cnt - 2, as_, -1):
+        q_span = _span(int(a[i + 1, 1]))
+        if int(a[i + 1, 1]) & MM_SEED_LONG_JOIN:
+            break
+        lr = _i32(a[i + 1, 0]) - _i32(a[i, 0])
+        lq = _i32(a[i + 1, 1]) - _i32(a[i, 1])
+        mn, mx = min(lr, lq), max(lr, lq)
+        if mx - mn > l >> 1:
+            cnt = i + 1 - as_
+        l += mn
+        m += min(mn, q_span)
+        if l >= bw << 1 or (m >= min_match and m >= bw) or m >= r.mlen >> 1:
+            break
+    return as_, cnt
+
+
+def max_stretch(r: Region, a) -> Tuple[int, int]:
+    """mm_max_stretch (align.c:495-521)."""
+    as_, cnt = r.as_, r.cnt
+    if r.cnt < 2:
+        return as_, cnt
+    max_score, max_i, max_len = -1, -1, 0
+    score = _span(int(a[r.as_, 1]))
+    length = 1
+    i = r.as_ + 1
+    for i in range(r.as_ + 1, r.as_ + r.cnt):
+        q_span = _span(int(a[i, 1]))
+        lr = _i32(a[i, 0]) - _i32(a[i - 1, 0])
+        lq = _i32(a[i, 1]) - _i32(a[i - 1, 1])
+        if lq == lr:
+            score += min(lq, q_span)
+            length += 1
+        else:
+            if score > max_score:
+                max_score, max_len, max_i = score, length, i - length
+            score, length = q_span, 1
+    i = r.as_ + r.cnt
+    if score > max_score:
+        max_score, max_len, max_i = score, length, i - length
+    return max_i, max_len
+
+
+def seed_ext_score(opt: MapOptions, mi, mat, qlen: int, qseq0, ax, ay) -> int:
+    """mm_seed_ext_score (align.c:523-543)."""
+    q_span = _span(int(ay))
+    rid = (int(ax) << 1 >> 33) & 0x7FFFFFFF
+    re = _i32(ax) + 1
+    rs = re - q_span
+    qe = _i32(ay) + 1
+    qs = qe - q_span
+    ext = opt.anchor_ext_len
+    rs = max(rs - ext, 0)
+    qs = max(qs - ext, 0)
+    re = min(re + ext, mi.seq[rid].length)
+    qe = min(qe + ext, qlen)
+    tseq = mi.getseq_fast(rid, rs, re)
+    qseq = qseq0[int(ax) >> 63][qs:qe]
+    score, _, _ = K.ksw_ll(qe - qs, qseq, re - rs, tseq, mat, opt.q, opt.e)
+    return score
+
+
+def fix_bad_ends_splice(opt: MapOptions, mi, r: Region, mat, qlen: int,
+                        qseq0, a) -> Tuple[int, int]:
+    """mm_fix_bad_ends_splice (align.c:545-563)."""
+    as1, cnt1 = r.as_, r.cnt
+    if r.cnt < 3:
+        return as1, cnt1
+    log_gap = math.log(_i32(a[r.as_ + 1, 0]) - _i32(a[r.as_, 0]))
+    if _span(int(a[r.as_, 1])) < log_gap + opt.anchor_ext_shift:
+        score = seed_ext_score(opt, mi, mat, qlen, qseq0, a[r.as_, 0], a[r.as_, 1])
+        if score / mat[0] < log_gap + opt.anchor_ext_shift:
+            as1 += 1
+            cnt1 -= 1
+    log_gap = math.log(_i32(a[r.as_ + r.cnt - 1, 0]) - _i32(a[r.as_ + r.cnt - 2, 0]))
+    if _span(int(a[r.as_ + r.cnt - 1, 1])) < log_gap + opt.anchor_ext_shift:
+        score = seed_ext_score(opt, mi, mat, qlen, qseq0,
+                               a[r.as_ + r.cnt - 1, 0], a[r.as_ + r.cnt - 1, 1])
+        if score / mat[0] < log_gap + opt.anchor_ext_shift:
+            cnt1 -= 1
+    return as1, cnt1
+
+
+def _get_junc(mi, rid, st, en):
+    """mm_idx_bed_junc per-base flags; zeros when no BED loaded."""
+    if getattr(mi, "junc", None) is not None:
+        return mi.junc.flags(rid, st, en)
+    return np.zeros(en - st, np.uint8)
+
+
+def align1(opt: MapOptions, mi, qlen: int, qseq0, r: Region, n_a: int,
+           a: np.ndarray, splice_flag: int) -> Optional[Region]:
+    """mm_align1 (align.c:565-795). Returns r2 (split region) or None."""
+    is_sr = bool(opt.flag & MM_F_SR)
+    is_splice = bool(opt.flag & MM_F_SPLICE)
+    rid = (int(a[r.as_, 0]) << 1 >> 33) & 0x7FFFFFFF
+    rev = int(a[r.as_, 0]) >> 63
+    r2: Optional[Region] = None
+    if r.cnt == 0:
+        return None
+    mat = K.gen_simple_mat(opt.a, opt.b, opt.sc_ambi)
+    bw = int(opt.bw * 1.5 + 1.0)
+
+    if is_sr and not (mi.flag & 0x1):
+        as1, cnt1 = max_stretch(r, a)
+        rs = _i32(a[as1, 0]) + 1 - _span(int(a[as1, 1]))
+        qs = _i32(a[as1, 1]) + 1 - _span(int(a[as1, 1]))
+        re = _i32(a[as1 + cnt1 - 1, 0]) + 1
+        qe = _i32(a[as1 + cnt1 - 1, 1]) + 1
+    else:
+        if not (opt.flag & MM_F_NO_END_FLT):
+            if is_splice:
+                as1, cnt1 = fix_bad_ends_splice(opt, mi, r, mat, qlen, qseq0, a)
+            else:
+                as1, cnt1 = fix_bad_ends(r, a, opt.bw, opt.min_chain_score * 2)
+        else:
+            as1, cnt1 = r.as_, r.cnt
+        filter_bad_seeds(as1, cnt1, a, 10, 40, opt.max_gap >> 1, 10)
+        filter_bad_seeds_alt(as1, cnt1, a, 30, opt.max_gap >> 1)
+        rs, qs = adjust_minier(mi, qseq0, int(a[as1, 0]), int(a[as1, 1]))
+        re, qe = adjust_minier(mi, qseq0, int(a[as1 + cnt1 - 1, 0]),
+                               int(a[as1 + cnt1 - 1, 1]))
+    assert cnt1 > 0
+
+    extra_flag = 0
+    if is_splice:
+        if splice_flag & MM_F_SPLICE_FOR:
+            extra_flag |= K.KSW_EZ_SPLICE_REV if rev else K.KSW_EZ_SPLICE_FOR
+        if splice_flag & MM_F_SPLICE_REV:
+            extra_flag |= K.KSW_EZ_SPLICE_FOR if rev else K.KSW_EZ_SPLICE_REV
+        if opt.flag & MM_F_SPLICE_FLANK:
+            extra_flag |= K.KSW_EZ_SPLICE_FLANK
+
+    # DP window [rs0,re0) x [qs0,qe0)  (align.c:608-684)
+    if is_sr:
+        qs0, qe0 = 0, qlen
+        l = qs
+        l += (l * opt.a + opt.end_bonus - opt.q) // opt.e \
+            if l * opt.a + opt.end_bonus > opt.q else 0
+        rs0 = max(rs - l, 0)
+        l = qlen - qe
+        l += (l * opt.a + opt.end_bonus - opt.q) // opt.e \
+            if l * opt.a + opt.end_bonus > opt.q else 0
+        re0 = min(re + l, mi.seq[rid].length)
+    else:
+        rs0 = _i32(a[r.as_, 0]) + 1 - _span(int(a[r.as_, 1]))
+        qs0 = _i32(a[r.as_, 1]) + 1 - _span(int(a[r.as_, 1]))
+        if rs0 < 0:
+            rs0 = 0
+        assert qs0 >= 0
+        rs1 = qs1 = 0
+        l = 0
+        i = r.as_ - 1
+        while i >= 0 and int(a[i, 0]) >> 32 == int(a[r.as_, 0]) >> 32:
+            x = _i32(a[i, 0]) + 1 - _span(int(a[i, 1]))
+            yv = _i32(a[i, 1]) + 1 - _span(int(a[i, 1]))
+            if x < rs0 and yv < qs0:
+                l += 1
+                if l > opt.min_cnt:
+                    l = max(rs0 - x, qs0 - yv)
+                    rs1, qs1 = rs0 - l, qs0 - l
+                    if rs1 < 0:
+                        rs1 = 0
+                    break
+            i -= 1
+        if qs > 0 and rs > 0:
+            l = min(qs, opt.max_gap)
+            qs1 = max(qs1, qs - l)
+            qs0 = min(qs0, qs1)
+            l += (l * opt.a - opt.q) // opt.e if l * opt.a > opt.q else 0
+            l = min(l, opt.max_gap)
+            l = min(l, rs)
+            rs1 = max(rs1, rs - l)
+            rs0 = min(rs0, rs1)
+            rs0 = min(rs0, rs)
+        else:
+            rs0, qs0 = rs, qs
+        re0 = _i32(a[r.as_ + r.cnt - 1, 0]) + 1
+        qe0 = _i32(a[r.as_ + r.cnt - 1, 1]) + 1
+        re1, qe1 = mi.seq[rid].length, qlen
+        l = 0
+        i = r.as_ + r.cnt
+        while i < n_a and int(a[i, 0]) >> 32 == int(a[r.as_, 0]) >> 32:
+            x = _i32(a[i, 0]) + 1
+            yv = _i32(a[i, 1]) + 1
+            if x > re0 and yv > qe0:
+                l += 1
+                if l > opt.min_cnt:
+                    l = max(x - re0, yv - qe0)
+                    re1, qe1 = re0 + l, qe0 + l
+                    break
+            i += 1
+        if qe < qlen and re < mi.seq[rid].length:
+            l = min(qlen - qe, opt.max_gap)
+            qe1 = min(qe1, qe + l)
+            qe0 = max(qe0, qe1)
+            l += (l * opt.a - opt.q) // opt.e if l * opt.a > opt.q else 0
+            l = min(l, opt.max_gap)
+            l = min(l, mi.seq[rid].length - re)
+            re1 = min(re1, re + l)
+            re0 = max(re0, re1)
+        else:
+            re0, qe0 = re, qe
+    if int(a[r.as_, 1]) & MM_SEED_SELF:
+        max_ext = abs(r.qs - r.rs)
+        if r.rs - rs0 > max_ext:
+            rs0 = r.rs - max_ext
+        if r.qs - qs0 > max_ext:
+            qs0 = r.qs - max_ext
+        max_ext = abs(r.qe - r.re)
+        if re0 - r.re > max_ext:
+            re0 = r.re + max_ext
+        if qe0 - r.qe > max_ext:
+            qe0 = r.qe + max_ext
+
+    assert re0 > rs0
+    dropped = False
+
+    if qs > 0 and rs > 0:  # left extension
+        qseq = qseq0[rev][qs0:qs][::-1]
+        tseq = mi.getseq_fast(rid, rs0, rs)[::-1]
+        junc = _get_junc(mi, rid, rs0, rs)[::-1]
+        ez = align_pair(opt, qseq, tseq, junc, mat, bw, opt.end_bonus,
+                        opt.zdrop_inv if r.split_inv else opt.zdrop,
+                        extra_flag | K.KSW_EZ_EXTZ_ONLY | K.KSW_EZ_RIGHT | K.KSW_EZ_REV_CIGAR)
+        if ez.n_cigar > 0:
+            append_cigar(r, ez.cigar)
+            r.p.dp_score += ez.max
+        rs1 = rs - (ez.mqe_t + 1 if ez.reach_end else ez.max_t + 1)
+        qs1 = qs - (qs - qs0 if ez.reach_end else ez.max_q + 1)
+    else:
+        rs1, qs1 = rs, qs
+    re1, qe1 = rs, qs
+    assert qs1 >= 0 and rs1 >= 0
+
+    i = cnt1 - 1 if is_sr else 1
+    while i < cnt1:  # gap filling
+        ay = int(a[as1 + i, 1])
+        if (ay & (MM_SEED_IGNORE | MM_SEED_TANDEM)) and i != cnt1 - 1:
+            i += 1
+            continue
+        if is_sr and not (mi.flag & 0x1):
+            re = _i32(a[as1 + i, 0]) + 1
+            qe = _i32(a[as1 + i, 1]) + 1
+        else:
+            re, qe = adjust_minier(mi, qseq0, int(a[as1 + i, 0]), ay)
+        re1, qe1 = re, qe
+        if i == cnt1 - 1 or (ay & MM_SEED_LONG_JOIN) or \
+                (qe - qs >= opt.min_ksw_len and re - rs >= opt.min_ksw_len):
+            bw1 = bw
+            if ay & MM_SEED_LONG_JOIN:
+                bw1 = max(qe - qs, re - rs)
+            qseq = qseq0[rev][qs:qe]
+            tseq = mi.getseq_fast(rid, rs, re)
+            junc = _get_junc(mi, rid, rs, re)
+            if is_sr:  # ungapped
+                ez = K.ExtzResult()
+                score = 0
+                for j in range(qe - qs):
+                    if qseq[j] >= 4 or tseq[j] >= 4:
+                        score += opt.e2
+                    else:
+                        score += opt.a if qseq[j] == tseq[j] else -opt.b
+                ez.score = score
+                ez.cigar = [(qe - qs) << 4 | 0]
+            else:
+                ez = align_pair(opt, qseq, tseq, junc, mat, bw1, -1,
+                                opt.zdrop, extra_flag | K.KSW_EZ_APPROX_MAX)
+            zdrop_code = test_zdrop(opt, qseq, tseq, ez.cigar, mat)
+            if zdrop_code != 0:
+                ez = align_pair(opt, qseq, tseq, junc, mat, bw1, -1,
+                                opt.zdrop_inv if zdrop_code == 2 else opt.zdrop,
+                                extra_flag)
+            if ez.n_cigar > 0:
+                append_cigar(r, ez.cigar)
+            if ez.zdropped:
+                if r.p is None:
+                    r.p = Extra()
+                j = i - 1
+                while j >= 0:
+                    if _i32(a[as1 + j, 0]) <= rs + ez.max_t:
+                        break
+                    j -= 1
+                dropped = True
+                if j < 0:
+                    j = 0
+                r.p.dp_score += ez.max
+                re1 = rs + (ez.max_t + 1)
+                qe1 = qs + (ez.max_q + 1)
+                if cnt1 - (j + 1) >= opt.min_cnt:
+                    r2 = split_reg(r, as1 + j + 1 - r.as_, qlen, a)
+                    if r2 is not None and zdrop_code == 2:
+                        r2.split_inv = True
+                break
+            else:
+                r.p.dp_score += ez.score
+            rs, qs = re, qe
+        i += 1
+
+    if not dropped and qe < qe0 and re < re0:  # right extension
+        qseq = qseq0[rev][qe:qe0]
+        tseq = mi.getseq_fast(rid, re, re0)
+        junc = _get_junc(mi, rid, re, re0)
+        ez = align_pair(opt, qseq, tseq, junc, mat, bw, opt.end_bonus,
+                        opt.zdrop, extra_flag | K.KSW_EZ_EXTZ_ONLY)
+        if ez.n_cigar > 0:
+            append_cigar(r, ez.cigar)
+            r.p.dp_score += ez.max
+        re1 = re + (ez.mqe_t + 1 if ez.reach_end else ez.max_t + 1)
+        qe1 = qe + (qe0 - qe if ez.reach_end else ez.max_q + 1)
+    assert qe1 <= qlen
+
+    r.rs, r.re = rs1, re1
+    if rev:
+        r.qs, r.qe = qlen - qe1, qlen - qs1
+    else:
+        r.qs, r.qe = qs1, qe1
+
+    assert re1 - rs1 <= re0 - rs0
+    if r.p:
+        tseq = mi.getseq_fast(rid, rs1, re1)
+        update_extra(r, qseq0[int(r.rev)][qs1:], tseq, mat, opt.q, opt.e,
+                     bool(opt.flag & MM_F_EQX))
+        if rev and r.p.trans_strand:
+            r.p.trans_strand ^= 3
+    return r2
+
+
+def align1_inv(opt: MapOptions, mi, qlen: int, qseq0, r1: Region,
+               r2: Region) -> Optional[Region]:
+    """mm_align1_inv (align.c:797-852)."""
+    if not (r1.split & 1) or not (r2.split & 2):
+        return None
+    if r1.id != r1.parent and r1.parent != MM_PARENT_TMP_PRI:
+        return None
+    if r2.id != r2.parent and r2.parent != MM_PARENT_TMP_PRI:
+        return None
+    if r1.rid != r2.rid or r1.rev != r2.rev:
+        return None
+    ql = r1.qs - r2.qe if r1.rev else r2.qs - r1.qe
+    tl = r2.rs - r1.re
+    if ql < opt.min_chain_score or ql > opt.max_gap:
+        return None
+    if tl < opt.min_chain_score or tl > opt.max_gap:
+        return None
+
+    mat = K.gen_simple_mat(opt.a, opt.b, opt.sc_ambi)
+    tseq = mi.getseq_fast(r1.rid, r1.re, r2.rs)
+    if r1.rev:
+        qseq = qseq0[0][r2.qe: r2.qe + ql]
+    else:
+        qseq = qseq0[1][qlen - r2.qs: qlen - r2.qs + ql]
+
+    qrev = qseq[::-1]
+    trev = tseq[::-1]
+    score, q_off, t_off = K.ksw_ll(ql, qrev, tl, trev, mat, opt.q, opt.e)
+    if score < opt.min_dp_max:
+        return None
+    q_off = ql - (q_off + 1)
+    t_off = tl - (t_off + 1)
+    ez = align_pair(opt, qseq[q_off:], tseq[t_off:], None, mat,
+                    int(opt.bw * 1.5), -1, opt.zdrop, K.KSW_EZ_EXTZ_ONLY)
+    if ez.n_cigar == 0:
+        return None
+    r_inv = Region()
+    append_cigar(r_inv, ez.cigar)
+    r_inv.p.dp_score = ez.max
+    r_inv.id = -1
+    r_inv.parent = MM_PARENT_UNSET
+    r_inv.inv = True
+    r_inv.rev = not r1.rev
+    r_inv.rid = r1.rid
+    r_inv.div = -1.0
+    if not r_inv.rev:
+        r_inv.qs = r2.qe + q_off
+        r_inv.qe = r_inv.qs + ez.max_q + 1
+    else:
+        r_inv.qe = r2.qs - q_off
+        r_inv.qs = r_inv.qe - (ez.max_q + 1)
+    r_inv.rs = r1.re + t_off
+    r_inv.re = r_inv.rs + ez.max_t + 1
+    update_extra(r_inv, qseq[q_off:], tseq[t_off:], mat, opt.q, opt.e,
+                 bool(opt.flag & MM_F_EQX))
+    return r_inv
+
+
+def align_skeleton(mi, opt: MapOptions, qlen: int, qstr: str,
+                   regs: List[Region], a: np.ndarray) -> List[Region]:
+    """mm_align_skeleton (align.c:864-920)."""
+    import copy
+    from ..index.sketch import encode_nt4
+    fwd = encode_nt4(qstr)
+    rc = np.where(fwd[::-1] < 4, 3 - fwd[::-1], 4).astype(np.uint8)
+    qseq0 = [fwd, rc]
+
+    n_a = squeeze_a(regs, a)
+    out: List[Region] = list(regs)
+    i = 0
+    while i < len(out):
+        r = out[i]
+        if (opt.flag & MM_F_SPLICE) and (opt.flag & MM_F_SPLICE_FOR) and \
+                (opt.flag & MM_F_SPLICE_REV):
+            s = [copy.copy(r), copy.copy(r)]
+            s2 = [align1(opt, mi, qlen, qseq0, s[0], n_a, a, MM_F_SPLICE_FOR),
+                  align1(opt, mi, qlen, qseq0, s[1], n_a, a, MM_F_SPLICE_REV)]
+            if s[0].p.dp_score > s[1].p.dp_score:
+                which, trans_strand = 0, 1
+            elif s[0].p.dp_score < s[1].p.dp_score:
+                which, trans_strand = 1, 2
+            else:
+                trans_strand = 3
+                which = (qlen + s[0].p.dp_score) & 1
+            out[i] = s[which]
+            r2 = s2[which]
+            out[i].p.trans_strand = trans_strand
+        else:
+            r2 = align1(opt, mi, qlen, qseq0, r, n_a, a, opt.flag)
+            if opt.flag & MM_F_SPLICE:
+                out[i].p.trans_strand = 1 if opt.flag & MM_F_SPLICE_FOR else 2
+        if r2 is not None and r2.cnt > 0:
+            out.insert(i + 1, r2)
+        if i > 0 and out[i].split_inv:
+            r_inv = align1_inv(opt, mi, qlen, qseq0, out[i - 1], out[i])
+            if r_inv is not None:
+                out.insert(i, r_inv)
+                i += 1
+        i += 1
+    out = filter_regs(out, opt, qlen)
+    out = hit_sort(out, opt.alt_drop)
+    return out

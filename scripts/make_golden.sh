@@ -33,4 +33,7 @@ $BIN -x map-pb  --print-seeds $T/MT-orang.fa $T/MT-human.fa 2> $G/mappb_MT.seeds
 # binary .mmi index dumps
 $BIN -x map-ont -d $G/mapont_MTorang.mmi $T/MT-orang.fa >/dev/null 2>&1
 $BIN -x map-pb  -d $G/mappb_MTorang.mmi  $T/MT-orang.fa >/dev/null 2>&1
+# ksw2 oracle shared library for differential tests (tests/test_ksw2.py)
+(cd /tmp/golden && g++ -O2 -msse4.1 -shared -fPIC -I. -o libksw2oracle.so \
+    -x c ksw2_extd2_sse.c ksw2_extz2_sse.c ksw2_ll_sse.c ksw2_exts2_sse.c)
 echo "golden fixtures written to $G"

@@ -1,0 +1,44 @@
+"""End-to-end SAM/CIGAR byte-parity vs the reference binary's goldens.
+(@PG header line is excluded: it embeds the exact command string.)"""
+import io as _io
+from contextlib import redirect_stdout
+
+import pytest
+
+from mm2tpu.cli import main as cli_main
+
+T = "/root/reference/test"
+
+
+def run_cli(args):
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(args.split())
+    assert rc == 0
+    return "\n".join(l for l in buf.getvalue().splitlines()
+                     if not l.startswith("@PG"))
+
+
+def load(golden_dir, name):
+    return "\n".join(l for l in (golden_dir / name).read_text().splitlines()
+                     if not l.startswith("@PG"))
+
+
+CASES = [
+    ("q2t2_a.sam", f"-a {T}/t2.fa {T}/q2.fa"),
+    ("q2t2_k10.paf", f"-c -k10 -w3 -m10 -n1 -s10 {T}/t2.fa {T}/q2.fa"),
+    ("mapont_MT_a.sam", f"-x map-ont -a {T}/MT-orang.fa {T}/MT-human.fa"),
+    ("mapont_MT_c.paf", f"-x map-ont -c {T}/MT-orang.fa {T}/MT-human.fa"),
+    ("mapont_MT_cs.paf", f"-x map-ont -c --cs {T}/MT-orang.fa {T}/MT-human.fa"),
+    ("mapont_MT_md.sam", f"-x map-ont -a --MD {T}/MT-orang.fa {T}/MT-human.fa"),
+    ("mapont_MT_eqx.sam", f"-x map-ont -a --eqx {T}/MT-orang.fa {T}/MT-human.fa"),
+    ("asm20_MT_c.paf", f"-x asm20 -c {T}/MT-orang.fa {T}/MT-human.fa"),
+    ("qinv_a.sam", f"-a {T}/t-inv.fa {T}/q-inv.fa"),
+    ("qinv_cs.paf", f"-c --cs {T}/t-inv.fa {T}/q-inv.fa"),
+]
+
+
+@pytest.mark.parametrize("golden,args", CASES, ids=[c[0] for c in CASES])
+def test_sam_cigar_parity(golden_dir, ref_test_dir, golden, args):
+    out = run_cli("--chain-backend native " + args)
+    assert out == load(golden_dir, golden)
