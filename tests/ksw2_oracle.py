@@ -72,6 +72,23 @@ def extz2(q8, t8, mat, q, e, w, zdrop, end_bonus, flag):
     return _unpack(ez)
 
 
+def exts2(q8, t8, mat, q, e, q2, noncan, zdrop, junc_bonus, flag, junc=None):
+    lib = _load()
+    ez = KswExtz()
+    ctypes.memset(ctypes.byref(ez), 0, ctypes.sizeof(ez))
+    mat8 = np.asarray(mat, np.int8)
+    jp = (junc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+          if junc is not None else None)
+    lib.ksw_exts2_sse(None, len(q8), q8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                      len(t8), t8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                      ctypes.c_int8(5), mat8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                      ctypes.c_int8(q), ctypes.c_int8(e), ctypes.c_int8(q2),
+                      ctypes.c_int8(noncan), ctypes.c_int(zdrop),
+                      ctypes.c_int8(junc_bonus), ctypes.c_int(flag), jp,
+                      ctypes.byref(ez))
+    return _unpack(ez)
+
+
 def ll(q8, t8, mat, gapo, gape):
     lib = _load()
     mat8 = np.asarray(mat, np.int8)

@@ -35,6 +35,10 @@ CASES = [
     ("asm20_MT_c.paf", f"-x asm20 -c {T}/MT-orang.fa {T}/MT-human.fa"),
     ("qinv_a.sam", f"-a {T}/t-inv.fa {T}/q-inv.fa"),
     ("qinv_cs.paf", f"-c --cs {T}/t-inv.fa {T}/q-inv.fa"),
+    ("q2t2_splice.paf",
+     f"-x splice -c --cs -k10 -w3 -m10 -n1 -s10 {T}/t2.fa {T}/q2.fa"),
+    ("q2t2_splice_a.sam",
+     f"-x splice -a -k10 -w3 -m10 -n1 -s10 {T}/t2.fa {T}/q2.fa"),
 ]
 
 

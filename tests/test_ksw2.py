@@ -106,6 +106,60 @@ def test_extz2(seed):
     assert_ez(got, exp)
 
 
+def splice_pair(rng, exon=80, intron=120):
+    """cDNA query vs genomic target with a canonical GT..AG intron."""
+    e1 = rng.integers(0, 4, exon).astype(np.uint8)
+    e2 = rng.integers(0, 4, exon).astype(np.uint8)
+    mid = rng.integers(0, 4, intron - 4).astype(np.uint8)
+    intr = np.concatenate([[2, 3], mid, [0, 2]]).astype(np.uint8)  # GT..AG
+    t = np.concatenate([e1, intr, e2])
+    q = np.concatenate([mutate(e1, rng, sub=0.05, ind=0.02),
+                        mutate(e2, rng, sub=0.05, ind=0.02)])
+    return q.astype(np.uint8), t
+
+
+SPLICE_ARGS = (K.gen_simple_mat(1, 2, 1), 2, 1, 32, 9, 200, 9)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_exts2_intron(seed):
+    from mm2tpu.ops.ksw2_splice_ref import ksw_exts2
+    rng = np.random.default_rng(600 + seed)
+    q8, t8 = splice_pair(rng, exon=int(rng.integers(40, 120)),
+                         intron=int(rng.integers(30, 300)))
+    flag = K.KSW_EZ_SPLICE_FOR | [0, K.KSW_EZ_SPLICE_FLANK, K.KSW_EZ_RIGHT,
+                                  K.KSW_EZ_SPLICE_REV, K.KSW_EZ_REV_CIGAR,
+                                  K.KSW_EZ_APPROX_MAX][seed]
+    exp = O.exts2(q8, t8, *SPLICE_ARGS, flag)
+    got = ksw_exts2(len(q8), q8, len(t8), t8, *SPLICE_ARGS, flag)
+    assert_ez(got, exp)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_exts2_junc_bed(seed):
+    """Per-base junction annotation flags change donor/acceptor scores."""
+    from mm2tpu.ops.ksw2_splice_ref import ksw_exts2
+    rng = np.random.default_rng(700 + seed)
+    q8, t8 = splice_pair(rng)
+    junc = np.zeros(len(t8), np.uint8)
+    junc[rng.integers(0, len(t8), 8)] = rng.integers(1, 16, 8)
+    flag = K.KSW_EZ_SPLICE_FOR | (K.KSW_EZ_SPLICE_REV if seed % 2 else 0)
+    exp = O.exts2(q8, t8, *SPLICE_ARGS, flag, junc)
+    got = ksw_exts2(len(q8), q8, len(t8), t8, *SPLICE_ARGS, flag, junc)
+    assert_ez(got, exp)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_exts2_plain(seed):
+    """No splice flags: intron state still active, sites unscored."""
+    from mm2tpu.ops.ksw2_splice_ref import ksw_exts2
+    rng = np.random.default_rng(800 + seed)
+    q8, t8 = pair(rng, int(rng.integers(50, 250)), with_n=seed % 2)
+    exp = O.exts2(q8, t8, *SPLICE_ARGS, 0)
+    got = ksw_exts2(len(q8), q8, len(t8), t8, *SPLICE_ARGS, 0)
+    assert_ez(got, exp)
+
+
 @pytest.mark.parametrize("seed", range(5))
 def test_ll(seed):
     rng = np.random.default_rng(500 + seed)
