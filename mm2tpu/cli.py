@@ -346,6 +346,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             write_mmi(mi, args.dump_index)
         if not args.query:
             return 0
+    if args.junc_bed:
+        from .index.bed import read_bed
+        mi.junc = read_bed(mi, args.junc_bed, read_junc=True)
     if args.alt:
         n_alt = 0
         with open(args.alt) as f:

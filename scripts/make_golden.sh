@@ -2,7 +2,19 @@
 # Regenerate golden outputs from the reference fork compiled in software-only
 # mode (OpenCL host stubbed so chain.c always takes its SW fallback, which is
 # bit-identical to upstream minimap2 2.18-r1015 chaining; see
-# /root/reference/chain.c:105-164). Build recipe: see repo docs/golden.md.
+# /root/reference/chain.c:105-164).
+#
+# Build recipe for $BIN (from /tmp/golden):
+#   1. write xcl2.hpp containing only the cl_* scalar typedefs
+#      (cl_long=long long, cl_int=int, cl_float=float, cl_uchar=unsigned
+#      char) so chain_hardware.h parses without OpenCL,
+#   2. write hw_stub.cpp defining hardware_init->true, cleanup->{}, and
+#      run_chaining_on_hw->1 (the "HW busy" return, forcing SW fallback),
+#   3. g++ -O2 -msse4.1 -I. -I/root/reference -DHAVE_KALLOC -o
+#      minimap2-golden /root/reference/{main,options,index,sketch,map,
+#      chain,hit,align,format,bseq,esterr,pe,sdust,splitidx,misc,kalloc,
+#      kthread,ksw2_extz2_sse,ksw2_extd2_sse,ksw2_exts2_sse,
+#      ksw2_ll_sse}.c hw_stub.cpp -lz -lpthread -lm
 set -e
 BIN=${BIN:-/tmp/golden/minimap2-golden}
 T=/root/reference/test
@@ -25,6 +37,8 @@ run q2t2_splice_a.sam  -x splice -a -k10 -w3 -m10 -n1 -s10 $T/t2.fa $T/q2.fa
 run q2t2_k10.paf       -c -k10 -w3 -m10 -n1 -s10 $T/t2.fa $T/q2.fa
 run qinv_a.sam         -a $T/t-inv.fa $T/q-inv.fa
 run qinv_cs.paf        -c --cs $T/t-inv.fa $T/q-inv.fa
+printf 't2\t0\t74\tx1\t50\t+\t0\t74\t0\t2\t19,20\t0,54\n' > $G/t2_junc.bed
+run q2t2_splice_junc.paf -x splice -c --cs -k10 -w3 -m10 -n1 -s10 --junc-bed $G/t2_junc.bed $T/t2.fa $T/q2.fa
 run mapont_MT_md.sam   -x map-ont -a --MD $T/MT-orang.fa $T/MT-human.fa
 run mapont_MT_eqx.sam  -x map-ont -a --eqx $T/MT-orang.fa $T/MT-human.fa
 # per-stage anchor dumps (SD = sorted anchors pre-chain, CN = per-chain anchors)

@@ -39,6 +39,9 @@ CASES = [
      f"-x splice -c --cs -k10 -w3 -m10 -n1 -s10 {T}/t2.fa {T}/q2.fa"),
     ("q2t2_splice_a.sam",
      f"-x splice -a -k10 -w3 -m10 -n1 -s10 {T}/t2.fa {T}/q2.fa"),
+    ("q2t2_splice_junc.paf",
+     "-x splice -c --cs -k10 -w3 -m10 -n1 -s10 "
+     f"--junc-bed tests/golden/t2_junc.bed {T}/t2.fa {T}/q2.fa"),
 ]
 
 
