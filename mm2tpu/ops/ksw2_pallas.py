@@ -1,0 +1,507 @@
+"""Pallas TPU kernel for the ksw2 extd2 extension DP (dual affine gaps).
+
+TPU-native re-expression of ksw_extd2_sse (ksw2_extd2_sse.c): B alignment
+tasks run as one batch; the anti-diagonal wavefront r is the (sequential)
+Pallas grid dimension; every per-row quantity is a (B, Tpad) vector op on
+the VPU. The kernel reproduces the SSE build's observable semantics
+exactly (the same quirks ops/ksw2_ref.py documents), so its outputs are
+bit-identical to the host port and therefore to minimap2:
+
+  - 16-lane-aligned band [st, en] with stale cells persisting outside the
+    fresh region (full-width masked updates give this for free),
+  - the score row's 16-wide block stores from st0 (fresh-mask
+    [st0, st0 + 16*ceil((en0-st0+1)/16))),
+  - boundary conditions incl. the long_thres/long_diff first-column decay
+    (ksw2_extd2_sse.c:186-198),
+  - the exact-max scan's 4-lane tie-breaking (seed at en0 wins ties, then
+    SSE lanes in order with first-occurrence-per-lane, then the scalar
+    tail) via a value+priority double reduction,
+  - the approximate-max H0 diagonal walk and both Z-drop variants.
+
+Per-task query windows (qr[qlen-1-r+t], i.e. query[r-t]) advance by one
+element per row, so they are kept as an in-VMEM shift register — the same
+trick as the reference FPGA kernel's 1025-deep anchor shift register
+(device/minimap2_opencl.cl:30-32): each row shifts the window right and
+inserts query[r] at position 0 (a masked-reduction gather per row).
+
+Direction rows stream to HBM through the output BlockSpec; traceback is
+O(|cigar|) on the host (ksw2.h:119-151 semantics via ops/ksw2_ref.py).
+
+The reference offloads chaining to an FPGA and leaves ksw2 on SSE cores;
+here both superlinear DPs live on the TPU. Large/rare tasks fall back to
+the host ports — the same heterogeneous-routing idea as the reference's
+HW/SW split (chain.c:80-111) with static size bucketing as the cost model.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .ksw2_ref import (
+    KSW_EZ_APPROX_DROP,
+    KSW_EZ_APPROX_MAX,
+    KSW_EZ_EXTZ_ONLY,
+    KSW_EZ_REV_CIGAR,
+    KSW_EZ_RIGHT,
+    KSW_NEG_INF,
+    ExtzResult,
+    _push_cigar,
+)
+
+NEG32 = -0x7FFFFFFF
+PADC = 128  # static front pad so the t-1 shifted reads are static slices
+
+# regs columns
+R_ZDROP, R_MAX, R_MAXQ, R_MAXT, R_MQE, R_MQET, R_MTE, R_MTEQ, \
+    R_SCORE, R_H0, R_LAST, R_PST, R_PEN, R_BREAK = range(14)
+
+
+def _gather_col(arr, idx, valid=None):
+    """arr[b, idx[b]] as (B, 1) via a masked reduction (idx (B,1) int32)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
+    m = col == idx
+    if valid is not None:
+        m = m & valid
+    return jnp.sum(jnp.where(m, arr, 0), axis=1, keepdims=True)
+
+
+def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
+                  sc_mch: int, sc_mis: int, sc_N: int, w_static: int,
+                  long_thres: int, long_diff: int, right: bool, approx: bool,
+                  approx_drop: bool, Tpad: int, Rmax: int,
+                  lens_ref, tsf_ref, qcol_ref, d_out, ez_out,
+                  u_s, v_s, x_s, y_s, x2_s, y2_s, H_s, s_s, qrw_s, regs):
+    r = pl.program_id(0)
+    B = lens_ref.shape[0]
+    qe = q + e
+
+    @pl.when(r == 0)
+    def _init():
+        qrw_s[:] = jnp.zeros(qrw_s.shape, jnp.int32)
+        u_s[:] = jnp.full(u_s.shape, -qe, jnp.int32)
+        v_s[:] = jnp.full(v_s.shape, -qe, jnp.int32)
+        x_s[:] = jnp.full(x_s.shape, -qe, jnp.int32)
+        y_s[:] = jnp.full(y_s.shape, -qe, jnp.int32)
+        x2_s[:] = jnp.full(x2_s.shape, -q2 - e2, jnp.int32)
+        y2_s[:] = jnp.full(y2_s.shape, -q2 - e2, jnp.int32)
+        H_s[:] = jnp.full(H_s.shape, KSW_NEG_INF, jnp.int32)
+        s_s[:] = jnp.zeros(s_s.shape, jnp.int32)
+        rcol = jax.lax.broadcasted_iota(jnp.int32, regs.shape, 1)
+        init = jnp.zeros(regs.shape, jnp.int32)
+        for k in (R_MAXQ, R_MAXT, R_MQET, R_MTEQ, R_PST, R_PEN):
+            init = jnp.where(rcol == k, -1, init)
+        for k in (R_MQE, R_MTE, R_SCORE):
+            init = jnp.where(rcol == k, KSW_NEG_INF, init)
+        regs[:] = init
+
+    qlen = lens_ref[:, 0:1]
+    tlen = lens_ref[:, 1:2]
+    wl = jnp.full((B, 1), w_static, jnp.int32) if w_static >= 0 \
+        else jnp.maximum(qlen, tlen)
+    wr = wl
+
+    brk = regs[:, R_BREAK:R_BREAK + 1]
+    alive0 = (r < qlen + tlen - 1) & (brk == 0)
+
+    st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - wr + 1) >> 1)
+    en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + wl) >> 1)
+    band_brk = alive0 & (st0 > en0)
+    alive = alive0 & (st0 <= en0)
+    st = (st0 // 16) * 16
+    en = ((en0 + 16) // 16) * 16 - 1
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1)
+    prev_st = regs[:, R_PST:R_PST + 1]
+    prev_en = regs[:, R_PEN:R_PEN + 1]
+    covered = (st > 0) & (prev_st <= st - 1) & (st - 1 <= prev_en)
+    # first-column boundary decay (ksw2_extd2_sse.c:190,194)
+    row0_bnd = jnp.where(
+        jnp.full((B, 1), r, jnp.int32) == 0, -qe,
+        jnp.where(jnp.full((B, 1), r, jnp.int32) < long_thres, -e,
+                  jnp.where(jnp.full((B, 1), r, jnp.int32) == long_thres,
+                            long_diff, -e2)))
+    v1_def = jnp.where(st > 0, -qe, row0_bnd)
+
+    # y[r]/y2[r]/u[r] boundary writes when the band reaches column r
+    bnd_m = (col == r) & (en >= r) & alive
+    y_c = jnp.where(bnd_m, -qe, y_s[:, PADC:PADC + Tpad])
+    y2_c = jnp.where(bnd_m, -q2 - e2, y2_s[:, PADC:PADC + Tpad])
+    u_c = jnp.where(bnd_m, row0_bnd, u_s[:, PADC:PADC + Tpad])
+
+    # query shift register: window[t] = query[r - t] (0 past the ends);
+    # the inserted element query[r] is a masked-reduction gather
+    q_r = _gather_col(qcol_ref[:], jnp.full((B, 1), r, jnp.int32))
+    qrw = jnp.where(col == 0, q_r, qrw_s[:, PADC - 1:PADC - 1 + Tpad])
+    qrw_s[:, PADC:PADC + Tpad] = qrw
+
+    # score row: fresh 16-blocks from st0 (stale cells persist)
+    sq = tsf_ref[:]
+    wild = (sq == 4) | (qrw == 4)
+    s_new = jnp.where(wild, sc_N, jnp.where(sq == qrw, sc_mch, sc_mis))
+    fresh = (col >= st0) & (col < st0 + ((en0 - st0) // 16) * 16 + 16) & alive
+    s_row = jnp.where(fresh, s_new, s_s[:])
+    s_s[:] = s_row
+
+    # shifted reads (t-1) with boundary insertion at col st
+    at_st = col == st
+    x_sh = x_s[:, PADC - 1:PADC - 1 + Tpad]
+    v_sh = v_s[:, PADC - 1:PADC - 1 + Tpad]
+    x2_sh = x2_s[:, PADC - 1:PADC - 1 + Tpad]
+    xt1 = jnp.where(at_st & ~covered, -qe, x_sh)
+    x2t1 = jnp.where(at_st & ~covered, -q2 - e2, x2_sh)
+    vt1 = jnp.where(at_st, jnp.where(covered, v_sh, v1_def), v_sh)
+
+    z = s_row
+    a = xt1 + vt1
+    b = y_c + u_c
+    a2 = x2t1 + vt1
+    b2 = y2_c + u_c
+    if not right:  # gap left-alignment
+        d = jnp.where(a > z, 1, 0)
+        z = jnp.maximum(z, a)
+        d = jnp.where(b > z, 2, d)
+        z = jnp.maximum(z, b)
+        d = jnp.where(a2 > z, 3, d)
+        z = jnp.maximum(z, a2)
+        d = jnp.where(b2 > z, 4, d)
+        z = jnp.maximum(z, b2)
+    else:  # gap right-alignment
+        d = jnp.where(z > a, 0, 1)
+        z = jnp.maximum(z, a)
+        d = jnp.where(z > b, d, 2)
+        z = jnp.maximum(z, b)
+        d = jnp.where(z > a2, d, 3)
+        z = jnp.maximum(z, a2)
+        d = jnp.where(z > b2, d, 4)
+        z = jnp.maximum(z, b2)
+    z = jnp.minimum(z, sc_mch)
+    u_new = z - vt1
+    v_new = z - u_c
+    t1 = z - q
+    a = a - t1
+    b = b - t1
+    t2 = z - q2
+    a2 = a2 - t2
+    b2 = b2 - t2
+    if not right:
+        ga, gb, ga2, gb2 = a > 0, b > 0, a2 > 0, b2 > 0
+    else:
+        ga, gb, ga2, gb2 = a >= 0, b >= 0, a2 >= 0, b2 >= 0
+    x_new = jnp.where(ga, a, 0) - qe
+    y_new = jnp.where(gb, b, 0) - qe
+    x2_new = jnp.where(ga2, a2, 0) - (q2 + e2)
+    y2_new = jnp.where(gb2, b2, 0) - (q2 + e2)
+    d = (d | jnp.where(ga, 0x08, 0) | jnp.where(gb, 0x10, 0)
+         | jnp.where(ga2, 0x20, 0) | jnp.where(gb2, 0x40, 0))
+
+    bm = (col >= st) & (col <= en) & alive
+    d_out[0] = jnp.where(bm, d, 0).astype(jnp.int8)
+    u_s[:, PADC:PADC + Tpad] = jnp.where(bm, u_new, u_c)
+    v_s[:, PADC:PADC + Tpad] = jnp.where(bm, v_new, v_s[:, PADC:PADC + Tpad])
+    x_s[:, PADC:PADC + Tpad] = jnp.where(bm, x_new, x_s[:, PADC:PADC + Tpad])
+    y_s[:, PADC:PADC + Tpad] = jnp.where(bm, y_new, y_c)
+    x2_s[:, PADC:PADC + Tpad] = jnp.where(
+        bm, x2_new, x2_s[:, PADC:PADC + Tpad])
+    y2_s[:, PADC:PADC + Tpad] = jnp.where(bm, y2_new, y2_c)
+
+    is_r0 = r == 0
+    r_b = jnp.full((B, 1), r, jnp.int32)
+    if not approx:
+        # exact max with the 32-bit H row (ksw2_extd2_sse.c:326-358)
+        H_old = H_s[:]
+        upd = (col >= st0) & (col < en0) & alive & (r > 0)
+        H_new = jnp.where(upd, H_old + v_new, H_old)
+        H_pm1 = _gather_col(H_old, en0 - 1)
+        u_en0 = _gather_col(u_new, en0)
+        v_en0 = _gather_col(v_new, en0)
+        H_en0_old = _gather_col(H_old, en0)
+        H_en0 = jnp.where(en0 > 0, H_pm1 + u_en0, H_en0_old + v_en0)
+        if True:  # r == 0 special case: H[0] = v[0] - qe
+            v0 = _gather_col(v_new, jnp.zeros((B, 1), jnp.int32))
+            H_en0 = jnp.where(is_r0, v0 - qe, H_en0)
+        H_new = jnp.where((col == en0) & alive, H_en0, H_new)
+        H_s[:] = H_new
+
+        # max scan with SSE tie-breaking: value first, then priority
+        # (seed at en0 > 4-lane block by (lane, row-in-lane) > scalar tail)
+        valid = (col >= st0) & (col <= en0) & alive
+        en1 = st0 + ((en0 - st0) // 4) * 4
+        rel = col - st0
+        lane = rel & 3
+        rowl = rel >> 2
+        pri = jnp.where(
+            col == en0, 3 << 26,
+            jnp.where(col < en1, (2 << 26) - (lane << 22) - rowl,
+                      (1 << 26) - col))
+        M = jnp.max(jnp.where(valid, H_new, NEG32), axis=1, keepdims=True)
+        is_m = valid & (H_new == M)
+        P = jnp.max(jnp.where(is_m, pri, NEG32), axis=1, keepdims=True)
+        max_t = jnp.sum(jnp.where(is_m & (pri == P), col, 0),
+                        axis=1, keepdims=True)
+        max_t = jnp.where(is_r0, 0, max_t)
+        max_H = jnp.where(is_r0, H_en0, M)
+
+        mte = regs[:, R_MTE:R_MTE + 1]
+        mte_c = alive & (en0 == tlen - 1) & (H_en0 > mte)
+        regs[:, R_MTE:R_MTE + 1] = jnp.where(mte_c, H_en0, mte)
+        regs[:, R_MTEQ:R_MTEQ + 1] = jnp.where(
+            mte_c, r_b - en, regs[:, R_MTEQ:R_MTEQ + 1])
+        H_st0 = _gather_col(H_new, st0)
+        mqe = regs[:, R_MQE:R_MQE + 1]
+        mqe_c = alive & (r_b - st0 == qlen - 1) & (H_st0 > mqe)
+        regs[:, R_MQE:R_MQE + 1] = jnp.where(mqe_c, H_st0, mqe)
+        regs[:, R_MQET:R_MQET + 1] = jnp.where(
+            mqe_c, st0, regs[:, R_MQET:R_MQET + 1])
+        zH, zt, do_drop = max_H, max_t, True
+    else:
+        # approximate max: walk H0 along the main diagonal
+        last = regs[:, R_LAST:R_LAST + 1]
+        H0 = regs[:, R_H0:R_H0 + 1]
+        u_full = u_s[:, PADC:PADC + Tpad]
+        v_full = v_s[:, PADC:PADC + Tpad]
+        c1 = (last >= st0) & (last <= en0)
+        c2 = (last + 1 >= st0) & (last + 1 <= en0)
+        d0 = _gather_col(v_full, last)
+        d1 = _gather_col(u_full, last + 1)
+        take1 = (c1 & c2 & (d1 >= d0)) | ~c1
+        last_n = jnp.where(take1, last + 1, last)
+        u_at = _gather_col(u_full, last_n)
+        inc = jnp.where(c1 & c2, jnp.maximum(d0, d1),
+                        jnp.where(c1, d0, u_at))
+        v0 = _gather_col(v_full, jnp.zeros((B, 1), jnp.int32))
+        H0_n = jnp.where(is_r0, v0 - qe, H0 + inc)
+        last_n = jnp.where(is_r0, 0, last_n)
+        regs[:, R_H0:R_H0 + 1] = jnp.where(alive, H0_n, H0)
+        regs[:, R_LAST:R_LAST + 1] = jnp.where(alive, last_n, last)
+        zH, zt, do_drop = H0_n, last_n, approx_drop
+
+    # ksw_apply_zdrop (ksw2.h:160-176), e2 as the drop slope
+    ez_max = regs[:, R_MAX:R_MAX + 1]
+    ez_max_t = regs[:, R_MAXT:R_MAXT + 1]
+    ez_max_q = regs[:, R_MAXQ:R_MAXQ + 1]
+    upd_max = alive & (zH > ez_max) & (True if do_drop or not approx
+                                       else False)
+    if do_drop:
+        chk = alive & ~upd_max & (zt >= ez_max_t) & (r_b - zt >= ez_max_q)
+        tl = zt - ez_max_t
+        ql = (r_b - zt) - ez_max_q
+        ldiff = jnp.abs(tl - ql)
+        dropped = chk & (ez_max - zH > zdrop + ldiff * e2) \
+            if zdrop >= 0 else jnp.zeros_like(chk)
+        regs[:, R_MAX:R_MAX + 1] = jnp.where(upd_max, zH, ez_max)
+        regs[:, R_MAXT:R_MAXT + 1] = jnp.where(upd_max, zt, ez_max_t)
+        regs[:, R_MAXQ:R_MAXQ + 1] = jnp.where(upd_max, r_b - zt, ez_max_q)
+        regs[:, R_ZDROP:R_ZDROP + 1] = jnp.where(
+            dropped, 1, regs[:, R_ZDROP:R_ZDROP + 1])
+    else:
+        dropped = jnp.zeros((B, 1), jnp.bool_)
+
+    sc_c = alive & ~dropped & (r_b == qlen + tlen - 2) & (en0 == tlen - 1)
+    regs[:, R_SCORE:R_SCORE + 1] = jnp.where(
+        sc_c, zH if approx else _gather_col(H_s[:], tlen - 1),
+        regs[:, R_SCORE:R_SCORE + 1])
+
+    regs[:, R_ZDROP:R_ZDROP + 1] = jnp.where(
+        band_brk, 1, regs[:, R_ZDROP:R_ZDROP + 1])
+    regs[:, R_BREAK:R_BREAK + 1] = jnp.where(
+        band_brk | dropped, 1, regs[:, R_BREAK:R_BREAK + 1])
+    regs[:, R_PST:R_PST + 1] = jnp.where(alive, st, prev_st)
+    regs[:, R_PEN:R_PEN + 1] = jnp.where(alive, en, prev_en)
+
+    @pl.when(r == Rmax - 1)
+    def _flush():
+        ez_out[:, 0:128] = regs[:]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "q", "e", "q2", "e2", "zdrop", "sc_mch", "sc_mis", "sc_N", "w",
+    "right", "approx", "approx_drop", "Rmax", "interpret"))
+def extd2_device(lens, tsf, qcol, *, q: int, e: int, q2: int, e2: int,
+                 zdrop: int, sc_mch: int, sc_mis: int, sc_N: int, w: int,
+                 right: bool, approx: bool, approx_drop: bool, Rmax: int,
+                 interpret: bool = False):
+    """Batched extd2 rows. lens (B,2)=[qlen,tlen]; tsf (B,Tpad) sf image;
+    qcol (B,Rmax) queries zero-padded past qlen.
+    Returns (d_rows (Rmax,B,Tpad) int32, ez (B,128) int32)."""
+    B, Tpad = tsf.shape
+    if q2 + e2 < q + e:  # reference swaps so (q,e) is the short-gap pair
+        q, q2, e, e2 = q2, q, e2, e
+    long_thres = (q2 - q) // (e - e2) - 1 if e != e2 else 0
+    if q2 + e2 + long_thres * e2 > q + e + long_thres * e:
+        long_thres += 1
+    long_diff = long_thres * (e - e2) - (q2 - q) - e2
+    kern = functools.partial(
+        _extd2_kernel, q, e, q2, e2, zdrop, sc_mch, sc_mis, sc_N, w,
+        long_thres, long_diff, right, approx, approx_drop, Tpad, Rmax)
+    full = pl.BlockSpec((B, Tpad), lambda r: (0, 0), memory_space=pltpu.VMEM)
+    d, ez = pl.pallas_call(
+        kern,
+        grid=(Rmax,),
+        in_specs=[
+            pl.BlockSpec((B, 2), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            full,
+            pl.BlockSpec((B, qcol.shape[1]), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, Tpad), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 128), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Rmax, B, Tpad), jnp.int8),
+            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, PADC + Tpad), jnp.int32)] * 6
+        + [pltpu.VMEM((B, Tpad), jnp.int32)] * 2
+        + [pltpu.VMEM((B, PADC + Tpad), jnp.int32)]
+        + [pltpu.VMEM((B, 128), jnp.int32)],
+        interpret=interpret,
+    )(lens, tsf, qcol)
+    return d, ez
+
+
+def _backtrack_abs(rows, off, off_end, i0, j0, rev_cigar) -> List[int]:
+    """ksw_backtrack on absolute-indexed full-width direction rows."""
+    cigar: List[int] = []
+    i, j, state = i0, j0, 0
+    while i >= 0 and j >= 0:
+        r = i + j
+        force_state = -1
+        if i < off[r]:
+            force_state = 2
+        if i > off_end[r]:
+            force_state = 1
+        tmp = int(rows[r][i]) if force_state < 0 else 0
+        if state == 0:
+            state = tmp & 7
+        elif not (tmp >> (state + 2) & 1):
+            state = 0
+        if state == 0:
+            state = tmp & 7
+        if force_state >= 0:
+            state = force_state
+        if state == 0:
+            _push_cigar(cigar, 0, 1)
+            i -= 1
+            j -= 1
+        elif state == 1 or state == 3:
+            _push_cigar(cigar, 2, 1)
+            i -= 1
+        else:
+            _push_cigar(cigar, 1, 1)
+            j -= 1
+    if i >= 0:
+        _push_cigar(cigar, 2, i + 1)
+    if j >= 0:
+        _push_cigar(cigar, 1, j + 1)
+    if not rev_cigar:
+        cigar.reverse()
+    return cigar
+
+
+def band_offsets(qlen: int, tlen: int, w: int):
+    """Host replica of the per-row band [st0, en0] -> 16-aligned [st, en]
+    (pure function of the geometry; the kernel needn't emit it)."""
+    if w < 0:
+        w = max(qlen, tlen)
+    R = qlen + tlen - 1
+    r = np.arange(R, dtype=np.int64)
+    st0 = np.maximum(np.maximum(0, r - qlen + 1), (r - w + 1) >> 1)
+    en0 = np.minimum(np.minimum(tlen - 1, r), (r + w) >> 1)
+    st = st0 // 16 * 16
+    en = (en0 + 16) // 16 * 16 - 1
+    return st, en, st0, en0
+
+
+def _sf_image(t8: np.ndarray, Tpad: int, qr: np.ndarray) -> np.ndarray:
+    """target + zero pad to the C tpad, then the qr bytes the SIMD loadu
+    runs into (ops/ksw2_ref.py sf_read semantics), padded to Tpad."""
+    tlen = len(t8)
+    tpad_c = (tlen + 15) // 16 * 16
+    out = np.zeros(Tpad, np.int32)
+    out[:tlen] = t8
+    if tpad_c < Tpad:
+        n = min(Tpad - tpad_c, len(qr))
+        out[tpad_c:tpad_c + n] = qr[:n]
+    return out
+
+
+def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
+                e2: int, w: int, zdrop: int, end_bonus: int, flag: int,
+                interpret: bool | None = None) -> List[ExtzResult]:
+    """Run a batch of (q8, t8) pairs through the device kernel and finish
+    each on the host (backtrack + ez tail logic, ops/ksw2_ref.py:376-385).
+    All tasks share (mat, gaps, w, zdrop, flag) — the bucketing contract."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    mat = np.asarray(mat, np.int32).reshape(-1)
+    sc_mch, sc_mis = int(mat[0]), int(mat[1])
+    sc_N = -e2 if mat[24] == 0 else int(mat[24])
+    results: List[ExtzResult] = [ExtzResult() for _ in tasks]
+    min_sc = int(mat[1:].min())
+    run_idx = [i for i, (q8, t8) in enumerate(tasks)
+               if len(q8) > 0 and len(t8) > 0 and -min_sc <= 2 * (q + e)]
+    if not run_idx:
+        return results
+    B = len(run_idx)
+    Bp = max(8, -(-B // 8) * 8)
+    Tpad = -(-max(len(tasks[i][1]) + 16 for i in run_idx) // 128) * 128
+    Rmax = max(len(tasks[i][0]) + len(tasks[i][1]) - 1 for i in run_idx)
+    lens = np.zeros((Bp, 2), np.int32)
+    lens[:, 0] = 1  # inert padding tasks
+    lens[:, 1] = 1
+    tsf = np.zeros((Bp, Tpad), np.int32)
+    qcol = np.zeros((Bp, -(-Rmax // 128) * 128), np.int32)
+    for bi, i in enumerate(run_idx):
+        q8, t8 = tasks[i]
+        qlen, tlen = len(q8), len(t8)
+        lens[bi] = (qlen, tlen)
+        qr = np.zeros((qlen + 15) // 16 * 16 + 16, np.int32)
+        qr[:qlen] = np.asarray(q8, np.int32)[::-1]
+        tsf[bi] = _sf_image(np.asarray(t8, np.int32), Tpad, qr)
+        qcol[bi, :qlen] = np.asarray(q8, np.int32)
+    d, ez = extd2_device(
+        jnp.asarray(lens), jnp.asarray(tsf), jnp.asarray(qcol),
+        q=q, e=e, q2=q2, e2=e2, zdrop=zdrop, sc_mch=sc_mch, sc_mis=sc_mis,
+        sc_N=sc_N, w=w, right=bool(flag & KSW_EZ_RIGHT),
+        approx=bool(flag & KSW_EZ_APPROX_MAX),
+        approx_drop=bool(flag & KSW_EZ_APPROX_DROP),
+        Rmax=Rmax, interpret=bool(interpret))
+    d = np.asarray(d)
+    ez = np.asarray(ez)
+    rev_cigar = bool(flag & KSW_EZ_REV_CIGAR)
+    for bi, i in enumerate(run_idx):
+        q8, t8 = tasks[i]
+        qlen, tlen = len(q8), len(t8)
+        rz = results[i]
+        rz.zdropped = bool(ez[bi, R_ZDROP])
+        rz.max = int(ez[bi, R_MAX])
+        rz.max_q = int(ez[bi, R_MAXQ])
+        rz.max_t = int(ez[bi, R_MAXT])
+        rz.mqe = int(ez[bi, R_MQE])
+        rz.mqe_t = int(ez[bi, R_MQET])
+        rz.mte = int(ez[bi, R_MTE])
+        rz.mte_q = int(ez[bi, R_MTEQ])
+        rz.score = int(ez[bi, R_SCORE])
+        st, en, _, _ = band_offsets(qlen, tlen, w)
+        rows = d[:, bi, :]
+        if not rz.zdropped and not (flag & KSW_EZ_EXTZ_ONLY):
+            rz.cigar = _backtrack_abs(rows, st, en, tlen - 1, qlen - 1,
+                                      rev_cigar)
+        elif not rz.zdropped and (flag & KSW_EZ_EXTZ_ONLY) \
+                and rz.mqe + end_bonus > rz.max:
+            rz.reach_end = True
+            rz.cigar = _backtrack_abs(rows, st, en, rz.mqe_t, qlen - 1,
+                                      rev_cigar)
+        elif rz.max_t >= 0 and rz.max_q >= 0:
+            rz.cigar = _backtrack_abs(rows, st, en, rz.max_t, rz.max_q,
+                                      rev_cigar)
+    return results

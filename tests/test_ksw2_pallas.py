@@ -1,0 +1,112 @@
+"""Differential tests: Pallas extd2 kernel vs the host NumPy port.
+
+The host port is itself differentially tested against the reference SSE
+kernels (tests/test_ksw2.py), so agreement here means bit-exact minimap2
+semantics on device. Runs in interpret mode on the CPU backend; the same
+kernel is validated compiled on real TPU hardware (see ops/ksw2_pallas.py).
+"""
+import numpy as np
+import pytest
+
+from mm2tpu.ops import ksw2_ref as K
+from mm2tpu.ops.ksw2_pallas import extd2_batch
+
+MAT = K.gen_simple_mat(2, 4, 1)
+FIELDS = ("max", "zdropped", "max_q", "max_t", "mqe", "mqe_t", "mte",
+          "mte_q", "score", "reach_end", "cigar")
+
+
+def mutate(seq, rng, sub=0.1, ind=0.05):
+    out = []
+    for c in seq:
+        r = rng.random()
+        if r < sub:
+            out.append(rng.integers(0, 4))
+        elif r < sub + ind / 2:
+            continue
+        elif r < sub + ind:
+            out.append(int(c))
+            out.append(rng.integers(0, 4))
+        else:
+            out.append(int(c))
+    return np.array(out, dtype=np.uint8)
+
+
+def check(tasks, q, e, q2, e2, w, zdrop, end_bonus, flag):
+    res = extd2_batch(tasks, MAT, q=q, e=e, q2=q2, e2=e2, w=w, zdrop=zdrop,
+                      end_bonus=end_bonus, flag=flag, interpret=True)
+    for i, (q8, t8) in enumerate(tasks):
+        exp = K.ksw_extd2(len(q8), q8, len(t8), t8, MAT, q, e, q2, e2, w,
+                          zdrop, end_bonus, flag)
+        for f in FIELDS:
+            assert getattr(exp, f) == getattr(res[i], f), (i, f)
+
+
+def global_tasks(rng, n_tasks=4, lo=40, hi=160, with_n=False):
+    tasks = []
+    for i in range(n_tasks):
+        t8 = rng.integers(0, 4, int(rng.integers(lo, hi))).astype(np.uint8)
+        q8 = mutate(t8, rng)
+        if with_n and len(q8) > 4:
+            q8[rng.integers(0, len(q8), 2)] = 4
+        tasks.append((q8, t8))
+    return tasks
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_pallas_extd2_global(seed):
+    rng = np.random.default_rng(seed)
+    check(global_tasks(rng, with_n=seed % 2), 4, 2, 24, 1, 151, 400, -1, 0)
+
+
+def test_pallas_extd2_right():
+    rng = np.random.default_rng(10)
+    check(global_tasks(rng), 4, 2, 24, 1, 151, 400, -1, K.KSW_EZ_RIGHT)
+
+
+@pytest.mark.parametrize("drop", [False, True])
+def test_pallas_extd2_approx(drop):
+    rng = np.random.default_rng(20 + drop)
+    flag = K.KSW_EZ_APPROX_MAX | (K.KSW_EZ_APPROX_DROP if drop else 0)
+    check(global_tasks(rng), 4, 2, 24, 1, 151, 200, -1, flag)
+
+
+def test_pallas_extd2_ext_only():
+    """Left/right extension shape: query is a prefix of the target."""
+    rng = np.random.default_rng(30)
+    tasks = []
+    for _ in range(4):
+        t8 = rng.integers(0, 4, int(rng.integers(60, 200))).astype(np.uint8)
+        tasks.append((mutate(t8[: len(t8) * 2 // 3], rng), t8))
+    check(tasks, 4, 2, 24, 1, 151, 400, 10, K.KSW_EZ_EXTZ_ONLY)
+    check(tasks, 4, 2, 24, 1, 151, 400, 10,
+          K.KSW_EZ_EXTZ_ONLY | K.KSW_EZ_RIGHT | K.KSW_EZ_REV_CIGAR)
+
+
+def test_pallas_extd2_zdrop_break():
+    """Divergent tails: the break row and recorded max must match."""
+    rng = np.random.default_rng(40)
+    tasks = []
+    for _ in range(3):
+        t8 = rng.integers(0, 4, 220).astype(np.uint8)
+        q8 = np.concatenate([mutate(t8[:90], rng),
+                             rng.integers(0, 4, 130).astype(np.uint8)])
+        tasks.append((q8, t8))
+    check(tasks, 4, 2, 24, 1, 300, 100, -1, 0)
+    check(tasks, 4, 2, 24, 1, 300, 100, -1,
+          K.KSW_EZ_APPROX_MAX | K.KSW_EZ_APPROX_DROP)
+
+
+def test_pallas_extd2_full_band():
+    """w<0 selects the per-task max(qlen,tlen) band."""
+    rng = np.random.default_rng(50)
+    check(global_tasks(rng, n_tasks=3, lo=30, hi=70), 4, 2, 24, 1, -1,
+          400, -1, 0)
+
+
+def test_pallas_extd2_mixed_sizes():
+    """One batch spanning very different task sizes (padding tasks)."""
+    rng = np.random.default_rng(60)
+    tasks = global_tasks(rng, n_tasks=2, lo=20, hi=40)
+    tasks += global_tasks(rng, n_tasks=2, lo=150, hi=250)
+    check(tasks, 4, 2, 24, 1, 151, 400, -1, 0)
