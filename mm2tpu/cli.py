@@ -366,23 +366,58 @@ def main(argv: Optional[List[str]] = None) -> int:
         cmdline = "minimap2 " + " ".join(argv)
         print(sam_header(mi, args.rg, MM_VERSION, cmdline), file=out)
 
-    frag_mode = bool(mo.flag & MM_F_FRAG_MODE) or len(args.query) > 1
+    # multiple query files WITHOUT frag mode are mapped one after another
+    # (main.c:404-410); only MM_F_FRAG_MODE groups them into fragments
+    frag_mode = bool(mo.flag & MM_F_FRAG_MODE)
     reader = FastxReader(args.query, mo.mini_batch_size, frag_mode)
     for batch in reader.batches():
         for frag in batch:
+            # orient mates per pe_ori before joint chaining (map.c:436-441)
+            flip = [len(frag) == 2 and bool((mo.pe_ori >> (1 - j)) & 1)
+                    for j in range(len(frag))]
+            for j, f in enumerate(flip):
+                if f:
+                    _revcomp_bseq(frag[j])
             seqs = [s.seq for s in frag]
-            res = map_frag(mi, seqs, mo, frag[0].name)
+            if (mo.flag & MM_F_INDEPEND_SEG) and len(frag) > 1:
+                # map each segment independently (map.c:442-447)
+                res = map_frag(mi, [seqs[0]], mo, frag[0].name)
+                res.rep_lens = [res.rep_len]
+                for j in range(1, len(frag)):
+                    rj = map_frag(mi, [seqs[j]], mo, frag[j].name)
+                    res.regs.append(rj.regs[0])
+                    res.rep_lens.append(rj.rep_len)
+            else:
+                res = map_frag(mi, seqs, mo, frag[0].name)
+            # flip the query strand/coords back to the read's own strand
+            # (map.c:455-466)
+            for j, f in enumerate(flip):
+                if f:
+                    _revcomp_bseq(frag[j])
+                    for r in res.regs[j]:
+                        r.qs, r.qe = len(seqs[j]) - r.qe, len(seqs[j]) - r.qs
+                        r.rev = not r.rev
             emit(mi, mo, frag, res, out)
     if out is not sys.stdout:
         out.close()
     return 0
 
 
+def _revcomp_bseq(s) -> None:
+    """mm_revcomp_bseq: reverse-complement the bases, reverse the quals."""
+    from .io.bseq import revcomp as _rc
+    s.seq = _rc(s.seq)
+    if s.qual:
+        s.qual = s.qual[::-1]
+
+
 def emit(mi, mo: MapOptions, frag, res, out) -> None:
     """Ordered per-fragment emission (map.c:563-618 step 2)."""
     n_seg = len(frag)
     n_regss = [len(r) for r in res.regs]
+    rep_lens = getattr(res, "rep_lens", None)
     for i, seq in enumerate(frag):
+        rep_len = rep_lens[i] if rep_lens else res.rep_len
         regs = res.regs[i]
         if regs:
             for j, r in enumerate(regs):
@@ -390,18 +425,18 @@ def emit(mi, mo: MapOptions, frag, res, out) -> None:
                     continue
                 if mo.flag & MM_F_OUT_SAM:
                     print(write_sam(mi, seq, i, j, n_seg, n_regss, res.regs,
-                                    mo.flag, res.rep_len), file=out)
+                                    mo.flag, rep_len), file=out)
                 else:
                     print(write_paf(mi, seq.name, seq.l_seq, r, mo.flag,
-                                    res.rep_len, seq.comment, seq.seq), file=out)
+                                    rep_len, seq.comment, seq.seq), file=out)
         elif (mo.flag & MM_F_PAF_NO_HIT) or ((mo.flag & MM_F_OUT_SAM) and
                                              not (mo.flag & MM_F_SAM_HIT_ONLY)):
             if mo.flag & MM_F_OUT_SAM:
                 print(write_sam(mi, seq, i, -1, n_seg, n_regss, res.regs,
-                                mo.flag, res.rep_len), file=out)
+                                mo.flag, rep_len), file=out)
             else:
                 print(write_paf(mi, seq.name, seq.l_seq, None, mo.flag,
-                                res.rep_len, seq.comment), file=out)
+                                rep_len, seq.comment), file=out)
 
 
 if __name__ == "__main__":

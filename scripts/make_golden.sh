@@ -50,4 +50,8 @@ $BIN -x map-pb  -d $G/mappb_MTorang.mmi  $T/MT-orang.fa >/dev/null 2>&1
 # ksw2 oracle shared library for differential tests (tests/test_ksw2.py)
 (cd /tmp/golden && g++ -O2 -msse4.1 -shared -fPIC -I. -o libksw2oracle.so \
     -x c ksw2_extd2_sse.c ksw2_extz2_sse.c ksw2_ll_sse.c ksw2_exts2_sse.c)
+# paired-end short-read fixtures (reads simulated by tests; see repo history)
+run sr_pe_MT.paf       -x sr $T/MT-orang.fa $G/sr_reads_1.fq $G/sr_reads_2.fq
+run sr_pe_MT.sam       -x sr -a $T/MT-orang.fa $G/sr_reads_1.fq $G/sr_reads_2.fq
+run sr_se_MT.paf       -x sr $T/MT-orang.fa $G/sr_reads_1.fq
 echo "golden fixtures written to $G"

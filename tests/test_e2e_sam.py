@@ -42,6 +42,11 @@ CASES = [
     ("q2t2_splice_junc.paf",
      "-x splice -c --cs -k10 -w3 -m10 -n1 -s10 "
      f"--junc-bed tests/golden/t2_junc.bed {T}/t2.fa {T}/q2.fa"),
+    ("sr_pe_MT.paf", f"-x sr {T}/MT-orang.fa "
+     "tests/golden/sr_reads_1.fq tests/golden/sr_reads_2.fq"),
+    ("sr_pe_MT.sam", f"-x sr -a {T}/MT-orang.fa "
+     "tests/golden/sr_reads_1.fq tests/golden/sr_reads_2.fq"),
+    ("sr_se_MT.paf", f"-x sr {T}/MT-orang.fa tests/golden/sr_reads_1.fq"),
 ]
 
 
