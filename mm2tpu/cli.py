@@ -314,6 +314,41 @@ def load_or_build_index(target: str, io: IdxOptions, out=sys.stderr):
                        w=io.w, k=io.k, flag=io.flag, bucket_bits=io.bucket_bits)
 
 
+def index_parts(target: str, io: IdxOptions):
+    """Generator over index parts (mm_idx_reader semantics, index.c:560-605).
+    A prebuilt .mmi yields its stored parts; a FASTA is split into ~`-I`
+    (batch_size) base parts at mini-batch granularity (index.c:280-302,
+    bseq.c mm_bseq_read chunking)."""
+    with open(target, "rb") as f:
+        magic = f.read(4)
+    if magic == MAGIC:
+        from .index.mmi import read_mmi_parts
+        yield from read_mmi_parts(target)
+        return
+    it = iter(read_fastx(target))
+    pending = None
+    while True:
+        part, sum_len = [], 0
+        while sum_len <= io.batch_size:
+            mb, mb_len = [], 0
+            while mb_len < io.mini_batch_size:
+                r = pending if pending is not None else next(it, None)
+                pending = None
+                if r is None:
+                    break
+                mb.append(r)
+                mb_len += len(r.seq)
+            if not mb:
+                break
+            part.extend(mb)
+            sum_len += mb_len
+        if not part:
+            return
+        yield build_index([r.name for r in part], [r.seq for r in part],
+                          w=io.w, k=io.k, flag=io.flag,
+                          bucket_bits=io.bucket_bits)
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     # ketopt optional-argument semantics: only '--cs=long' carries a value;
@@ -338,38 +373,72 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     out = open(args.output, "w") if args.output and args.output != "-" else sys.stdout
 
-    mi = load_or_build_index(args.target, io)
-    if args.dump_index:
-        if args.dump_index.endswith(".npz"):
-            save_index(mi, args.dump_index)
-        else:
-            write_mmi(mi, args.dump_index)
-        if not args.query:
-            return 0
-    if args.junc_bed:
-        from .index.bed import read_bed
-        mi.junc = read_bed(mi, args.junc_bed, read_junc=True)
-    if args.alt:
-        n_alt = 0
-        with open(args.alt) as f:
-            for line in f:
-                nm = line.split()[0] if line.split() else ""
-                rid = mi.name2id(nm)
-                if rid >= 0:
-                    mi.seq[rid].is_alt = True
-                    n_alt += 1
-        mi.n_alt = n_alt
+    parts = index_parts(args.target, io)
+    mi = next(parts, None)
+    if mi is None:
+        print("[ERROR] empty target", file=sys.stderr)
+        return 1
+    n_parts = 0
+    while mi is not None:
+        nxt = next(parts, None)
+        first, last = n_parts == 0, nxt is None
+        if args.dump_index:
+            if args.dump_index.endswith(".npz"):
+                save_index(mi, args.dump_index)
+            else:
+                write_mmi(mi, args.dump_index, append=not first)
+        if args.query and (mo.flag & MM_F_CIGAR) and (mi.flag & MM_I_NO_SEQ):
+            print("[ERROR] the prebuilt index doesn't contain sequences.",
+                  file=sys.stderr)
+            return 1
+        if first and args.query and (mo.flag & MM_F_OUT_SAM):
+            # multi-part or split-prefix: header without @SQ (main.c:380-390)
+            cmdline = "minimap2 " + " ".join(argv)
+            hdr_mi = mi if last and not mo.split_prefix else None
+            print(sam_header(hdr_mi, args.rg, MM_VERSION, cmdline), file=out)
+            if not last and not mo.split_prefix:
+                print("[WARNING] For a multi-part index, no @SQ lines will "
+                      "be outputted. Please use --split-prefix.",
+                      file=sys.stderr)
+        if args.junc_bed:
+            from .index.bed import read_bed
+            mi.junc = read_bed(mi, args.junc_bed, read_junc=True)
+        if args.alt:
+            n_alt = 0
+            with open(args.alt) as f:
+                for line in f:
+                    nm = line.split()[0] if line.split() else ""
+                    rid = mi.name2id(nm)
+                    if rid >= 0:
+                        mi.seq[rid].is_alt = True
+                        n_alt += 1
+            mi.n_alt = n_alt
+        if args.query:
+            mapopt_update(mo, mi)
+            _map_all(args.query, mi, mo, out, part_idx=n_parts)
+        n_parts += 1
+        mi = nxt
 
-    if args.query:
-        mapopt_update(mo, mi)
-    if mo.flag & MM_F_OUT_SAM:
-        cmdline = "minimap2 " + " ".join(argv)
-        print(sam_header(mi, args.rg, MM_VERSION, cmdline), file=out)
+    if args.query and mo.split_prefix:
+        _split_merge(args.query, mo, n_parts, args.rg, out)
+    if out is not sys.stdout:
+        out.close()
+    return 0
 
+
+def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int) -> None:
+    """Map all query files against one index part; emit or (with
+    --split-prefix) dump raw hits to the part's temp file
+    (map.c:571-585, mm_split_init)."""
+    import pickle
+    dump = None
+    if mo.split_prefix:
+        dump = dict(k=mi.k, seq=[(s.name, s.length) for s in mi.seq],
+                    reads=[])
     # multiple query files WITHOUT frag mode are mapped one after another
     # (main.c:404-410); only MM_F_FRAG_MODE groups them into fragments
     frag_mode = bool(mo.flag & MM_F_FRAG_MODE)
-    reader = FastxReader(args.query, mo.mini_batch_size, frag_mode)
+    reader = FastxReader(query_paths, mo.mini_batch_size, frag_mode)
     for batch in reader.batches():
         for frag in batch:
             # orient mates per pe_ori before joint chaining (map.c:436-441)
@@ -397,10 +466,81 @@ def main(argv: Optional[List[str]] = None) -> int:
                     for r in res.regs[j]:
                         r.qs, r.qe = len(seqs[j]) - r.qe, len(seqs[j]) - r.qs
                         r.rev = not r.rev
-            emit(mi, mo, frag, res, out)
-    if out is not sys.stdout:
-        out.close()
-    return 0
+            if dump is not None:
+                for j in range(len(frag)):
+                    dump["reads"].append(
+                        (res.regs[j], res.rep_len, res.frag_gap))
+            else:
+                emit(mi, mo, frag, res, out)
+    if dump is not None:
+        with open(f"{mo.split_prefix}.{part_idx:04d}.tmp", "wb") as f:
+            pickle.dump(dump, f)
+
+
+def _split_merge(query_paths, mo: MapOptions, n_parts: int, rg, out) -> None:
+    """--split-prefix merge pass (mm_split_merge, map.c:469-524,671-714):
+    re-read queries in order, concatenate each read's per-part hits with
+    rid renumbering, then re-sort/re-select/re-mapq and emit."""
+    import os
+    import pickle
+    from .index.build import MMIndex, RefSeq
+    from .mapping import hit as hit_mod
+    from .mapping.pipeline import FragResult
+
+    parts = []
+    for j in range(n_parts):
+        with open(f"{mo.split_prefix}.{j:04d}.tmp", "rb") as f:
+            parts.append(pickle.load(f))
+    merged = MMIndex(w=0, k=parts[0]["k"], b=0, flag=0)
+    rid_shift, off = [], 0
+    for pt in parts:
+        rid_shift.append(off)
+        for name, length in pt["seq"]:
+            merged.seq.append(RefSeq(name=name, offset=0, length=length))
+            off += 1
+    if mo.flag & MM_F_OUT_SAM:
+        for s in merged.seq:
+            print(f"@SQ\tSN:{s.name}\tLN:{s.length}", file=out)
+
+    frag_mode = bool(mo.flag & MM_F_FRAG_MODE)
+    reader = FastxReader(query_paths, mo.mini_batch_size, frag_mode)
+    cursor = 0
+    for batch in reader.batches():
+        for frag in batch:
+            res = FragResult(regs=[])
+            res.rep_lens = []
+            frag_gap0 = 0
+            for i in range(len(frag)):
+                regs, rep_len = [], 0
+                for j, pt in enumerate(parts):
+                    pregs, prep, pgap = pt["reads"][cursor + i]
+                    for r in pregs:
+                        r.rid += rid_shift[j]
+                        regs.append(r)
+                    rep_len = max(rep_len, prep)
+                    if j == 0:
+                        frag_gap0 = pgap
+                regs = hit_mod.hit_sort(regs, mo.alt_drop)
+                hit_mod.set_parent(regs, mo.mask_level, mo.mask_len,
+                                   mo.a * 2 + mo.b,
+                                   bool(mo.flag & MM_F_HARD_MLEVEL),
+                                   mo.alt_drop)
+                if not (mo.flag & MM_F_ALL_CHAINS):
+                    regs = hit_mod.select_sub(regs, mo.pri_ratio,
+                                              merged.k * 2, mo.best_n)
+                    hit_mod.set_sam_pri(regs)
+                hit_mod.set_mapq(regs, mo.min_chain_score, mo.a, rep_len,
+                                 bool(mo.flag & MM_F_SR))
+                res.regs.append(regs)
+                res.rep_lens.append(rep_len)
+            cursor += len(frag)
+            if len(frag) == 2 and mo.pe_ori >= 0 and (mo.flag & MM_F_CIGAR):
+                from .mapping.pe import pair
+                pair(frag_gap0, mo.pe_bonus, mo.a * 2 + mo.b, mo.a,
+                     [len(s.seq) for s in frag], res.regs)
+            emit(merged, mo, frag, res, out)
+    for j in range(n_parts):
+        os.remove(f"{mo.split_prefix}.{j:04d}.tmp")
 
 
 def _revcomp_bseq(s) -> None:

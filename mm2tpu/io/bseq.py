@@ -122,6 +122,12 @@ class FastxReader:
             yield self._group(batch)
 
     def _records(self) -> Iterator[Seq]:
+        if len(self.paths) > 1 and not self.frag_mode:
+            # without frag mode files are processed one after another
+            # (main.c:404-407, one mm_map_file per file)
+            for p in self.paths:
+                yield from read_fastx(p)
+            return
         if len(self.paths) > 1:  # interleave round-robin (mm_bseq_read_frag2)
             its = [read_fastx(p) for p in self.paths]
             while True:

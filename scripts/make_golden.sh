@@ -54,4 +54,10 @@ $BIN -x map-pb  -d $G/mappb_MTorang.mmi  $T/MT-orang.fa >/dev/null 2>&1
 run sr_pe_MT.paf       -x sr $T/MT-orang.fa $G/sr_reads_1.fq $G/sr_reads_2.fq
 run sr_pe_MT.sam       -x sr -a $T/MT-orang.fa $G/sr_reads_1.fq $G/sr_reads_2.fq
 run sr_se_MT.paf       -x sr $T/MT-orang.fa $G/sr_reads_1.fq
+# multi-part index + split-prefix merge fixtures (twopart_MT.mmi is a
+# 2-part .mmi written by mm2tpu's writer: MT-human part 0, MT-orang part 1)
+run twopart_nosplit.paf          $G/twopart_MT.mmi $G/sr_reads_1.fq $T/MT-human.fa
+run twopart_split.paf            --split-prefix /tmp/sp_g1 $G/twopart_MT.mmi $G/sr_reads_1.fq
+run twopart_split.sam            -a --split-prefix /tmp/sp_g2 $G/twopart_MT.mmi $G/sr_reads_1.fq
+run twopart_split_c.paf          -c --split-prefix /tmp/sp_g3 $G/twopart_MT.mmi $T/MT-human.fa
 echo "golden fixtures written to $G"

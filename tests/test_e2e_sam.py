@@ -47,6 +47,16 @@ CASES = [
     ("sr_pe_MT.sam", f"-x sr -a {T}/MT-orang.fa "
      "tests/golden/sr_reads_1.fq tests/golden/sr_reads_2.fq"),
     ("sr_se_MT.paf", f"-x sr {T}/MT-orang.fa tests/golden/sr_reads_1.fq"),
+    # multi-part prebuilt index: per-part emission, and --split-prefix
+    # merge with cross-part primary/secondary re-selection
+    ("twopart_nosplit.paf", "tests/golden/twopart_MT.mmi "
+     f"tests/golden/sr_reads_1.fq {T}/MT-human.fa"),
+    ("twopart_split.paf", "--split-prefix /tmp/mm2tpu_sp_test "
+     "tests/golden/twopart_MT.mmi tests/golden/sr_reads_1.fq"),
+    ("twopart_split.sam", "-a --split-prefix /tmp/mm2tpu_sp_test "
+     "tests/golden/twopart_MT.mmi tests/golden/sr_reads_1.fq"),
+    ("twopart_split_c.paf", "-c --split-prefix /tmp/mm2tpu_sp_test "
+     f"tests/golden/twopart_MT.mmi {T}/MT-human.fa"),
 ]
 
 

@@ -61,3 +61,37 @@ def test_get_and_max_occ(golden_dir, ref_test_dir):
     assert mi.get(0xDEADBEEF) is not None  # miss returns empty
     assert len(mi.get(0xDEADBEEF)) in (0, mi.cnt[np.searchsorted(mi.keys, 0xDEADBEEF)] if np.searchsorted(mi.keys, 0xDEADBEEF) < len(mi.keys) and mi.keys[np.searchsorted(mi.keys, 0xDEADBEEF)] == 0xDEADBEEF else 0)
     assert mi.cal_max_occ(2e-4) >= 1
+
+
+def test_index_parts_fasta_split(tmp_path):
+    """FASTA part splitting at batch/mini-batch granularity
+    (index.c:280-302 + bseq chunking semantics)."""
+    from mm2tpu.cli import index_parts
+    from mm2tpu.options import IdxOptions
+    fa = tmp_path / "multi.fa"
+    seqs = [("s%d" % i, "ACGTACGTAT" * (40 + i)) for i in range(6)]
+    fa.write_text("".join(f">{n}\n{s}\n" for n, s in seqs))
+    io = IdxOptions(k=7, w=4)
+    io.mini_batch_size = 500   # one mini-batch grabs reads until >= 500 bases
+    io.batch_size = 600        # a part takes mini-batches while sum <= 600
+    parts = list(index_parts(str(fa), io))
+    assert len(parts) > 1
+    names = [s.name for p in parts for s in p.seq]
+    assert names == [n for n, _ in seqs]
+    # every part but the last exceeds batch_size (it stops only after
+    # crossing), matching the reference's boundary rule
+    for p in parts[:-1]:
+        assert sum(s.length for s in p.seq) > io.batch_size
+
+
+def test_multipart_mmi_roundtrip(tmp_path):
+    from mm2tpu.index.build import build_index
+    from mm2tpu.index.mmi import write_mmi, read_mmi_parts
+    p0 = build_index(["a"], ["ACGTACGTACGTACGTACGT" * 10], w=4, k=7)
+    p1 = build_index(["b"], ["TTTTACGTACGTACGTACGA" * 10], w=4, k=7)
+    out = tmp_path / "two.mmi"
+    write_mmi(p0, str(out))
+    write_mmi(p1, str(out), append=True)
+    parts = list(read_mmi_parts(str(out)))
+    assert [m.seq[0].name for m in parts] == ["a", "b"]
+    assert all(len(m.keys) > 0 for m in parts)
