@@ -123,6 +123,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mask-len")
     p.add_argument("--print-seeds", action="store_true")
     p.add_argument("--chain-backend", choices=["auto", "tpu", "native", "python"])
+    p.add_argument("--router-params", metavar="JSON",
+                   help="trained chaining cost-model constants "
+                        "(scripts/train_router.py)")
     return p
 
 
@@ -302,6 +305,10 @@ def apply_args(args, io: IdxOptions, mo: MapOptions) -> None:
             mo.e2 = int(parts[1])
     if args.chain_backend:
         mo.chain_backend = args.chain_backend
+    if args.router_params:
+        from .mapping import costmodel
+        costmodel.set_default_model(costmodel.CostModel.load(
+            args.router_params))
 
 
 def load_or_build_index(target: str, io: IdxOptions, out=sys.stderr):

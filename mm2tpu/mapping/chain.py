@@ -14,18 +14,38 @@ import numpy as np
 
 from ..ops import chain_ref
 from ..options import MapOptions
+from . import costmodel
 
 
 class ChainRouter:
-    """Size-based backend selection (the reference's cost-model analogue)."""
+    """Backend selection for one chaining task.
 
-    def __init__(self, backend: str = "auto", tpu_min_anchors: int = 8192):
+    With a trained CostModel (scripts/train_router.py), placement follows
+    the reference's predicted-time comparison (chain.c:80-111) plus
+    queue-aware admission with host fallback when the device is predicted
+    busy (chain_hardware.cpp:54-92). Without one, a size threshold is the
+    static approximation."""
+
+    def __init__(self, backend: str = "auto", tpu_min_anchors: int = 8192,
+                 cost_model=None, queue=None):
         self.backend = backend
         self.tpu_min_anchors = tpu_min_anchors
+        self.cost_model = (cost_model if cost_model is not None
+                           else costmodel.get_default_model())
+        self.queue = queue if queue is not None \
+            else costmodel.get_default_queue()
 
-    def pick(self, n: int) -> str:
+    def pick(self, n: int, a: Optional[np.ndarray] = None,
+             max_dist_x: int = 5000) -> str:
         if self.backend != "auto":
             return self.backend
+        if self.cost_model is not None and a is not None:
+            _, total_sub, total_trip = chain_ref.num_subparts(a, max_dist_x)
+            t_dev = self.cost_model.predict_dev(n, total_sub)
+            t_host = self.cost_model.predict_host(total_trip)
+            if t_dev < t_host and self.queue.admit(t_dev, t_host):
+                return "tpu"
+            return "native"
         return "tpu" if n >= self.tpu_min_anchors else "native"
 
 
@@ -54,7 +74,7 @@ def chain_dp(max_dist_x: int, max_dist_y: int, bw: int, max_skip: int,
         return np.zeros((0, 2), np.uint64), np.zeros(0, np.uint64)
 
     router = ChainRouter(backend)
-    which = router.pick(n)
+    which = router.pick(n, a=a, max_dist_x=max_dist_x)
     if which == "tpu":
         from ..ops.chain_pallas_v2 import chain_scores_tpu_v2
         f, p, v = chain_scores_tpu_v2(a, max_dist_x, max_dist_y, bw, max_iter,

@@ -1,0 +1,111 @@
+"""Learned device/host cost-model split for chaining tasks.
+
+Re-expresses the fork's central idea — per-task placement between the
+accelerator and the CPU by trained linear time predictors plus a queue-aware
+arbiter — for the TPU build:
+
+- time predictors (chain.c:80-81, constants chain_hardware.h:18-30):
+      t_dev[ms]  ~= k1_dev*n + k2_dev*total_subparts + c_dev
+      t_host[ms] ~= k_host*total_trip_count + c_host
+  `total_subparts`/`total_trip_count` are the reference's own task-size
+  features (chain.c:53-78), computed by `ops.chain_ref.num_subparts`.
+
+- queue-aware admission (chain_hardware.cpp:54-92): the device keeps a
+  predicted-completion clock; a task is only sent to the device if
+  wait + t_dev still beats t_host, otherwise it falls back to the host
+  path (PROCESS_ON_SW_IF_HW_BUSY semantics, chain.c:105-164).
+
+Constants come from `scripts/train_router.py` (the analogue of
+hw_sw_split/find_params.py), stored as JSON.
+"""
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import asdict, dataclass
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class CostModel:
+    """Linear time predictors; times in milliseconds."""
+    k1_dev: float    # per anchor
+    k2_dev: float    # per subpart (128-wide window tile)
+    c_dev: float     # device launch/transfer overhead
+    k_host: float    # per inner-loop trip
+    c_host: float
+
+    def predict_dev(self, n: int, total_subparts: int) -> float:
+        return self.k1_dev * n + self.k2_dev * total_subparts + self.c_dev
+
+    def predict_host(self, total_trip_count: int) -> float:
+        return self.k_host * total_trip_count + self.c_host
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(asdict(self), f, indent=2)
+            f.write("\n")
+
+    @classmethod
+    def load(cls, path: str) -> "CostModel":
+        with open(path) as f:
+            d = json.load(f)
+        return cls(**{k: float(d[k]) for k in
+                      ("k1_dev", "k2_dev", "c_dev", "k_host", "c_host")})
+
+
+class DeviceQueue:
+    """Predicted-completion bookkeeping for the device (the reference keeps
+    `end_times[]` per kernel and a FIFO of waiters, chain_hardware.cpp:54-92;
+    one logical TPU stream here)."""
+
+    def __init__(self, clock=time.monotonic):
+        self._clock = clock
+        self._end = 0.0  # predicted completion, in clock seconds
+
+    def wait_ms(self) -> float:
+        return max(0.0, self._end - self._clock()) * 1e3
+
+    def admit(self, t_dev_ms: float, t_host_ms: float) -> bool:
+        """True if the task should run on the device given the queue;
+        on admission the predicted-completion clock is extended."""
+        if self.wait_ms() + t_dev_ms >= t_host_ms:
+            return False
+        now = self._clock()
+        self._end = max(self._end, now) + t_dev_ms * 1e-3
+        return True
+
+
+def fit_cost_model(rows: Sequence[Sequence[float]]) -> CostModel:
+    """Least-squares fit of the five constants from measurement rows
+    (n, total_subparts, total_trip_count, dev_ms, host_ms) — the analogue
+    of hw_sw_split/find_params.py's two sklearn LinearRegressions."""
+    m = np.asarray(rows, dtype=np.float64)
+    if m.ndim != 2 or m.shape[1] != 5 or len(m) < 3:
+        raise ValueError("need >=3 rows of (n, subparts, tripcount, "
+                         "dev_ms, host_ms)")
+    A = np.stack([m[:, 0], m[:, 1], np.ones(len(m))], axis=1)
+    (k1, k2, c), *_ = np.linalg.lstsq(A, m[:, 3], rcond=None)
+    B = np.stack([m[:, 2], np.ones(len(m))], axis=1)
+    (kh, ch), *_ = np.linalg.lstsq(B, m[:, 4], rcond=None)
+    return CostModel(k1_dev=float(k1), k2_dev=float(k2), c_dev=float(c),
+                     k_host=float(kh), c_host=float(ch))
+
+
+_DEFAULT_MODEL: Optional[CostModel] = None
+_DEFAULT_QUEUE = DeviceQueue()
+
+
+def set_default_model(model: Optional[CostModel]) -> None:
+    global _DEFAULT_MODEL
+    _DEFAULT_MODEL = model
+
+
+def get_default_model() -> Optional[CostModel]:
+    return _DEFAULT_MODEL
+
+
+def get_default_queue() -> DeviceQueue:
+    return _DEFAULT_QUEUE

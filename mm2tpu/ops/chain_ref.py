@@ -227,21 +227,16 @@ def num_subparts(a: np.ndarray, max_dist_x: int) -> Tuple[np.ndarray, int, int]:
     (subparts uint8, total_subparts, total_trip_count)."""
     n = len(a)
     ax = (a[:, 0] ^ np.uint64(1 << 63)).astype(np.int64)  # unsigned order
-    sub = np.zeros(n, dtype=np.uint8)
-    total_sub = 0
-    total_trip = 0
-    st = 0
-    for i in range(n):
-        while st < i and ax[i] > ax[st] + max_dist_x:
-            st += 1
-        tc = min(i - st, MAX_TRIPCOUNT)
-        total_trip += tc
-        s = tc // TRIPCOUNT_PER_SUBPART
-        if tc == 0 or tc % TRIPCOUNT_PER_SUBPART > 0:
-            s += 1
-        sub[i] = s
-        total_sub += s
-    return sub, total_sub, total_trip
+    # window start for anchor i = first st with ax[st] >= ax[i] - max_dist_x
+    # (the reference's incremental st advance, vectorized; a[] is x-sorted)
+    with np.errstate(over="ignore"):
+        target = ax - np.int64(max_dist_x)
+    target[target > ax] = np.iinfo(np.int64).min  # clamp int64 underflow
+    st = np.searchsorted(ax, target, side="left")
+    tc = np.minimum(np.arange(n, dtype=np.int64) - st, MAX_TRIPCOUNT)
+    s = tc // TRIPCOUNT_PER_SUBPART
+    s += (tc == 0) | (tc % TRIPCOUNT_PER_SUBPART > 0)
+    return s.astype(np.uint8), int(s.sum()), int(tc.sum())
 
 
 def chain_backtrack(n: int, f: np.ndarray, p: np.ndarray, v: np.ndarray,

@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Train the chaining device/host cost-model constants.
+
+The analogue of the reference's hw_sw_split/ trainer
+(find_hw_sw_split_params.sh + find_params.py): run every task on BOTH the
+device kernel and the host DP, record
+    n  total_subparts  total_trip_count  dev_ms  host_ms
+per task (the reference prints these as 'param ...' lines, chain.c:264-333),
+then least-squares fit the five constants of the two linear predictors and
+write them as JSON for `mm2tpu --router-params`.
+
+Usage:
+    python scripts/train_router.py [-o router_params.json] [--reps 3]
+
+Run on the target TPU host; off-TPU the Pallas kernel runs in interpret
+mode and the fitted constants describe the CPU interpreter instead.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def synth_task(n: int, density: float, rng) -> np.ndarray:
+    """Anchor array shaped like real chaining input: x-sorted, uint64
+    packed (rid|pos in x; span|qpos in y)."""
+    lo = np.sort(rng.integers(0, int(n / density), n)).astype(np.uint64)
+    qi = np.clip(lo.astype(np.int64) + rng.integers(-400, 400, n),
+                 0, None).astype(np.uint64)
+    a = np.zeros((n, 2), np.uint64)
+    a[:, 0] = lo
+    a[:, 1] = (np.uint64(15) << np.uint64(32)) | qi
+    return a
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-o", "--out", default="router_params.json")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--max-dist-x", type=int, default=5000)
+    args = ap.parse_args()
+
+    from mm2tpu.mapping.costmodel import fit_cost_model
+    from mm2tpu.ops import chain_ref
+    from mm2tpu.ops.chain_pallas_v2 import chain_scores_tpu_v2
+
+    try:
+        from mm2tpu.native import lib as native_lib
+        host = (native_lib.chain_scores_exact
+                if native_lib.available() else None)
+    except Exception:
+        host = None
+    if host is None:
+        host = chain_ref.chain_scores_exact
+
+    rng = np.random.default_rng(0)
+    rows = []
+    print("n\tsubparts\ttripcount\tdev_ms\thost_ms", file=sys.stderr)
+    for n in (512, 1024, 2048, 4096, 8192, 16384, 32768):
+        for density in (0.05, 0.3, 1.0):
+            a = synth_task(n, density, rng)
+            _, total_sub, total_trip = chain_ref.num_subparts(
+                a, args.max_dist_x)
+            # warm up the device compile, then time best-of-reps
+            chain_scores_tpu_v2(a, args.max_dist_x, 5000, 500, 1024,
+                                1.0, False, 1)
+            t_dev = min(_time(lambda: chain_scores_tpu_v2(
+                a, args.max_dist_x, 5000, 500, 1024, 1.0, False, 1))
+                for _ in range(args.reps))
+            t_host = min(_time(lambda: host(
+                a, args.max_dist_x, 5000, 500, 25, 5000, 1.0, False, 1))
+                for _ in range(args.reps))
+            rows.append((n, total_sub, total_trip, t_dev, t_host))
+            print("param\t%d\t%d\t%d\t%.3f\t%.3f"
+                  % (n, total_sub, total_trip, t_dev, t_host),
+                  file=sys.stderr)
+
+    model = fit_cost_model(rows)
+    model.save(args.out)
+    print("t_dev[ms]  ~= %.4g*n + %.4g*subparts + %.4g"
+          % (model.k1_dev, model.k2_dev, model.c_dev), file=sys.stderr)
+    print("t_host[ms] ~= %.4g*tripcount + %.4g"
+          % (model.k_host, model.c_host), file=sys.stderr)
+    print("wrote %s" % args.out, file=sys.stderr)
+    return 0
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return (time.perf_counter() - t0) * 1e3
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,123 @@
+"""Tests for the learned device/host cost-model split (chain.c:80-111,
+chain_hardware.cpp:54-92 semantics) and the task-size feature precompute."""
+import numpy as np
+import pytest
+
+from mm2tpu.mapping.costmodel import (CostModel, DeviceQueue,
+                                      fit_cost_model)
+from mm2tpu.mapping.chain import ChainRouter
+from mm2tpu.ops.chain_ref import (MAX_TRIPCOUNT, TRIPCOUNT_PER_SUBPART,
+                                  num_subparts)
+
+
+def _task(n, density, seed=0):
+    rng = np.random.default_rng(seed)
+    lo = np.sort(rng.integers(0, int(n / density), n)).astype(np.uint64)
+    a = np.zeros((n, 2), np.uint64)
+    a[:, 0] = lo
+    a[:, 1] = np.uint64(15) << np.uint64(32)
+    return a
+
+
+def _num_subparts_loop(a, max_dist_x):
+    """The reference's incremental formulation (chain.c:62-78), as the
+    oracle for the vectorized version."""
+    n = len(a)
+    ax = (a[:, 0] ^ np.uint64(1 << 63)).astype(np.int64)
+    sub = np.zeros(n, np.uint8)
+    tot_s = tot_t = 0
+    st = 0
+    for i in range(n):
+        while st < i and ax[i] > ax[st] + max_dist_x:
+            st += 1
+        tc = min(i - st, MAX_TRIPCOUNT)
+        tot_t += tc
+        s = tc // TRIPCOUNT_PER_SUBPART
+        if tc == 0 or tc % TRIPCOUNT_PER_SUBPART > 0:
+            s += 1
+        sub[i] = s
+        tot_s += s
+    return sub, tot_s, tot_t
+
+
+@pytest.mark.parametrize("n,density", [(100, 0.5), (3000, 0.05),
+                                       (3000, 1.0), (5000, 0.3)])
+def test_num_subparts_matches_reference_loop(n, density):
+    a = _task(n, density, seed=n)
+    got = num_subparts(a, 5000)
+    want = _num_subparts_loop(a, 5000)
+    np.testing.assert_array_equal(got[0], want[0])
+    assert got[1:] == want[1:]
+
+
+def test_fit_recovers_constants():
+    rng = np.random.default_rng(1)
+    true = CostModel(k1_dev=3e-4, k2_dev=1.2e-5, c_dev=0.32,
+                     k_host=5e-6, c_host=0.1)
+    rows = []
+    for _ in range(50):
+        n = int(rng.integers(500, 50000))
+        sub = int(n * rng.uniform(1, 8))
+        trip = int(n * rng.uniform(10, 900))
+        rows.append((n, sub, trip, true.predict_dev(n, sub),
+                     true.predict_host(trip)))
+    fit = fit_cost_model(rows)
+    assert abs(fit.k1_dev - true.k1_dev) < 1e-6
+    assert abs(fit.k_host - true.k_host) < 1e-9
+    assert abs(fit.c_host - true.c_host) < 1e-3
+
+
+def test_cost_model_roundtrip(tmp_path):
+    m = CostModel(1e-4, 2e-5, 0.3, 5e-6, -1.0)
+    p = tmp_path / "params.json"
+    m.save(str(p))
+    assert CostModel.load(str(p)) == m
+
+
+def test_device_queue_admission():
+    clock = [0.0]
+    q = DeviceQueue(clock=lambda: clock[0])
+    # device much faster: admit, queue extends
+    assert q.admit(t_dev_ms=10.0, t_host_ms=100.0)
+    assert q.wait_ms() == pytest.approx(10.0)
+    # second task: wait 10 + dev 10 < host 100 -> admit again
+    assert q.admit(t_dev_ms=10.0, t_host_ms=100.0)
+    # now a task whose host time beats queue-wait + dev time -> refuse
+    assert not q.admit(t_dev_ms=10.0, t_host_ms=25.0)
+    # time passes; the queue drains and the same task is admitted
+    clock[0] = 0.02
+    assert q.admit(t_dev_ms=10.0, t_host_ms=25.0)
+
+
+def test_router_uses_cost_model():
+    # model that makes the device always win big tasks, lose small ones
+    m = CostModel(k1_dev=0.0, k2_dev=0.0, c_dev=0.5,
+                  k_host=1e-3, c_host=0.0)  # host 1ms per 1000 trips
+    clock = [0.0]
+    q = DeviceQueue(clock=lambda: clock[0])
+    r = ChainRouter("auto", cost_model=m, queue=q)
+    dense = _task(4096, 1.0, seed=2)   # large windows -> many trips
+    sparse = _task(64, 0.001, seed=3)  # nearly no predecessors in range
+    assert r.pick(len(dense), a=dense, max_dist_x=5000) == "tpu"
+    assert r.pick(len(sparse), a=sparse, max_dist_x=5000) == "native"
+
+
+def test_router_falls_back_when_device_busy():
+    m = CostModel(0.0, 0.0, 10.0, 1e-3, 0.0)
+    clock = [0.0]
+    q = DeviceQueue(clock=lambda: clock[0])
+    r = ChainRouter("auto", cost_model=m, queue=q)
+    a = _task(4096, 1.0, seed=4)
+    assert r.pick(len(a), a=a, max_dist_x=5000) == "tpu"
+    # saturate the queue far beyond any host prediction
+    for _ in range(3):
+        assert q.admit(1e7, 1e9)
+    assert r.pick(len(a), a=a, max_dist_x=5000) == "native"
+
+
+def test_router_threshold_without_model():
+    r = ChainRouter("auto", tpu_min_anchors=1000, cost_model=False or None)
+    # ensure no global default model interferes
+    r.cost_model = None
+    assert r.pick(2000) == "tpu"
+    assert r.pick(10) == "native"
