@@ -422,7 +422,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             mi.n_alt = n_alt
         if args.query:
             mapopt_update(mo, mi)
-            _map_all(args.query, mi, mo, out, part_idx=n_parts)
+            _map_all(args.query, mi, mo, out, part_idx=n_parts,
+                     n_threads=max(1, args.t))
         n_parts += 1
         mi = nxt
 
@@ -433,11 +434,54 @@ def main(argv: Optional[List[str]] = None) -> int:
     return 0
 
 
-def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int) -> None:
+def _map_one_frag(mi, mo: MapOptions, frag):
+    """Map one fragment (the body of worker_for, map.c:427-467). Pure with
+    respect to shared state, so it can run on any pipeline thread."""
+    # orient mates per pe_ori before joint chaining (map.c:436-441)
+    flip = [len(frag) == 2 and bool((mo.pe_ori >> (1 - j)) & 1)
+            for j in range(len(frag))]
+    for j, f in enumerate(flip):
+        if f:
+            _revcomp_bseq(frag[j])
+    seqs = [s.seq for s in frag]
+    if (mo.flag & MM_F_INDEPEND_SEG) and len(frag) > 1:
+        # map each segment independently (map.c:442-447)
+        res = map_frag(mi, [seqs[0]], mo, frag[0].name)
+        res.rep_lens = [res.rep_len]
+        for j in range(1, len(frag)):
+            rj = map_frag(mi, [seqs[j]], mo, frag[j].name)
+            res.regs.append(rj.regs[0])
+            res.rep_lens.append(rj.rep_len)
+    else:
+        res = map_frag(mi, seqs, mo, frag[0].name)
+    # flip the query strand/coords back to the read's own strand
+    # (map.c:455-466)
+    for j, f in enumerate(flip):
+        if f:
+            _revcomp_bseq(frag[j])
+            for r in res.regs[j]:
+                r.qs, r.qe = len(seqs[j]) - r.qe, len(seqs[j]) - r.qs
+                r.rev = not r.rev
+    return res
+
+
+def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
+             n_threads: int = 1) -> None:
     """Map all query files against one index part; emit or (with
     --split-prefix) dump raw hits to the part's temp file
-    (map.c:571-585, mm_split_init)."""
+    (map.c:571-585, mm_split_init).
+
+    Structured like the reference's 3-step kt_pipeline (map.c:526-621,
+    kthread.c:97-159): a producer thread reads mini-batches (step 0), a
+    thread pool maps fragments (step 1, kt_for), and results are consumed
+    in submission order (step 2's in-order delivery invariant). The host
+    DP (native C++), NumPy, and the TPU dispatch all release the GIL, so
+    mapping threads overlap."""
     import pickle
+    import queue as queue_mod
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     dump = None
     if mo.split_prefix:
         dump = dict(k=mi.k, seq=[(s.name, s.length) for s in mi.seq],
@@ -446,39 +490,41 @@ def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int) -> None:
     # (main.c:404-410); only MM_F_FRAG_MODE groups them into fragments
     frag_mode = bool(mo.flag & MM_F_FRAG_MODE)
     reader = FastxReader(query_paths, mo.mini_batch_size, frag_mode)
-    for batch in reader.batches():
-        for frag in batch:
-            # orient mates per pe_ori before joint chaining (map.c:436-441)
-            flip = [len(frag) == 2 and bool((mo.pe_ori >> (1 - j)) & 1)
-                    for j in range(len(frag))]
-            for j, f in enumerate(flip):
-                if f:
-                    _revcomp_bseq(frag[j])
-            seqs = [s.seq for s in frag]
-            if (mo.flag & MM_F_INDEPEND_SEG) and len(frag) > 1:
-                # map each segment independently (map.c:442-447)
-                res = map_frag(mi, [seqs[0]], mo, frag[0].name)
-                res.rep_lens = [res.rep_len]
-                for j in range(1, len(frag)):
-                    rj = map_frag(mi, [seqs[j]], mo, frag[j].name)
-                    res.regs.append(rj.regs[0])
-                    res.rep_lens.append(rj.rep_len)
-            else:
-                res = map_frag(mi, seqs, mo, frag[0].name)
-            # flip the query strand/coords back to the read's own strand
-            # (map.c:455-466)
-            for j, f in enumerate(flip):
-                if f:
-                    _revcomp_bseq(frag[j])
-                    for r in res.regs[j]:
-                        r.qs, r.qe = len(seqs[j]) - r.qe, len(seqs[j]) - r.qs
-                        r.rev = not r.rev
-            if dump is not None:
-                for j in range(len(frag)):
-                    dump["reads"].append(
-                        (res.regs[j], res.rep_len, res.frag_gap))
-            else:
-                emit(mi, mo, frag, res, out)
+
+    def consume(frag, res):
+        if dump is not None:
+            for j in range(len(frag)):
+                dump["reads"].append(
+                    (res.regs[j], res.rep_len, res.frag_gap))
+        else:
+            emit(mi, mo, frag, res, out)
+
+    if n_threads <= 1:
+        for batch in reader.batches():
+            for frag in batch:
+                consume(frag, _map_one_frag(mi, mo, frag))
+    else:
+        batches: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+
+        def produce():
+            try:
+                for batch in reader.batches():
+                    batches.put(batch)
+                batches.put(None)
+            except BaseException as e:  # surface reader errors in step 2
+                batches.put(e)
+
+        threading.Thread(target=produce, daemon=True).start()
+        with ThreadPoolExecutor(n_threads) as ex:
+            while True:
+                batch = batches.get()
+                if batch is None:
+                    break
+                if isinstance(batch, BaseException):
+                    raise batch
+                for frag, res in zip(batch, ex.map(
+                        lambda fr: _map_one_frag(mi, mo, fr), batch)):
+                    consume(frag, res)
     if dump is not None:
         with open(f"{mo.split_prefix}.{part_idx:04d}.tmp", "wb") as f:
             pickle.dump(dump, f)

@@ -50,16 +50,20 @@ class ChainRouter:
 
 
 _NATIVE = None
+_NATIVE_LOCK = __import__("threading").Lock()
 
 
 def _native():
     global _NATIVE
     if _NATIVE is None:
-        try:
-            from ..native import lib as native_lib
-            _NATIVE = native_lib if native_lib.available() else False
-        except Exception:
-            _NATIVE = False
+        with _NATIVE_LOCK:
+            if _NATIVE is None:
+                try:
+                    from ..native import lib as native_lib
+                    _NATIVE = (native_lib if native_lib.available()
+                               else False)
+                except Exception:
+                    _NATIVE = False
     return _NATIVE
 
 

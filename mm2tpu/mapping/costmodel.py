@@ -21,6 +21,7 @@ hw_sw_split/find_params.py), stored as JSON.
 from __future__ import annotations
 
 import json
+import threading
 import time
 from dataclasses import asdict, dataclass
 from typing import Optional, Sequence
@@ -64,6 +65,7 @@ class DeviceQueue:
     def __init__(self, clock=time.monotonic):
         self._clock = clock
         self._end = 0.0  # predicted completion, in clock seconds
+        self._lock = threading.Lock()  # mapping threads race on admission
 
     def wait_ms(self) -> float:
         return max(0.0, self._end - self._clock()) * 1e3
@@ -71,11 +73,13 @@ class DeviceQueue:
     def admit(self, t_dev_ms: float, t_host_ms: float) -> bool:
         """True if the task should run on the device given the queue;
         on admission the predicted-completion clock is extended."""
-        if self.wait_ms() + t_dev_ms >= t_host_ms:
-            return False
-        now = self._clock()
-        self._end = max(self._end, now) + t_dev_ms * 1e-3
-        return True
+        with self._lock:
+            if max(0.0, self._end - self._clock()) * 1e3 + t_dev_ms \
+                    >= t_host_ms:
+                return False
+            now = self._clock()
+            self._end = max(self._end, now) + t_dev_ms * 1e-3
+            return True
 
 
 def fit_cost_model(rows: Sequence[Sequence[float]]) -> CostModel:

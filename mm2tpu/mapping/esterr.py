@@ -6,7 +6,7 @@ from typing import List
 
 import numpy as np
 
-from .hit import Region, _i32
+from .hit import Region, _i32, _i32v
 
 f32 = np.float32
 
@@ -20,6 +20,30 @@ def _get_for_qpos(qlen: int, a_row) -> int:
     return x
 
 
+def _qpos_vec(qlen: int, seg: np.ndarray) -> np.ndarray:
+    """_get_for_qpos over a chain's anchor rows (vectorized)."""
+    x = _i32v(seg[:, 1])
+    span = ((seg[:, 1] >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+    rev = (seg[:, 0] >> np.uint64(63)).astype(bool)
+    return np.where(rev, qlen - 1 - (x + 1 - span), x)
+
+
+def _match_loop(qlen, a, r, mp_low, st):
+    """The reference's sequential two-pointer match (esterr.c:43-52) —
+    fallback for non-monotone inputs."""
+    n = len(mp_low)
+    en, n_match, k, j = st, 1, 1, st + 1
+    while j < n and k < r.cnt:
+        xx = _get_for_qpos(
+            qlen, a[r.as_ + r.cnt - 1 - k] if r.rev else a[r.as_ + k])
+        if xx == int(mp_low[j]):
+            k += 1
+            en = j
+            n_match += 1
+        j += 1
+    return en, n_match
+
+
 def est_err(mi, qlen: int, regs: List[Region], a: np.ndarray,
             mini_pos: np.ndarray) -> None:
     """mm_est_err (esterr.c:30-64): sets Region.div."""
@@ -29,28 +53,35 @@ def est_err(mi, qlen: int, regs: List[Region], a: np.ndarray,
     sum_k = int(np.sum((mini_pos >> np.uint64(32)) & np.uint64(0xFF)))
     avg_k = float(f32(sum_k) / f32(n))
     mp_low = (mini_pos & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    # the vectorized matcher assumes strictly increasing positions on both
+    # sides (true for real chains); otherwise use the reference loop
+    mp_strict = bool(np.all(np.diff(mp_low) > 0))
 
     for r in regs:
         r.div = -1.0
         if r.cnt == 0:
             continue
-        first = a[r.as_ + r.cnt - 1] if r.rev else a[r.as_]
-        x = _get_for_qpos(qlen, first)
-        st = int(np.searchsorted(mp_low, x))
-        if st >= n or mp_low[st] != x:
+        seg = a[r.as_:r.as_ + r.cnt]
+        xs = _qpos_vec(qlen, seg)
+        if r.rev:
+            xs = xs[::-1]
+        st = int(np.searchsorted(mp_low, xs[0]))
+        if st >= n or mp_low[st] != xs[0]:
             continue  # logic inconsistency warning in the reference
-        en = st
         l_ref = mi.seq[r.rid].length
-        n_match = 1
-        k = 1
-        j = st + 1
-        while j < n and k < r.cnt:
-            xx = _get_for_qpos(qlen, a[r.as_ + r.cnt - 1 - k] if r.rev else a[r.as_ + k])
-            if xx == int(mp_low[j]):
-                k += 1
-                en = j
-                n_match += 1
-            j += 1
+        if r.cnt == 1:
+            en, n_match = st, 1
+        elif mp_strict and bool(np.all(np.diff(xs) > 0)):
+            idx = np.searchsorted(mp_low, xs[1:])
+            safe = np.minimum(idx, n - 1)
+            ok = (idx < n) & (mp_low[safe] == xs[1:])
+            # the sequential scan stalls at the first unmatched anchor
+            fail = np.flatnonzero(~ok)
+            n_cons = int(fail[0]) if len(fail) else len(ok)
+            n_match = 1 + n_cons
+            en = int(idx[n_cons - 1]) if n_cons > 0 else st
+        else:
+            en, n_match = _match_loop(qlen, a, r, mp_low, st)
         n_tot = en - st + 1
         if r.qs > avg_k and r.rs > avg_k:
             n_tot += 1

@@ -71,24 +71,35 @@ class Region:
 
 
 def _cal_fuzzy_len(r: Region, a: np.ndarray) -> None:
-    """hit.c:8-21."""
+    """hit.c:8-21 (vectorized over the chain's anchors)."""
     r.mlen = r.blen = 0
     if r.cnt <= 0:
         return
-    span0 = int((a[r.as_, 1] >> np.uint64(32)) & np.uint64(0xFF))
-    r.mlen = r.blen = span0
-    for i in range(r.as_ + 1, r.as_ + r.cnt):
-        span = int((a[i, 1] >> np.uint64(32)) & np.uint64(0xFF))
-        tl = _i32(a[i, 0]) - _i32(a[i - 1, 0])
-        ql = _i32(a[i, 1]) - _i32(a[i - 1, 1])
-        r.blen += max(tl, ql)
-        r.mlen += span if (tl > span and ql > span) else min(tl, ql)
+    seg = a[r.as_:r.as_ + r.cnt]
+    spans = ((seg[:, 1] >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+    r.mlen = r.blen = int(spans[0])
+    if r.cnt == 1:
+        return
+    xi = _i32v(seg[:, 0])
+    yi = _i32v(seg[:, 1])
+    tl = np.diff(xi)
+    ql = np.diff(yi)
+    sp = spans[1:]
+    r.blen += int(np.sum(np.maximum(tl, ql)))
+    r.mlen += int(np.sum(np.where((tl > sp) & (ql > sp), sp,
+                                  np.minimum(tl, ql))))
 
 
 def _i32(v) -> int:
     """(int32_t)v on a uint64."""
     v = int(v) & 0xFFFFFFFF
     return v - 0x100000000 if v >= 0x80000000 else v
+
+
+def _i32v(col: np.ndarray) -> np.ndarray:
+    """(int32_t) of each uint64 element, as int64."""
+    x = (col & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    return x - ((x >> 31) << 32)
 
 
 def reg_set_coor(r: Region, qlen: int, a: np.ndarray) -> None:

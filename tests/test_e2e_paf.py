@@ -47,3 +47,21 @@ def test_mmi_index_input(golden_dir, ref_test_dir):
     out = run_cli(f"--chain-backend python -x map-ont "
                   f"{golden_dir}/mapont_MTorang.mmi {T}/MT-human.fa")
     assert out == (golden_dir / "mapont_MT.paf").read_text()
+
+
+def test_threaded_pipeline_parity(ref_test_dir, tmp_path):
+    """-t N must produce byte-identical, in-order output (kt_pipeline's
+    ordered-delivery invariant, kthread.c:97-128)."""
+    seq = "".join(l.strip() for l in
+                  (ref_test_dir / "MT-human.fa").read_text().splitlines()[1:])
+    reads = tmp_path / "reads.fa"
+    with open(reads, "w") as f:
+        for i in range(40):
+            st = (i * 397) % (len(seq) - 2200)
+            f.write(f">r{i}\n{seq[st:st + 2000]}\n")
+    args = f"--chain-backend python -x map-ont {ref_test_dir}/MT-orang.fa {reads}"
+    single = run_cli("-t 1 " + args)
+    multi = run_cli("-t 4 " + args)
+    assert single == multi
+    assert [l.split("\t")[0] for l in single.splitlines()] \
+        == sorted([f"r{i}" for i in range(40)], key=lambda s: int(s[1:]))
