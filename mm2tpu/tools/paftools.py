@@ -1295,6 +1295,76 @@ def cmd_sam2paf(argv: List[str]) -> int:
 
 
 # ---------------------------------------------------------------------------
+# delta2paf (paftools.js:1813-1874)
+
+def cmd_delta2paf(argv: List[str]) -> int:
+    args = _getopt(argv, "")
+    if not args.pos:
+        _warn("Usage: paftools delta2paf <in.delta>")
+        return 1
+    rname = qname = rlen = qlen = qs = qe = rs = re_ = None
+    strand = NM = x = y = 0
+    cigar: List[int] = []
+    seen_gt = False
+    with _open(args.pos[0]) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            m = re.match(r"^>(\S+)\s+(\S+)\s+(\d+)\s+(\d+)", line)
+            if m:
+                rname, qname = m.group(1), m.group(2)
+                rlen, qlen = int(m.group(3)), int(m.group(4))
+                seen_gt = True
+                continue
+            if not seen_gt:
+                continue
+            t = line.split(" ")
+            if len(t) == 7:
+                t = [int(v) for v in t[:5]]
+                strand = 1 if ((t[0] < t[1] and t[2] < t[3]) or
+                               (t[0] > t[1] and t[2] > t[3])) else -1
+                rs, re_ = min(t[0], t[1]) - 1, max(t[0], t[1])
+                qs, qe = min(t[2], t[3]) - 1, max(t[2], t[3])
+                x = y = 0
+                NM = t[4]
+                cigar = []
+            elif len(t) == 1:
+                d = int(t[0])
+                if d == 0:
+                    blen = 0
+                    cigar_str = []
+                    if re_ - rs - x != qe - qs - y:
+                        raise RuntimeError("inconsistent alignment")
+                    cigar.append((re_ - rs - x) << 4)
+                    for c in cigar:
+                        blen += c >> 4
+                        cigar_str.append("%d%s" % (c >> 4, "MID"[c & 0xF]))
+                    _p(qname, qlen, qs, qe, "+" if strand > 0 else "-",
+                       rname, rlen, rs, re_, blen - NM, blen, 0,
+                       "NM:i:%d" % NM, "cg:Z:" + "".join(cigar_str))
+                elif d > 0:
+                    l = d - 1
+                    x += l + 1
+                    y += l
+                    if l > 0:
+                        cigar.append(l << 4)
+                    if cigar and (cigar[-1] & 0xF) == 2:
+                        cigar[-1] += 1 << 4
+                    else:
+                        cigar.append(1 << 4 | 2)  # deletion
+                else:
+                    l = -d - 1
+                    x += l
+                    y += l + 1
+                    if l > 0:
+                        cigar.append(l << 4)
+                    if cigar and (cigar[-1] & 0xF) == 1:
+                        cigar[-1] += 1 << 4
+                    else:
+                        cigar.append(1 << 4 | 1)  # insertion
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # splice2bed (paftools.js:1876-1989)
 
 def cmd_splice2bed(argv: List[str]) -> int:
@@ -1998,6 +2068,7 @@ COMMANDS = {
     "view": cmd_view,
     "stat": cmd_stat,
     "sam2paf": cmd_sam2paf,
+    "delta2paf": cmd_delta2paf,
     "liftover": cmd_liftover,
     "liftOver": cmd_liftover,
     "call": cmd_call,

@@ -393,3 +393,21 @@ def test_version():
 
 def test_usage():
     _, _ = run([], expect_rc=1)
+
+
+def test_delta2paf(tmp_path):
+    # MUMmer delta: ref r1 (len 1000), qry q1 (len 500); alignment
+    # r[101,200] x q[1,100], one deletion at offset 10 (ref base unmatched)
+    delta = tmp_path / "a.delta"
+    delta.write_text(
+        "/ref /qry\nNUCMER\n"
+        ">r1 q1 1000 500\n"
+        "101 200 1 99 2 2 0\n"
+        "10\n"
+        "0\n")
+    out, _ = run(["delta2paf", str(delta)])
+    t = out.splitlines()[0].split("\t")
+    assert t[0:2] == ["q1", "500"]
+    assert t[4:9] == ["+", "r1", "1000", "100", "200"]
+    assert "cg:Z:9M1D90M" in t
+    assert "NM:i:2" in t
