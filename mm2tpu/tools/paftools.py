@@ -2064,6 +2064,11 @@ def _getopt(argv: List[str], ostr: str) -> _Args:
     return out
 
 
+def _asm_commands():
+    from . import paftools_asm
+    return paftools_asm.COMMANDS
+
+
 COMMANDS = {
     "view": cmd_view,
     "stat": cmd_stat,
@@ -2103,6 +2108,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("  bedcov     compute the number of bases covered")
         print("  ov-eval    evaluate read overlap sensitivity")
         print("  vcfstat    VCF statistics")
+        print("  asmstat    assembly statistics (NG50/NGA50, breaks)")
+        print("  asmgene    evaluate gene completeness in an assembly")
+        print("  misjoin    count candidate misjoins in an assembly")
+        print("  vcfpair    merge a phased-pair VCF into one sample")
+        print("  sveval     structural-variant call evaluation")
+        print("  delta2paf  convert MUMmer delta to PAF")
         print("  pbsim2fq   convert pbsim MAF to FASTA")
         print("  mason2fq   convert mason2 SAM to FASTQ")
         print("  version    print version number")
@@ -2111,7 +2122,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     if cmd == "version":
         print(VERSION)
         return 0
-    fn = COMMANDS.get(cmd)
+    fn = COMMANDS.get(cmd) or _asm_commands().get(cmd)
     if fn is None:
         _warn("ERROR: unknown command '%s'" % cmd)
         return 1
