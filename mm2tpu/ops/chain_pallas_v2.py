@@ -62,10 +62,41 @@ def _ilog2_tile(v, exact_max: int = 1 << 30):
 
 def _pair_key(dr, dq, same, hi_ok, span_i, f_j, d, avg,
               max_dist_x, max_dist_y, bw, iter_cap, gap_scale, is_cdna,
-              n_segs, extra_ok=None):
+              n_segs, extra_ok=None, need_sc=True, d_min1=False):
     """Packed candidate key for predecessor candidates (vector ops only).
     dr/dq/d int32 tiles; span_i broadcastable; f_j predecessor scores.
-    same=True specializes the single-segment non-cDNA fast path."""
+    same=True specializes the single-segment non-cDNA fast path.
+    d_min1=True asserts the caller guarantees d >= 1 (ring ages and the
+    intra-chunk triangle both do), dropping that gate."""
+    cap = min(iter_cap, WINDOW)
+    if same is True and max_dist_x <= max_dist_y:
+        # uniseg fast path with fused range algebra: under hi_ok the ring
+        # is position-sorted so dr >= 0, and the reference gates
+        # (dr != 0, dq > 0, dr <= mdx, dq <= min(mdy, mdx), |dr-dq| <= bw)
+        # collapse to two comparisons on (min, max) of (dr, dq)
+        # (chain.c:121-131 with max_dist_y >= max_dist_x).
+        lohi = jnp.maximum(dr, dq)
+        lolo = jnp.minimum(dr, dq)
+        ok = (d <= cap) & hi_ok & (lolo >= 1) & (lohi <= max_dist_x)
+        if not d_min1:
+            ok &= d >= 1
+        if extra_ok is not None:
+            ok &= extra_ok
+        dd = lohi - lolo
+        ok &= dd <= bw
+        min3 = jnp.minimum(lolo, span_i).astype(jnp.int32)
+        log_dd = _ilog2_tile(dd, max(max_dist_x, max_dist_y, bw) + 1)
+        c_lin = (dd.astype(jnp.float32) * avg).astype(jnp.int32)
+        gap = c_lin + (log_dd >> 1)
+        if gap_scale == 1.0:
+            sc = min3 - gap
+        else:
+            sc = min3 - (gap.astype(jnp.float32) * jnp.float32(gap_scale)
+                         + jnp.float32(0.499)).astype(jnp.int32)
+        sc = sc + f_j
+        key = sc * WINDOW + (WINDOW - d)
+        key = jnp.where(ok, key, NEG)
+        return key, (jnp.where(ok, sc, NEG) if need_sc else None)
     ok = (d >= 1) & (d <= iter_cap) & (d <= WINDOW) & hi_ok & (dr <= max_dist_x)
     if same is True:
         ok &= ~((dr == 0) | (dq <= 0))
@@ -140,19 +171,40 @@ def _chain_kernel_v2(max_dist_x: int, max_dist_y: int, bw: int, iter_cap: int,
         # conditional costs far more than the wasted lanes.
         if True:
             # ---- load the 8 anchors; build column and row layouts ----
+            # (row layouts only for the fields phase B consumes)
+            # one SMEM read per scalar, shared by the layout builds and
+            # the phase-A broadcasts (the scalar core is on the critical
+            # path of this loop)
+            sc_hi = [hi_ref[cc * C + c] for c in range(C)]
+            sc_lo = [lo_ref[cc * C + c] for c in range(C)]
+            sc_qi = [qi_ref[cc * C + c] for c in range(C)]
+            sc_span = [span_ref[cc * C + c] for c in range(C)]
+            sc_sid = (None if uniseg
+                      else [sid_ref[cc * C + c] for c in range(C)])
+            col_fields = (sc_hi, sc_lo, sc_qi, sc_span) + \
+                (() if uniseg else (sc_sid,))
+            row_fields = (sc_hi, sc_lo, sc_qi) + \
+                (() if uniseg else (sc_sid,))
             cols = []
             rows = []
-            for field_ref in (hi_ref, lo_ref, qi_ref, span_ref, sid_ref):
+            for vals in col_fields:
                 col = neg_tile
+                for c in range(C):
+                    col = jnp.where(srow == c, vals[c], col)
+                cols.append(col)
+            for vals in row_fields:
                 row = neg_tile
                 for c in range(C):
-                    val = field_ref[cc * C + c]
-                    col = jnp.where(srow == c, val, col)
-                    row = jnp.where(scol == c, val, row)
-                cols.append(col)
+                    row = jnp.where(scol == c, vals[c], row)
                 rows.append(row)
-            hi_c, lo_c, qi_c, span_c, sid_c = cols
-            hi_r, lo_r, qi_r, span_r, sid_r = rows
+            if uniseg:
+                hi_c, lo_c, qi_c, span_c = cols
+                sid_c = None
+                hi_r, lo_r, qi_r = rows
+                sid_r = None
+            else:
+                hi_c, lo_c, qi_c, span_c, sid_c = cols
+                hi_r, lo_r, qi_r, sid_r = rows
 
             # ---- phase A: ring candidates, reductions deferred ----
             ring_hi = hi_s[:]
@@ -163,17 +215,12 @@ def _chain_kernel_v2(max_dist_x: int, max_dist_y: int, bw: int, iter_cap: int,
             ring_d = d_s[:]
             key_acc = neg_tile
             for c in range(C):
-                hi_i = hi_ref[cc * C + c]
-                lo_i = lo_ref[cc * C + c]
-                qi_i = qi_ref[cc * C + c]
-                span_i = span_ref[cc * C + c]
-                sid_i = sid_ref[cc * C + c]
-                same_a = True if uniseg else (ring_sid == sid_i)
+                same_a = True if uniseg else (ring_sid == sc_sid[c])
                 key_c, _ = _pair_key(
-                    lo_i - ring_lo, qi_i - ring_qi, same_a,
-                    ring_hi == hi_i, span_i, ring_f, ring_d + c, avg,
+                    sc_lo[c] - ring_lo, sc_qi[c] - ring_qi, same_a,
+                    ring_hi == sc_hi[c], sc_span[c], ring_f, ring_d + c, avg,
                     max_dist_x, max_dist_y, bw, iter_cap, gap_scale,
-                    is_cdna, n_segs)
+                    is_cdna, n_segs, need_sc=False, d_min1=True)
                 part = jnp.max(key_c, axis=0, keepdims=True)  # (1,128)
                 part = jnp.broadcast_to(part, (C, TILE))
                 key_acc = jnp.where(srow == c, part, key_acc)
@@ -186,7 +233,7 @@ def _chain_kernel_v2(max_dist_x: int, max_dist_y: int, bw: int, iter_cap: int,
                 lo_c - lo_r, qi_c - qi_r, same_b, hi_c == hi_r,
                 span_c, 0, srow - scol, avg,
                 max_dist_x, max_dist_y, bw, iter_cap, gap_scale,
-                is_cdna, n_segs, extra_ok=tri)
+                is_cdna, n_segs, extra_ok=tri, need_sc=False, d_min1=True)
 
             # Max-plus closure over packed keys. compose(A, B) adds B's
             # score field while keeping A's first-hop (1024-d) tie-break
@@ -225,7 +272,8 @@ def _chain_kernel_v2(max_dist_x: int, max_dist_y: int, bw: int, iter_cap: int,
             hi_s[:] = jnp.where(at, hi_c[:, 0:1], hi_s[:])
             lo_s[:] = jnp.where(at, lo_c[:, 0:1], lo_s[:])
             qi_s[:] = jnp.where(at, qi_c[:, 0:1], qi_s[:])
-            sid_s[:] = jnp.where(at, sid_c[:, 0:1], sid_s[:])
+            if not uniseg:
+                sid_s[:] = jnp.where(at, sid_c[:, 0:1], sid_s[:])
             f_s[:] = jnp.where(at, f_final, f_s[:])
             d_s[:] = jnp.where(at, C - row_iota[:, 0:1], d_s[:] + C)
             fo_s[:] = jnp.where(at, f_final, fo_s[:])
