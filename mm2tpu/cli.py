@@ -370,6 +370,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         parser.print_usage()
         return 1
 
+    from .utils import timing
+    timing.verbose = args.v
+
     io, mo = set_opt(None)
     if args.preset:
         io, mo = set_opt(args.preset, io, mo)
@@ -387,6 +390,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 1
     n_parts = 0
     while mi is not None:
+        timing.log("main", "loaded/built the index for %d target "
+                   "sequence(s)" % len(mi.seq))
         nxt = next(parts, None)
         first, last = n_parts == 0, nxt is None
         if args.dump_index:
@@ -422,8 +427,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             mi.n_alt = n_alt
         if args.query:
             mapopt_update(mo, mi)
-            _map_all(args.query, mi, mo, out, part_idx=n_parts,
-                     n_threads=max(1, args.t))
+            n_mapped = _map_all(args.query, mi, mo, out, part_idx=n_parts,
+                                n_threads=max(1, args.t))
+            timing.log("worker_pipeline", "mapped %d sequences" % n_mapped)
         n_parts += 1
         mi = nxt
 
@@ -431,6 +437,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         _split_merge(args.query, mo, n_parts, args.rg, out)
     if out is not sys.stdout:
         out.close()
+    timing.log_trailer(MM_VERSION, "mm2tpu " + " ".join(argv))
     return 0
 
 
@@ -466,7 +473,7 @@ def _map_one_frag(mi, mo: MapOptions, frag):
 
 
 def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
-             n_threads: int = 1) -> None:
+             n_threads: int = 1) -> int:
     """Map all query files against one index part; emit or (with
     --split-prefix) dump raw hits to the part's temp file
     (map.c:571-585, mm_split_init).
@@ -491,7 +498,11 @@ def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
     frag_mode = bool(mo.flag & MM_F_FRAG_MODE)
     reader = FastxReader(query_paths, mo.mini_batch_size, frag_mode)
 
+    n_mapped = 0
+
     def consume(frag, res):
+        nonlocal n_mapped
+        n_mapped += len(frag)
         if dump is not None:
             for j in range(len(frag)):
                 dump["reads"].append(
@@ -528,6 +539,7 @@ def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
     if dump is not None:
         with open(f"{mo.split_prefix}.{part_idx:04d}.tmp", "wb") as f:
             pickle.dump(dump, f)
+    return n_mapped
 
 
 def _split_merge(query_paths, mo: MapOptions, n_parts: int, rg, out) -> None:
