@@ -126,6 +126,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--router-params", metavar="JSON",
                    help="trained chaining cost-model constants "
                         "(scripts/train_router.py)")
+    p.add_argument("--map-mode", choices=["stream", "batch"],
+                   default="stream",
+                   help="batch = one device chaining dispatch per size "
+                        "bucket of reads (amortizes TPU launch latency)")
     return p
 
 
@@ -428,7 +432,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.query:
             mapopt_update(mo, mi)
             n_mapped = _map_all(args.query, mi, mo, out, part_idx=n_parts,
-                                n_threads=max(1, args.t))
+                                n_threads=max(1, args.t),
+                                map_mode=args.map_mode)
             timing.log("worker_pipeline", "mapped %d sequences" % n_mapped)
         n_parts += 1
         mi = nxt
@@ -472,8 +477,53 @@ def _map_one_frag(mi, mo: MapOptions, frag):
     return res
 
 
+def _map_batch(mi, mo: MapOptions, batch, consume) -> None:
+    """Batched-chaining mapping of one mini-batch (see
+    pipeline.map_frags_batched). Paired-end orientation and INDEPEND_SEG
+    splitting reproduce _map_one_frag exactly."""
+    from .mapping.pipeline import map_frags_batched
+
+    tasks, meta, flips = [], [], []
+    for fi, frag in enumerate(batch):
+        flip = [len(frag) == 2 and bool((mo.pe_ori >> (1 - j)) & 1)
+                for j in range(len(frag))]
+        for j, f in enumerate(flip):
+            if f:
+                _revcomp_bseq(frag[j])
+        flips.append(flip)
+        seqs = [s.seq for s in frag]
+        if (mo.flag & MM_F_INDEPEND_SEG) and len(frag) > 1:
+            for j in range(len(frag)):
+                tasks.append(([seqs[j]], frag[j].name))
+                meta.append((fi, j))
+        else:
+            tasks.append((seqs, frag[0].name))
+            meta.append((fi, None))
+    ress = map_frags_batched(mi, [t[0] for t in tasks], mo,
+                             [t[1] for t in tasks])
+    frag_res = {}
+    for (fi, seg), r in zip(meta, ress):
+        if seg is None or fi not in frag_res:
+            frag_res[fi] = r
+            if seg is not None:
+                r.rep_lens = [r.rep_len]
+        else:
+            frag_res[fi].regs.append(r.regs[0])
+            frag_res[fi].rep_lens.append(r.rep_len)
+    for fi, frag in enumerate(batch):
+        res = frag_res[fi]
+        seqs = [s.seq for s in frag]
+        for j, f in enumerate(flips[fi]):
+            if f:
+                _revcomp_bseq(frag[j])
+                for r in res.regs[j]:
+                    r.qs, r.qe = len(seqs[j]) - r.qe, len(seqs[j]) - r.qs
+                    r.rev = not r.rev
+        consume(frag, res)
+
+
 def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
-             n_threads: int = 1) -> int:
+             n_threads: int = 1, map_mode: str = "stream") -> int:
     """Map all query files against one index part; emit or (with
     --split-prefix) dump raw hits to the part's temp file
     (map.c:571-585, mm_split_init).
@@ -510,7 +560,10 @@ def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
         else:
             emit(mi, mo, frag, res, out)
 
-    if n_threads <= 1:
+    if map_mode == "batch":
+        for batch in reader.batches():
+            _map_batch(mi, mo, batch, consume)
+    elif n_threads <= 1:
         for batch in reader.batches():
             for frag in batch:
                 consume(frag, _map_one_frag(mi, mo, frag))

@@ -26,53 +26,88 @@ class FragResult:
     anchors: Optional[np.ndarray] = None  # post-chain anchors (debug)
 
 
-def map_frag(mi: MMIndex, seqs: Sequence[str], opt: MapOptions,
-             qname: Optional[str] = None) -> FragResult:
+@dataclass
+class _FragCtx:
+    """Per-fragment state between the seeding and post-chain stages —
+    lets the batched driver interleave many fragments' chaining."""
+    seqs: Sequence[str]
+    qlens: List[int]
+    qlen_sum: int
+    qname: Optional[str]
+    hash_: int
+    is_splice: bool
+    is_sr: bool
+    n_segs: int
+    mv: object
+    sr: object
+    gap_qry: int
+    gap_ref: int
+
+
+def _prepare(mi: MMIndex, seqs: Sequence[str], opt: MapOptions,
+             qname: Optional[str]):
+    """Seeding stage of mm_map_frag (map.c:272-316). Returns a _FragCtx,
+    or a final FragResult for degenerate inputs."""
     n_segs = len(seqs)
     qlens = [len(s) for s in seqs]
     qlen_sum = sum(qlens)
-    res = FragResult(regs=[[] for _ in range(n_segs)])
-    if qlen_sum == 0 or n_segs <= 0 or n_segs > MM_MAX_SEG:
-        return res
-    if opt.max_qlen > 0 and qlen_sum > opt.max_qlen:
-        return res
-
+    if qlen_sum == 0 or n_segs <= 0 or n_segs > MM_MAX_SEG or \
+            (opt.max_qlen > 0 and qlen_sum > opt.max_qlen):
+        return FragResult(regs=[[] for _ in range(max(n_segs, 0))])
     hash_ = reg_hash(qname, qlen_sum, opt.seed)
-    is_splice = bool(opt.flag & MM_F_SPLICE)
-    is_sr = bool(opt.flag & MM_F_SR)
-
     mv = collect_minimizers(mi, opt, seqs, qlens)
     sr = collect_seed_hits(mi, opt, opt.mid_occ, mv, qname, qlen_sum)
+    gap_qry, gap_ref = chain_gaps(opt, qlen_sum)
+    return _FragCtx(seqs=seqs, qlens=qlens, qlen_sum=qlen_sum, qname=qname,
+                    hash_=hash_, is_splice=bool(opt.flag & MM_F_SPLICE),
+                    is_sr=bool(opt.flag & MM_F_SR), n_segs=n_segs,
+                    mv=mv, sr=sr, gap_qry=gap_qry, gap_ref=gap_ref)
 
-    max_chain_gap_qry, max_chain_gap_ref = chain_gaps(opt, qlen_sum)
 
-    a, u = chain_dp(max_chain_gap_ref, max_chain_gap_qry, opt.bw,
-                    opt.max_chain_skip, opt.max_chain_iter, opt.min_cnt,
-                    opt.min_chain_score, opt.chain_gap_scale, is_splice,
-                    n_segs, sr.anchors, backend=opt.chain_backend)
+def _chain_ctx(ctx: _FragCtx, opt: MapOptions, anchors: np.ndarray):
+    return chain_dp(ctx.gap_ref, ctx.gap_qry, opt.bw, opt.max_chain_skip,
+                    opt.max_chain_iter, opt.min_cnt, opt.min_chain_score,
+                    opt.chain_gap_scale, ctx.is_splice, ctx.n_segs,
+                    anchors, backend=opt.chain_backend)
 
-    # re-seed with a higher occurrence cutoff if the best chain misses
-    # segments (map.c:318-340)
-    if opt.max_occ > opt.mid_occ and sr.rep_len > 0:
-        rechain = False
-        if len(u) > 0:
-            scores = (u >> np.uint64(32)).astype(np.int64)
-            cnts = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
-            max_i = int(np.argmax(scores))
-            off = int(np.sum(cnts[:max_i]))
-            segs_in = a[off: off + int(cnts[max_i]), 1] & np.uint64(MM_SEED_SEG_MASK)
-            n_chained_segs = 1 + int(np.sum(segs_in[1:] != segs_in[:-1]))
-            if n_chained_segs < n_segs:
-                rechain = True
-        else:
-            rechain = True
-        if rechain:
-            sr = collect_seed_hits(mi, opt, opt.max_occ, mv, qname, qlen_sum)
-            a, u = chain_dp(max_chain_gap_ref, max_chain_gap_qry, opt.bw,
-                            opt.max_chain_skip, opt.max_chain_iter, opt.min_cnt,
-                            opt.min_chain_score, opt.chain_gap_scale, is_splice,
-                            n_segs, sr.anchors, backend=opt.chain_backend)
 
+def _needs_rechain(ctx: _FragCtx, opt: MapOptions, a: np.ndarray,
+                   u: np.ndarray) -> bool:
+    """Re-seed trigger: best chain misses segments (map.c:318-340)."""
+    if not (opt.max_occ > opt.mid_occ and ctx.sr.rep_len > 0):
+        return False
+    if len(u) == 0:
+        return True
+    scores = (u >> np.uint64(32)).astype(np.int64)
+    cnts = (u & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    max_i = int(np.argmax(scores))
+    off = int(np.sum(cnts[:max_i]))
+    segs_in = a[off: off + int(cnts[max_i]), 1] & np.uint64(MM_SEED_SEG_MASK)
+    n_chained_segs = 1 + int(np.sum(segs_in[1:] != segs_in[:-1]))
+    return n_chained_segs < ctx.n_segs
+
+
+def map_frag(mi: MMIndex, seqs: Sequence[str], opt: MapOptions,
+             qname: Optional[str] = None) -> FragResult:
+    prep = _prepare(mi, seqs, opt, qname)
+    if isinstance(prep, FragResult):
+        return prep
+    ctx = prep
+    a, u = _chain_ctx(ctx, opt, ctx.sr.anchors)
+    if _needs_rechain(ctx, opt, a, u):
+        ctx.sr = collect_seed_hits(mi, opt, opt.max_occ, ctx.mv, qname,
+                                   ctx.qlen_sum)
+        a, u = _chain_ctx(ctx, opt, ctx.sr.anchors)
+    return _post_chain(mi, ctx, opt, a, u)
+
+
+def _post_chain(mi: MMIndex, ctx: _FragCtx, opt: MapOptions,
+                a: np.ndarray, u: np.ndarray) -> FragResult:
+    """Everything after chaining (map.c:344-391)."""
+    n_segs, qlens, qlen_sum = ctx.n_segs, ctx.qlens, ctx.qlen_sum
+    seqs, hash_, sr, is_sr = ctx.seqs, ctx.hash_, ctx.sr, ctx.is_sr
+    max_chain_gap_ref = ctx.gap_ref
+    res = FragResult(regs=[[] for _ in range(n_segs)])
     res.rep_len = sr.rep_len
     res.frag_gap = max_chain_gap_ref
 
@@ -107,6 +142,98 @@ def map_frag(mi: MMIndex, seqs: Sequence[str], opt: MapOptions,
                  qlens, res.regs)
     res.anchors = a
     return res
+
+
+def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
+                      opt: MapOptions,
+                      qnames: Sequence[Optional[str]]) -> List[FragResult]:
+    """Map many fragments with BATCHED device chaining: fragments are
+    seeded on host, their anchor arrays grouped into fixed-shape size
+    buckets (parallel/batching.py), and each bucket chained in ONE Pallas
+    dispatch — amortizing kernel-launch/transfer latency across reads,
+    the TPU re-expression of kt_for's read parallelism (SURVEY §2.3).
+
+    Semantics are mm_map_frag with the bounded-lookback (device) chaining
+    backend for every task — identical output to per-read mapping with
+    --chain-backend tpu, including the re-seed round (map.c:318-340)."""
+    import jax
+
+    from ..ops import chain_ref
+    from ..ops.chain_pallas import WINDOW
+    from ..ops.chain_pallas_v2 import chain_scores_device_v2, v_carry_host
+    from ..parallel.batching import bucket_for, pack_tasks
+
+    interpret = jax.default_backend() != "tpu"
+    results: List[Optional[FragResult]] = [None] * len(frag_seqs)
+    ctxs: dict = {}
+    pending: List[int] = []
+    for i, (seqs, qname) in enumerate(zip(frag_seqs, qnames)):
+        prep = _prepare(mi, seqs, opt, qname)
+        if isinstance(prep, FragResult):
+            results[i] = prep
+        else:
+            ctxs[i] = prep
+            pending.append(i)
+
+    def run_round(idxs):
+        outs = {}
+        groups: dict = {}
+        for i in idxs:
+            ctx = ctxs[i]
+            n = len(ctx.sr.anchors)
+            if n == 0:
+                outs[i] = (np.zeros((0, 2), np.uint64),
+                           np.zeros(0, np.uint64))
+                continue
+            iter_cap = min(WINDOW, opt.max_chain_iter)
+            key = (ctx.gap_ref, ctx.gap_qry, opt.bw, iter_cap,
+                   float(opt.chain_gap_scale), ctx.is_splice, ctx.n_segs,
+                   bucket_for(n))
+            groups.setdefault(key, []).append(i)
+        # quantize the batch dimension so compiled shapes recur across
+        # mini-batches (XLA compiles once per (B, N); an ad-hoc B would
+        # recompile every batch)
+        B_SIZES = (8, 32, 128)
+        empty = np.zeros((0, 2), np.uint64)
+        for key, members in groups.items():
+            mdx, mdy, bw, iter_cap, gs, is_cdna, n_segs, N = key
+            for off in range(0, len(members), B_SIZES[-1]):
+                chunk = members[off:off + B_SIZES[-1]]
+                B = next(b for b in B_SIZES if b >= len(chunk))
+                tasks = [ctxs[i].sr.anchors for i in chunk] + \
+                    [empty] * (B - len(chunk))
+                pb = pack_tasks(tasks, list(range(B)), N)
+                f, p = chain_scores_device_v2(
+                    pb.hi, pb.lo, pb.qi, pb.span, pb.sid, pb.n, pb.avg,
+                    max_dist_x=mdx, max_dist_y=mdy, bw=bw,
+                    iter_cap=iter_cap, gap_scale=gs, is_cdna=is_cdna,
+                    n_segs=n_segs, interpret=interpret)
+                f = np.asarray(f).astype(np.int32)
+                p = np.asarray(p).astype(np.int64)
+                v = v_carry_host(f, p)
+                for row, i in enumerate(chunk):
+                    anchors = ctxs[i].sr.anchors
+                    n = len(anchors)
+                    outs[i] = chain_ref.chain_backtrack(
+                        n, f[row, :n], p[row, :n], v[row, :n], anchors,
+                        opt.min_cnt, opt.min_chain_score)
+        return outs
+
+    outs = run_round(pending)
+    rechain = []
+    for i in pending:
+        a, u = outs[i]
+        if _needs_rechain(ctxs[i], opt, a, u):
+            ctxs[i].sr = collect_seed_hits(mi, opt, opt.max_occ,
+                                           ctxs[i].mv, ctxs[i].qname,
+                                           ctxs[i].qlen_sum)
+            rechain.append(i)
+    if rechain:
+        outs.update(run_round(rechain))
+    for i in pending:
+        a, u = outs[i]
+        results[i] = _post_chain(mi, ctxs[i], opt, a, u)
+    return results
 
 
 def _align_regs(mi: MMIndex, opt: MapOptions, qlen: int, seq: str,

@@ -65,3 +65,20 @@ def test_threaded_pipeline_parity(ref_test_dir, tmp_path):
     assert single == multi
     assert [l.split("\t")[0] for l in single.splitlines()] \
         == sorted([f"r{i}" for i in range(40)], key=lambda s: int(s[1:]))
+
+
+def test_batch_mode_parity(ref_test_dir, tmp_path):
+    """--map-mode batch (bucketed device chaining, one dispatch per
+    bucket) must be byte-identical to streaming with the same kernel."""
+    seq = "".join(l.strip() for l in
+                  (ref_test_dir / "MT-human.fa").read_text().splitlines()[1:])
+    reads = tmp_path / "reads.fa"
+    with open(reads, "w") as f:
+        for i in range(10):
+            st = (i * 1103) % (len(seq) - 2200)
+            f.write(f">r{i}\n{seq[st:st + 2000]}\n")
+    args = f"-x map-ont {ref_test_dir}/MT-orang.fa {reads}"
+    stream = run_cli("--chain-backend tpu " + args)
+    batch = run_cli("--map-mode batch " + args)
+    assert stream == batch
+    assert len(batch.splitlines()) >= 10
