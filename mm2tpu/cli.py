@@ -126,6 +126,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--router-params", metavar="JSON",
                    help="trained chaining cost-model constants "
                         "(scripts/train_router.py)")
+    p.add_argument("--align-backend", choices=["host", "tpu"],
+                   help="send large dual-affine DP fills to the Pallas "
+                        "ksw2 kernel (bit-exact)")
     p.add_argument("--map-mode", choices=["stream", "batch"],
                    default="stream",
                    help="batch = one device chaining dispatch per size "
@@ -309,6 +312,8 @@ def apply_args(args, io: IdxOptions, mo: MapOptions) -> None:
             mo.e2 = int(parts[1])
     if args.chain_backend:
         mo.chain_backend = args.chain_backend
+    if args.align_backend:
+        mo.align_backend = args.align_backend
     if args.router_params:
         from .mapping import costmodel
         costmodel.set_default_model(costmodel.CostModel.load(

@@ -117,6 +117,10 @@ class MapOptions:
     # mm2tpu extension: chaining backend routing ("auto" mimics the
     # reference's learned HW/SW cost-model split, chain.c:80-111)
     chain_backend: str = "auto"  # auto | tpu | native | python
+    # mm2tpu extension: base-level alignment backend; "tpu" sends dual-
+    # affine fills above align_tpu_min_mat cells to the Pallas kernel
+    align_backend: str = "host"  # host | tpu
+    align_tpu_min_mat: int = 1 << 20
 
 
 @dataclass

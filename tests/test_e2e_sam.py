@@ -64,3 +64,14 @@ CASES = [
 def test_sam_cigar_parity(golden_dir, ref_test_dir, golden, args):
     out = run_cli("--chain-backend native " + args)
     assert out == load(golden_dir, golden)
+
+
+def test_align_backend_tpu_parity(golden_dir, ref_test_dir):
+    """--align-backend tpu (Pallas extd2 for large fills) must be
+    byte-identical; the MT read's main fills exceed the 1M-cell gate."""
+    out = run_cli(f"--align-backend tpu -x map-ont -a "
+                  f"{ref_test_dir}/MT-orang.fa {ref_test_dir}/MT-human.fa")
+    got = [l for l in out.splitlines() if not l.startswith("@PG")]
+    want = [l for l in (golden_dir / "mapont_MT_a.sam").read_text()
+            .splitlines() if not l.startswith("@PG")]
+    assert got == want
