@@ -122,6 +122,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alt-drop", type=float)
     p.add_argument("--mask-len")
     p.add_argument("--print-seeds", action="store_true")
+    p.add_argument("--print-aln-seq", action="store_true")
     p.add_argument("--chain-backend", choices=["auto", "tpu", "native", "python"])
     p.add_argument("--router-params", metavar="JSON",
                    help="trained chaining cost-model constants "
@@ -314,6 +315,12 @@ def apply_args(args, io: IdxOptions, mo: MapOptions) -> None:
         mo.chain_backend = args.chain_backend
     if args.align_backend:
         mo.align_backend = args.align_backend
+    if args.print_seeds:  # forces -t 1 like main.c:194
+        mo.dbg_print_seed = True
+        args.t = 1
+    if args.print_aln_seq:  # main.c:198
+        mo.dbg_print_aln_seq = True
+        args.t = 1
     if args.router_params:
         from .mapping import costmodel
         costmodel.set_default_model(costmodel.CostModel.load(
@@ -401,6 +408,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     while mi is not None:
         timing.log("main", "loaded/built the index for %d target "
                    "sequence(s)" % len(mi.seq))
+        if timing.verbose >= 3:  # mm_idx_stat (index.c:100-122)
+            st = mi.stat()
+            timing.log("mm_idx_stat", "kmer size: %d; skip: %d; is_hpc: %d;"
+                       " #seq: %d" % (mi.k, mi.w,
+                                      1 if (mi.flag & MM_I_HPC) else 0,
+                                      len(mi.seq)))
+            timing.log("mm_idx_stat", "distinct minimizers: %d (%.2f%% are "
+                       "singletons); average occurrences: %.3f; average "
+                       "spacing: %.3f; total length: %d"
+                       % (st["distinct_minimizers"], st["singleton_pct"],
+                          st["avg_occurrences"], st["avg_spacing"],
+                          st["total_length"]))
         nxt = next(parts, None)
         first, last = n_parts == 0, nxt is None
         if args.dump_index:

@@ -277,6 +277,14 @@ def align_pair(opt: MapOptions, qseq, tseq, junc, mat, w: int,
                end_bonus: int, zdrop: int, flag: int) -> K.ExtzResult:
     """mm_align_pair (align.c:313-339)."""
     qlen, tlen = len(qseq), len(tseq)
+    if opt.dbg_print_aln_seq:  # --print-aln-seq (align.c:315-322)
+        import sys as _sys
+        print("===> q=(%d,%d), e=(%d,%d), bw=%d, flag=%d, zdrop=%d <==="
+              % (opt.q, opt.q2, opt.e, opt.e2, w, flag, opt.zdrop),
+              file=_sys.stderr)
+        code = "ACGTN"
+        print("".join(code[min(int(c), 4)] for c in tseq), file=_sys.stderr)
+        print("".join(code[min(int(c), 4)] for c in qseq), file=_sys.stderr)
     if opt.max_sw_mat > 0 and tlen * qlen > opt.max_sw_mat:
         ez = K.ExtzResult()
         ez.zdropped = True

@@ -87,12 +87,33 @@ def _needs_rechain(ctx: _FragCtx, opt: MapOptions, a: np.ndarray,
     return n_chained_segs < ctx.n_segs
 
 
+def _dump_anchor(tag, mi, a, i, first):
+    """--print-seeds SD/CN line (map.c:298-303, 350-354)."""
+    import sys as _sys
+    x, y = int(a[i, 0]), int(a[i, 1])
+    rid = (x << 1 >> 33) & 0x7FFFFFFF
+    diff = 0
+    if not first:
+        from .hit import _i32
+        diff = (_i32(a[i, 1]) - _i32(a[i - 1, 1])) - \
+               (_i32(a[i, 0]) - _i32(a[i - 1, 0]))
+    from .hit import _i32
+    print("\t".join(map(str, tag + (
+        mi.seq[rid].name, _i32(np.uint64(x)), "+-"[x >> 63],
+        _i32(np.uint64(y)), (y >> 32) & 0xFF, diff))), file=_sys.stderr)
+
+
 def map_frag(mi: MMIndex, seqs: Sequence[str], opt: MapOptions,
              qname: Optional[str] = None) -> FragResult:
     prep = _prepare(mi, seqs, opt, qname)
     if isinstance(prep, FragResult):
         return prep
     ctx = prep
+    if opt.dbg_print_seed:
+        import sys as _sys
+        print("RS\t%d" % ctx.sr.rep_len, file=_sys.stderr)
+        for i in range(len(ctx.sr.anchors)):
+            _dump_anchor(("SD",), mi, ctx.sr.anchors, i, i == 0)
     a, u = _chain_ctx(ctx, opt, ctx.sr.anchors)
     if _needs_rechain(ctx, opt, a, u):
         ctx.sr = collect_seed_hits(mi, opt, opt.max_occ, ctx.mv, qname,
@@ -115,6 +136,10 @@ def _post_chain(mi: MMIndex, ctx: _FragCtx, opt: MapOptions,
     if mi.n_alt:
         hit_mod.mark_alt(mi, regs0)
         regs0 = hit_mod.hit_sort(regs0, opt.alt_drop)
+    if opt.dbg_print_seed:
+        for j, r in enumerate(regs0):
+            for i in range(r.as_, r.as_ + r.cnt):
+                _dump_anchor(("CN", j), mi, a, i, i == r.as_)
 
     regs0 = hit_mod.chain_post(regs0, opt, max_chain_gap_ref, mi, qlen_sum,
                                n_segs, qlens, a)

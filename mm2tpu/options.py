@@ -121,6 +121,9 @@ class MapOptions:
     # affine fills above align_tpu_min_mat cells to the Pallas kernel
     align_backend: str = "host"  # host | tpu
     align_tpu_min_mat: int = 1 << 20
+    # debug channels (mm_dbg_flag, mmpriv.h:12-15)
+    dbg_print_aln_seq: bool = False
+    dbg_print_seed: bool = False
 
 
 @dataclass

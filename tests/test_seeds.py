@@ -82,3 +82,21 @@ def test_seed_and_chain_dump_parity(golden_dir, ref_test_dir, preset, golden):
                                (int(y) >> 32) & 0xFF))
         exp_cn = [(c[0], c[1], c[2], c[3], c[4], c[5]) for c in exp["CN"]]
         assert got_cn == exp_cn
+
+
+def test_cli_print_seeds_golden(golden_dir, ref_test_dir, capfd):
+    """--print-seeds CLI dump must byte-match the reference's SD/CN lines
+    (map.c:298-303, 350-354)."""
+    from mm2tpu.cli import main as cli_main
+    import io as _io
+    from contextlib import redirect_stdout
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(f"--print-seeds -x map-ont {ref_test_dir}/MT-orang.fa "
+                      f"{ref_test_dir}/MT-human.fa".split())
+    assert rc == 0
+    err = capfd.readouterr().err
+    got = [l for l in err.splitlines() if l[:2] in ("SD", "CN", "RS")]
+    want = [l for l in (golden_dir / "mapont_MT.seeds").read_text()
+            .splitlines() if l[:2] in ("SD", "CN", "RS")]
+    assert got == want
