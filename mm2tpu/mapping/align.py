@@ -293,22 +293,22 @@ def align_pair(opt: MapOptions, qseq, tseq, junc, mat, w: int,
         from ..ops.ksw2_splice_ref import ksw_exts2
         return ksw_exts2(qlen, qseq, tlen, tseq, mat, opt.q, opt.e, opt.q2,
                          opt.noncan, zdrop, opt.junc_bonus, flag, junc)
-    elif opt.q == opt.q2 and opt.e == opt.e2:
+    if opt.align_backend == "tpu" and \
+            qlen * tlen >= opt.align_tpu_min_mat:
+        # large fills go to the Pallas wavefront kernel (bit-exact vs the
+        # host ports, incl. the extz2 single-affine case — extd2 with
+        # q2=q, e2=e is cell-identical; dispatch latency only pays off
+        # above ~1M-cell matrices)
+        from ..ops.ksw2_pallas import extd2_batch
+        return extd2_batch(
+            [(np.asarray(qseq, np.uint8), np.asarray(tseq, np.uint8))],
+            mat, q=opt.q, e=opt.e, q2=opt.q2, e2=opt.e2, w=w,
+            zdrop=zdrop, end_bonus=end_bonus, flag=flag)[0]
+    if opt.q == opt.q2 and opt.e == opt.e2:
         return K.ksw_extz2(qlen, qseq, tlen, tseq, mat, opt.q, opt.e, w,
                            zdrop, end_bonus, flag)
-    else:
-        if getattr(opt, "align_backend", "host") == "tpu" and \
-                qlen * tlen >= getattr(opt, "align_tpu_min_mat", 1 << 20):
-            # large dual-affine fills go to the Pallas wavefront kernel
-            # (bit-exact vs the host port; dispatch latency only pays off
-            # above ~1M-cell matrices)
-            from ..ops.ksw2_pallas import extd2_batch
-            return extd2_batch(
-                [(np.asarray(qseq, np.uint8), np.asarray(tseq, np.uint8))],
-                mat, q=opt.q, e=opt.e, q2=opt.q2, e2=opt.e2, w=w,
-                zdrop=zdrop, end_bonus=end_bonus, flag=flag)[0]
-        return K.ksw_extd2(qlen, qseq, tlen, tseq, mat, opt.q, opt.e,
-                           opt.q2, opt.e2, w, zdrop, end_bonus, flag)
+    return K.ksw_extd2(qlen, qseq, tlen, tseq, mat, opt.q, opt.e,
+                       opt.q2, opt.e2, w, zdrop, end_bonus, flag)
 
 
 def _get_hplen_back(mi, rid: int, x: int) -> int:

@@ -110,3 +110,23 @@ def test_pallas_extd2_mixed_sizes():
     tasks = global_tasks(rng, n_tasks=2, lo=20, hi=40)
     tasks += global_tasks(rng, n_tasks=2, lo=150, hi=250)
     check(tasks, 4, 2, 24, 1, 151, 400, -1, 0)
+
+
+@pytest.mark.parametrize("flag", [0, K.KSW_EZ_EXTZ_ONLY,
+                                  K.KSW_EZ_EXTZ_ONLY | K.KSW_EZ_REV_CIGAR,
+                                  K.KSW_EZ_APPROX_MAX])
+def test_extz2_equals_extd2_equal_costs(flag):
+    """extz2(q,e) is cell-identical to extd2(q,e,q,e) — the identity the
+    tpu align backend relies on to serve the single-affine preset path
+    with the one device kernel."""
+    rng = np.random.default_rng(11)
+    for _ in range(3):
+        t8 = rng.integers(0, 4, int(rng.integers(60, 300))).astype(np.uint8)
+        q8 = mutate(t8, rng)
+        eb = 10 if flag & K.KSW_EZ_EXTZ_ONLY else -1
+        e1 = K.ksw_extz2(len(q8), q8, len(t8), t8, MAT, 4, 2, 151, 400,
+                         eb, flag)
+        e2 = K.ksw_extd2(len(q8), q8, len(t8), t8, MAT, 4, 2, 4, 2, 151,
+                         400, eb, flag)
+        for f in FIELDS:
+            assert getattr(e1, f) == getattr(e2, f), f
