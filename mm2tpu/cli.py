@@ -134,6 +134,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="stream",
                    help="batch = one device chaining dispatch per size "
                         "bucket of reads (amortizes TPU launch latency)")
+    p.add_argument("--mesh", type=int, metavar="N",
+                   help="shard batched chaining over an N-device data-"
+                        "parallel mesh (implies --map-mode batch)")
     return p
 
 
@@ -455,9 +458,11 @@ def main(argv: Optional[List[str]] = None) -> int:
             mi.n_alt = n_alt
         if args.query:
             mapopt_update(mo, mi)
-            n_mapped = _map_all(args.query, mi, mo, out, part_idx=n_parts,
-                                n_threads=max(1, args.t),
-                                map_mode=args.map_mode)
+            n_mapped = _map_all(
+                args.query, mi, mo, out, part_idx=n_parts,
+                n_threads=max(1, args.t),
+                map_mode="batch" if args.mesh else args.map_mode,
+                mesh_n=args.mesh)
             timing.log("worker_pipeline", "mapped %d sequences" % n_mapped)
         n_parts += 1
         mi = nxt
@@ -501,7 +506,7 @@ def _map_one_frag(mi, mo: MapOptions, frag):
     return res
 
 
-def _map_batch(mi, mo: MapOptions, batch, consume) -> None:
+def _map_batch(mi, mo: MapOptions, batch, consume, mesh=None) -> None:
     """Batched-chaining mapping of one mini-batch (see
     pipeline.map_frags_batched). Paired-end orientation and INDEPEND_SEG
     splitting reproduce _map_one_frag exactly."""
@@ -524,7 +529,7 @@ def _map_batch(mi, mo: MapOptions, batch, consume) -> None:
             tasks.append((seqs, frag[0].name))
             meta.append((fi, None))
     ress = map_frags_batched(mi, [t[0] for t in tasks], mo,
-                             [t[1] for t in tasks])
+                             [t[1] for t in tasks], mesh=mesh)
     frag_res = {}
     for (fi, seg), r in zip(meta, ress):
         if seg is None or fi not in frag_res:
@@ -547,7 +552,8 @@ def _map_batch(mi, mo: MapOptions, batch, consume) -> None:
 
 
 def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
-             n_threads: int = 1, map_mode: str = "stream") -> int:
+             n_threads: int = 1, map_mode: str = "stream",
+             mesh_n: Optional[int] = None) -> int:
     """Map all query files against one index part; emit or (with
     --split-prefix) dump raw hits to the part's temp file
     (map.c:571-585, mm_split_init).
@@ -585,8 +591,12 @@ def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
             emit(mi, mo, frag, res, out)
 
     if map_mode == "batch":
+        mesh = None
+        if mesh_n:
+            from .parallel.mesh import make_mesh
+            mesh = make_mesh(mesh_n)
         for batch in reader.batches():
-            _map_batch(mi, mo, batch, consume)
+            _map_batch(mi, mo, batch, consume, mesh=mesh)
     elif n_threads <= 1:
         for batch in reader.batches():
             for frag in batch:

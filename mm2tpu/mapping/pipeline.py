@@ -169,9 +169,27 @@ def _post_chain(mi: MMIndex, ctx: _FragCtx, opt: MapOptions,
     return res
 
 
+_SHARDED_STEPS: dict = {}
+
+
+def _sharded_step(mesh, key, interpret):
+    """Cached shard_map-wrapped chaining step per parameter set (a fresh
+    jit per mini-batch would recompile every time)."""
+    from ..parallel.mesh import sharded_chain_step
+    ck = (id(mesh), key, interpret)
+    if ck not in _SHARDED_STEPS:
+        mdx, mdy, bw, iter_cap, gs, is_cdna, n_segs, _N = key
+        _SHARDED_STEPS[ck] = sharded_chain_step(
+            mesh, max_dist_x=mdx, max_dist_y=mdy, bw=bw, iter_cap=iter_cap,
+            gap_scale=gs, is_cdna=is_cdna, n_segs=n_segs,
+            interpret=interpret)
+    return _SHARDED_STEPS[ck]
+
+
 def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
                       opt: MapOptions,
-                      qnames: Sequence[Optional[str]]) -> List[FragResult]:
+                      qnames: Sequence[Optional[str]],
+                      mesh=None) -> List[FragResult]:
     """Map many fragments with BATCHED device chaining: fragments are
     seeded on host, their anchor arrays grouped into fixed-shape size
     buckets (parallel/batching.py), and each bucket chained in ONE Pallas
@@ -180,7 +198,11 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
 
     Semantics are mm_map_frag with the bounded-lookback (device) chaining
     backend for every task — identical output to per-read mapping with
-    --chain-backend tpu, including the re-seed round (map.c:318-340)."""
+    --chain-backend tpu, including the re-seed round (map.c:318-340).
+
+    With `mesh` set, each bucket batch is sharded over the mesh's data
+    axis via shard_map (replicated kernel, split rows) — multi-chip data
+    parallelism over reads (SURVEY §2.3 item 1)."""
     import jax
 
     from ..ops import chain_ref
@@ -225,14 +247,21 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
             for off in range(0, len(members), B_SIZES[-1]):
                 chunk = members[off:off + B_SIZES[-1]]
                 B = next(b for b in B_SIZES if b >= len(chunk))
+                if mesh is not None and B % mesh.size != 0:
+                    B = -(-B // mesh.size) * mesh.size
                 tasks = [ctxs[i].sr.anchors for i in chunk] + \
                     [empty] * (B - len(chunk))
                 pb = pack_tasks(tasks, list(range(B)), N)
-                f, p = chain_scores_device_v2(
-                    pb.hi, pb.lo, pb.qi, pb.span, pb.sid, pb.n, pb.avg,
-                    max_dist_x=mdx, max_dist_y=mdy, bw=bw,
-                    iter_cap=iter_cap, gap_scale=gs, is_cdna=is_cdna,
-                    n_segs=n_segs, interpret=interpret)
+                if mesh is not None:
+                    step = _sharded_step(mesh, key, interpret)
+                    f, p = step(pb.hi, pb.lo, pb.qi, pb.span, pb.sid,
+                                pb.n, pb.avg)
+                else:
+                    f, p = chain_scores_device_v2(
+                        pb.hi, pb.lo, pb.qi, pb.span, pb.sid, pb.n, pb.avg,
+                        max_dist_x=mdx, max_dist_y=mdy, bw=bw,
+                        iter_cap=iter_cap, gap_scale=gs, is_cdna=is_cdna,
+                        n_segs=n_segs, interpret=interpret)
                 f = np.asarray(f).astype(np.int32)
                 p = np.asarray(p).astype(np.int64)
                 v = v_carry_host(f, p)

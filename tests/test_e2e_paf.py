@@ -82,3 +82,21 @@ def test_batch_mode_parity(ref_test_dir, tmp_path):
     batch = run_cli("--map-mode batch " + args)
     assert stream == batch
     assert len(batch.splitlines()) >= 10
+
+
+def test_mesh_sharded_mapping_parity(ref_test_dir, tmp_path):
+    """--mesh 8: batched chaining sharded over the 8-device virtual mesh
+    must produce byte-identical, in-order output (data parallelism over
+    reads with a replicated index, SURVEY §2.3)."""
+    seq = "".join(l.strip() for l in
+                  (ref_test_dir / "MT-human.fa").read_text().splitlines()[1:])
+    reads = tmp_path / "reads.fa"
+    with open(reads, "w") as f:
+        for i in range(16):
+            st = (i * 997) % (len(seq) - 2200)
+            f.write(f">r{i}\n{seq[st:st + 2000]}\n")
+    args = f"-x map-ont {ref_test_dir}/MT-orang.fa {reads}"
+    serial = run_cli("--chain-backend tpu " + args)
+    sharded = run_cli("--mesh 8 " + args)
+    assert serial == sharded
+    assert len(sharded.splitlines()) >= 16
