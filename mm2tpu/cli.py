@@ -128,8 +128,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="trained chaining cost-model constants "
                         "(scripts/train_router.py)")
     p.add_argument("--align-backend", choices=["host", "tpu"],
-                   help="send large dual-affine DP fills to the Pallas "
-                        "ksw2 kernel (bit-exact)")
+                   help="send large DP fills to the Pallas ksw2 kernels "
+                        "(bit-exact)")
+    p.add_argument("--align-tpu-min-mat", type=int,
+                   help="matrix-size threshold (cells) for the tpu align "
+                        "backend [1M]")
     p.add_argument("--map-mode", choices=["stream", "batch"],
                    default="stream",
                    help="batch = one device chaining dispatch per size "
@@ -318,6 +321,8 @@ def apply_args(args, io: IdxOptions, mo: MapOptions) -> None:
         mo.chain_backend = args.chain_backend
     if args.align_backend:
         mo.align_backend = args.align_backend
+    if args.align_tpu_min_mat is not None:
+        mo.align_tpu_min_mat = args.align_tpu_min_mat
     if args.print_seeds:  # forces -t 1 like main.c:194
         mo.dbg_print_seed = True
         args.t = 1

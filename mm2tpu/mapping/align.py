@@ -290,6 +290,14 @@ def align_pair(opt: MapOptions, qseq, tseq, junc, mat, w: int,
         ez.zdropped = True
         return ez
     if opt.flag & MM_F_SPLICE:
+        if opt.align_backend == "tpu" and \
+                qlen * tlen >= opt.align_tpu_min_mat:
+            from ..ops.ksw2_pallas import exts2_batch
+            return exts2_batch(
+                [(np.asarray(qseq, np.uint8), np.asarray(tseq, np.uint8))],
+                mat, q=opt.q, e=opt.e, q2=opt.q2, noncan=opt.noncan,
+                zdrop=zdrop, junc_bonus=opt.junc_bonus, flag=flag,
+                juncs=[junc] if junc is not None else None)[0]
         from ..ops.ksw2_splice_ref import ksw_exts2
         return ksw_exts2(qlen, qseq, tlen, tseq, mat, opt.q, opt.e, opt.q2,
                          opt.noncan, zdrop, opt.junc_bonus, flag, junc)

@@ -368,7 +368,8 @@ def extd2_device(lens, tsf, qcol, *, q: int, e: int, q2: int, e2: int,
     return d, ez
 
 
-def _backtrack_abs(rows, off, off_end, i0, j0, rev_cigar) -> List[int]:
+def _backtrack_abs(rows, off, off_end, i0, j0, rev_cigar,
+                   min_intron_len: int = 0) -> List[int]:
     """ksw_backtrack on absolute-indexed full-width direction rows."""
     cigar: List[int] = []
     i, j, state = i0, j0, 0
@@ -392,14 +393,18 @@ def _backtrack_abs(rows, off, off_end, i0, j0, rev_cigar) -> List[int]:
             _push_cigar(cigar, 0, 1)
             i -= 1
             j -= 1
-        elif state == 1 or state == 3:
+        elif state == 1 or (state == 3 and min_intron_len <= 0):
             _push_cigar(cigar, 2, 1)
+            i -= 1
+        elif state == 3 and min_intron_len > 0:
+            _push_cigar(cigar, 3, 1)
             i -= 1
         else:
             _push_cigar(cigar, 1, 1)
             j -= 1
     if i >= 0:
-        _push_cigar(cigar, 2, i + 1)
+        _push_cigar(cigar, 3 if (min_intron_len > 0 and
+                                 i >= min_intron_len) else 2, i + 1)
     if j >= 0:
         _push_cigar(cigar, 1, j + 1)
     if not rev_cigar:
@@ -504,4 +509,363 @@ def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
         elif rz.max_t >= 0 and rz.max_q >= 0:
             rz.cigar = _backtrack_abs(rows, st, en, rz.max_t, rz.max_q,
                                       rev_cigar)
+    return results
+
+
+# ---------------------------------------------------------------------------
+# exts2: splice-aware extension (ksw2_exts2_sse.c semantics; see
+# ops/ksw2_splice_ref.py for the model differences vs extd2)
+
+def _exts2_kernel(q: int, e: int, q2: int, zdrop: int,
+                  sc_mch: int, sc_mis: int, sc_N: int,
+                  long_thres: int, long_diff: int, right: bool, approx: bool,
+                  approx_drop: bool, Tpad: int, Rmax: int,
+                  lens_ref, tsf_ref, qcol_ref, don_ref, acc_ref,
+                  d_out, ez_out,
+                  u_s, v_s, x_s, y_s, x2_s, H_s, s_s, qrw_s, regs):
+    r = pl.program_id(0)
+    B = lens_ref.shape[0]
+    qe = q + e
+
+    @pl.when(r == 0)
+    def _init():
+        qrw_s[:] = jnp.zeros(qrw_s.shape, jnp.int32)
+        u_s[:] = jnp.full(u_s.shape, -qe, jnp.int32)
+        v_s[:] = jnp.full(v_s.shape, -qe, jnp.int32)
+        x_s[:] = jnp.full(x_s.shape, -qe, jnp.int32)
+        y_s[:] = jnp.full(y_s.shape, -qe, jnp.int32)
+        x2_s[:] = jnp.full(x2_s.shape, -q2, jnp.int32)
+        H_s[:] = jnp.full(H_s.shape, KSW_NEG_INF, jnp.int32)
+        s_s[:] = jnp.zeros(s_s.shape, jnp.int32)
+        rcol = jax.lax.broadcasted_iota(jnp.int32, regs.shape, 1)
+        init = jnp.zeros(regs.shape, jnp.int32)
+        for k in (R_MAXQ, R_MAXT, R_MQET, R_MTEQ, R_PST, R_PEN):
+            init = jnp.where(rcol == k, -1, init)
+        for k in (R_MQE, R_MTE, R_SCORE):
+            init = jnp.where(rcol == k, KSW_NEG_INF, init)
+        regs[:] = init
+
+    qlen = lens_ref[:, 0:1]
+    tlen = lens_ref[:, 1:2]
+
+    brk = regs[:, R_BREAK:R_BREAK + 1]
+    alive = (r < qlen + tlen - 1) & (brk == 0)
+
+    # no band in the splice kernel (ksw2_exts2_sse.c:179-181)
+    st0 = jnp.maximum(0, r - qlen + 1)
+    en0 = jnp.minimum(tlen - 1, r)
+    st = (st0 // 16) * 16
+    en = ((en0 + 16) // 16) * 16 - 1
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1)
+    prev_st = regs[:, R_PST:R_PST + 1]
+    prev_en = regs[:, R_PEN:R_PEN + 1]
+    covered = (st > 0) & (prev_st <= st - 1) & (st - 1 <= prev_en)
+    # first-column boundary decay (ksw2_exts2_sse.c:190-199): past
+    # long_thres it is 0 (free intron extension), not -e2
+    r_b = jnp.full((B, 1), r, jnp.int32)
+    row0_bnd = jnp.where(
+        r_b == 0, -qe,
+        jnp.where(r_b < long_thres, -e,
+                  jnp.where(r_b == long_thres, long_diff, 0)))
+    v1_def = jnp.where(st > 0, -qe, row0_bnd)
+
+    bnd_m = (col == r) & (en >= r) & alive
+    y_c = jnp.where(bnd_m, -qe, y_s[:, PADC:PADC + Tpad])
+    u_c = jnp.where(bnd_m, row0_bnd, u_s[:, PADC:PADC + Tpad])
+
+    q_r = _gather_col(qcol_ref[:], jnp.full((B, 1), r, jnp.int32))
+    qrw = jnp.where(col == 0, q_r, qrw_s[:, PADC - 1:PADC - 1 + Tpad])
+    qrw_s[:, PADC:PADC + Tpad] = qrw
+
+    sq = tsf_ref[:]
+    wild = (sq == 4) | (qrw == 4)
+    s_new = jnp.where(wild, sc_N, jnp.where(sq == qrw, sc_mch, sc_mis))
+    fresh = (col >= st0) & (col < st0 + ((en0 - st0) // 16) * 16 + 16) & alive
+    s_row = jnp.where(fresh, s_new, s_s[:])
+    s_s[:] = s_row
+
+    at_st = col == st
+    x_sh = x_s[:, PADC - 1:PADC - 1 + Tpad]
+    v_sh = v_s[:, PADC - 1:PADC - 1 + Tpad]
+    x2_sh = x2_s[:, PADC - 1:PADC - 1 + Tpad]
+    xt1 = jnp.where(at_st & ~covered, -qe, x_sh)
+    x2t1 = jnp.where(at_st & ~covered, -q2, x2_sh)
+    vt1 = jnp.where(at_st, jnp.where(covered, v_sh, v1_def), v_sh)
+
+    dn = don_ref[:]
+    ac = acc_ref[:]
+    z = s_row
+    a = xt1 + vt1
+    b = y_c + u_c
+    a2 = x2t1 + vt1
+    a2a = a2 + ac
+    if not right:
+        d = jnp.where(a > z, 1, 0)
+        z = jnp.maximum(z, a)
+        d = jnp.where(b > z, 2, d)
+        z = jnp.maximum(z, b)
+        d = jnp.where(a2a > z, 3, d)
+        z = jnp.maximum(z, a2a)
+    else:
+        d = jnp.where(z > a, 0, 1)
+        z = jnp.maximum(z, a)
+        d = jnp.where(z > b, d, 2)
+        z = jnp.maximum(z, b)
+        d = jnp.where(z > a2a, d, 3)
+        z = jnp.maximum(z, a2a)
+    u_new = z - vt1
+    v_new = z - u_c
+    t1 = z - q
+    a = a - t1
+    b = b - t1
+    a2 = a2 - (z - q2)
+    if not right:
+        ga, gb, ga2 = a > 0, b > 0, a2 > dn
+    else:
+        ga, gb, ga2 = a >= 0, b >= 0, a2 >= dn
+    x_new = jnp.where(ga, a, 0) - qe
+    y_new = jnp.where(gb, b, 0) - qe
+    x2_new = jnp.maximum(a2, dn) - q2
+    d = (d | jnp.where(ga, 0x08, 0) | jnp.where(gb, 0x10, 0)
+         | jnp.where(ga2, 0x20, 0))
+
+    bm = (col >= st) & (col <= en) & alive
+    d_out[0] = jnp.where(bm, d, 0).astype(jnp.int8)
+    u_s[:, PADC:PADC + Tpad] = jnp.where(bm, u_new, u_c)
+    v_s[:, PADC:PADC + Tpad] = jnp.where(bm, v_new, v_s[:, PADC:PADC + Tpad])
+    x_s[:, PADC:PADC + Tpad] = jnp.where(bm, x_new, x_s[:, PADC:PADC + Tpad])
+    y_s[:, PADC:PADC + Tpad] = jnp.where(bm, y_new, y_c)
+    x2_s[:, PADC:PADC + Tpad] = jnp.where(
+        bm, x2_new, x2_s[:, PADC:PADC + Tpad])
+
+    is_r0 = r == 0
+    if not approx:
+        H_old = H_s[:]
+        upd = (col >= st0) & (col < en0) & alive & (r > 0)
+        H_new = jnp.where(upd, H_old + v_new, H_old)
+        H_pm1 = _gather_col(H_old, en0 - 1)
+        u_en0 = _gather_col(u_new, en0)
+        v_en0 = _gather_col(v_new, en0)
+        H_en0_old = _gather_col(H_old, en0)
+        H_en0 = jnp.where(en0 > 0, H_pm1 + u_en0, H_en0_old + v_en0)
+        v0 = _gather_col(v_new, jnp.zeros((B, 1), jnp.int32))
+        H_en0 = jnp.where(is_r0, v0 - qe, H_en0)
+        H_new = jnp.where((col == en0) & alive, H_en0, H_new)
+        H_s[:] = H_new
+
+        valid = (col >= st0) & (col <= en0) & alive
+        en1 = st0 + ((en0 - st0) // 4) * 4
+        rel = col - st0
+        lane = rel & 3
+        rowl = rel >> 2
+        pri = jnp.where(
+            col == en0, 3 << 26,
+            jnp.where(col < en1, (2 << 26) - (lane << 22) - rowl,
+                      (1 << 26) - col))
+        M = jnp.max(jnp.where(valid, H_new, NEG32), axis=1, keepdims=True)
+        is_m = valid & (H_new == M)
+        P = jnp.max(jnp.where(is_m, pri, NEG32), axis=1, keepdims=True)
+        max_t = jnp.sum(jnp.where(is_m & (pri == P), col, 0),
+                        axis=1, keepdims=True)
+        max_t = jnp.where(is_r0, 0, max_t)
+        max_H = jnp.where(is_r0, H_en0, M)
+
+        mte = regs[:, R_MTE:R_MTE + 1]
+        mte_c = alive & (en0 == tlen - 1) & (H_en0 > mte)
+        regs[:, R_MTE:R_MTE + 1] = jnp.where(mte_c, H_en0, mte)
+        regs[:, R_MTEQ:R_MTEQ + 1] = jnp.where(
+            mte_c, r_b - en, regs[:, R_MTEQ:R_MTEQ + 1])
+        H_st0 = _gather_col(H_new, st0)
+        mqe = regs[:, R_MQE:R_MQE + 1]
+        mqe_c = alive & (r_b - st0 == qlen - 1) & (H_st0 > mqe)
+        regs[:, R_MQE:R_MQE + 1] = jnp.where(mqe_c, H_st0, mqe)
+        regs[:, R_MQET:R_MQET + 1] = jnp.where(
+            mqe_c, st0, regs[:, R_MQET:R_MQET + 1])
+        zH, zt, do_drop = max_H, max_t, True
+    else:
+        last = regs[:, R_LAST:R_LAST + 1]
+        H0 = regs[:, R_H0:R_H0 + 1]
+        u_full = u_s[:, PADC:PADC + Tpad]
+        v_full = v_s[:, PADC:PADC + Tpad]
+        c1 = (last >= st0) & (last <= en0)
+        c2 = (last + 1 >= st0) & (last + 1 <= en0)
+        d0 = _gather_col(v_full, last)
+        d1 = _gather_col(u_full, last + 1)
+        take1 = (c1 & c2 & (d1 >= d0)) | ~c1
+        last_n = jnp.where(take1, last + 1, last)
+        u_at = _gather_col(u_full, last_n)
+        inc = jnp.where(c1 & c2, jnp.maximum(d0, d1),
+                        jnp.where(c1, d0, u_at))
+        v0 = _gather_col(v_full, jnp.zeros((B, 1), jnp.int32))
+        H0_n = jnp.where(is_r0, v0 - qe, H0 + inc)
+        last_n = jnp.where(is_r0, 0, last_n)
+        regs[:, R_H0:R_H0 + 1] = jnp.where(alive, H0_n, H0)
+        regs[:, R_LAST:R_LAST + 1] = jnp.where(alive, last_n, last)
+        zH, zt, do_drop = H0_n, last_n, approx_drop
+
+    # Z-drop with slope e=0 (ksw2_exts2_sse.c:382)
+    ez_max = regs[:, R_MAX:R_MAX + 1]
+    ez_max_t = regs[:, R_MAXT:R_MAXT + 1]
+    ez_max_q = regs[:, R_MAXQ:R_MAXQ + 1]
+    upd_max = alive & (zH > ez_max)
+    if do_drop:
+        chk = alive & ~upd_max & (zt >= ez_max_t) & (r_b - zt >= ez_max_q)
+        dropped = chk & (ez_max - zH > zdrop) \
+            if zdrop >= 0 else jnp.zeros_like(chk)
+        regs[:, R_MAX:R_MAX + 1] = jnp.where(upd_max, zH, ez_max)
+        regs[:, R_MAXT:R_MAXT + 1] = jnp.where(upd_max, zt, ez_max_t)
+        regs[:, R_MAXQ:R_MAXQ + 1] = jnp.where(upd_max, r_b - zt, ez_max_q)
+        regs[:, R_ZDROP:R_ZDROP + 1] = jnp.where(
+            dropped, 1, regs[:, R_ZDROP:R_ZDROP + 1])
+    else:
+        dropped = jnp.zeros((B, 1), jnp.bool_)
+
+    sc_c = alive & ~dropped & (r_b == qlen + tlen - 2) & (en0 == tlen - 1)
+    regs[:, R_SCORE:R_SCORE + 1] = jnp.where(
+        sc_c, zH if approx else _gather_col(H_s[:], tlen - 1),
+        regs[:, R_SCORE:R_SCORE + 1])
+
+    regs[:, R_BREAK:R_BREAK + 1] = jnp.where(
+        dropped, 1, regs[:, R_BREAK:R_BREAK + 1])
+    regs[:, R_PST:R_PST + 1] = jnp.where(alive, st, prev_st)
+    regs[:, R_PEN:R_PEN + 1] = jnp.where(alive, en, prev_en)
+
+    @pl.when(r == Rmax - 1)
+    def _flush():
+        ez_out[:, 0:128] = regs[:]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "q", "e", "q2", "zdrop", "sc_mch", "sc_mis", "sc_N",
+    "right", "approx", "approx_drop", "Rmax", "interpret"))
+def exts2_device(lens, tsf, qcol, donor, acceptor, *, q: int, e: int,
+                 q2: int, zdrop: int, sc_mch: int, sc_mis: int, sc_N: int,
+                 right: bool, approx: bool, approx_drop: bool, Rmax: int,
+                 interpret: bool = False):
+    """Batched splice-extension rows. Extra vs extd2_device: per-task
+    donor/acceptor site-score arrays (B, Tpad)."""
+    B, Tpad = tsf.shape
+    long_thres = (q2 - q) // e - 1
+    if q2 > q + e + long_thres * e:
+        long_thres += 1
+    long_diff = long_thres * e - (q2 - q)
+    kern = functools.partial(
+        _exts2_kernel, q, e, q2, zdrop, sc_mch, sc_mis, sc_N,
+        long_thres, long_diff, right, approx, approx_drop, Tpad, Rmax)
+    full = pl.BlockSpec((B, Tpad), lambda r: (0, 0), memory_space=pltpu.VMEM)
+    d, ez = pl.pallas_call(
+        kern,
+        grid=(Rmax,),
+        in_specs=[
+            pl.BlockSpec((B, 2), lambda r: (0, 0), memory_space=pltpu.VMEM),
+            full,
+            pl.BlockSpec((B, qcol.shape[1]), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            full,
+            full,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, Tpad), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 128), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Rmax, B, Tpad), jnp.int8),
+            jax.ShapeDtypeStruct((B, 128), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((B, PADC + Tpad), jnp.int32)] * 5
+        + [pltpu.VMEM((B, Tpad), jnp.int32)] * 2
+        + [pltpu.VMEM((B, PADC + Tpad), jnp.int32)]
+        + [pltpu.VMEM((B, 128), jnp.int32)],
+        interpret=interpret,
+    )(lens, tsf, qcol, donor, acceptor)
+    return d, ez
+
+
+def exts2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
+                noncan: int, zdrop: int, junc_bonus: int, flag: int,
+                juncs: Sequence = None,
+                interpret: bool | None = None) -> List[ExtzResult]:
+    """Batch of (q8, t8) splice-extension tasks on device; host finishes
+    backtrack with the intron (N) op. juncs: per-task --junc-bed flag
+    arrays (or None). All tasks share (mat, costs, flag)."""
+    from .ksw2_splice_ref import _site_arrays
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    mat = np.asarray(mat, np.int32).reshape(-1)
+    sc_mch, sc_mis = int(mat[0]), int(mat[1])
+    sc_N = -e if mat[24] == 0 else int(mat[24])
+    min_sc = int(mat[1:].min())
+    results: List[ExtzResult] = [ExtzResult() for _ in tasks]
+    if q2 <= q + e:
+        return results
+    run_idx = [i for i, (q8, t8) in enumerate(tasks)
+               if len(q8) > 0 and len(t8) > 0 and -min_sc <= 2 * (q + e)]
+    if not run_idx:
+        return results
+    long_thres = (q2 - q) // e - 1
+    if q2 > q + e + long_thres * e:
+        long_thres += 1
+    B = len(run_idx)
+    Bp = max(8, -(-B // 8) * 8)
+    Tpad = -(-max(len(tasks[i][1]) + 16 for i in run_idx) // 128) * 128
+    Rmax = max(len(tasks[i][0]) + len(tasks[i][1]) - 1 for i in run_idx)
+    lens = np.zeros((Bp, 2), np.int32)
+    lens[:, 0] = 1
+    lens[:, 1] = 1
+    tsf = np.zeros((Bp, Tpad), np.int32)
+    qcol = np.zeros((Bp, -(-Rmax // 128) * 128), np.int32)
+    don = np.zeros((Bp, Tpad), np.int32)
+    acc = np.zeros((Bp, Tpad), np.int32)
+    for bi, i in enumerate(run_idx):
+        q8, t8 = tasks[i]
+        qlen, tlen = len(q8), len(t8)
+        lens[bi] = (qlen, tlen)
+        qr = np.zeros((qlen + 15) // 16 * 16 + 16, np.int32)
+        qr[:qlen] = np.asarray(q8, np.int32)[::-1]
+        tsf[bi] = _sf_image(np.asarray(t8, np.int32), Tpad, qr)
+        qcol[bi, :qlen] = np.asarray(q8, np.int32)
+        tpad_c = (tlen + 15) // 16 * 16
+        dn, ac = _site_arrays(tlen, tpad_c, np.asarray(t8, np.int32),
+                              juncs[i] if juncs is not None else None,
+                              noncan, junc_bonus, flag)
+        don[bi, :tpad_c] = dn
+        acc[bi, :tpad_c] = ac
+    d, ez = exts2_device(
+        jnp.asarray(lens), jnp.asarray(tsf), jnp.asarray(qcol),
+        jnp.asarray(don), jnp.asarray(acc),
+        q=q, e=e, q2=q2, zdrop=zdrop, sc_mch=sc_mch, sc_mis=sc_mis,
+        sc_N=sc_N, right=bool(flag & KSW_EZ_RIGHT),
+        approx=bool(flag & KSW_EZ_APPROX_MAX),
+        approx_drop=bool(flag & KSW_EZ_APPROX_DROP),
+        Rmax=Rmax, interpret=bool(interpret))
+    d = np.asarray(d)
+    ez = np.asarray(ez)
+    rev_cigar = bool(flag & KSW_EZ_REV_CIGAR)
+    for bi, i in enumerate(run_idx):
+        q8, t8 = tasks[i]
+        qlen, tlen = len(q8), len(t8)
+        rz = results[i]
+        rz.zdropped = bool(ez[bi, R_ZDROP])
+        rz.max = int(ez[bi, R_MAX])
+        rz.max_q = int(ez[bi, R_MAXQ])
+        rz.max_t = int(ez[bi, R_MAXT])
+        rz.mqe = int(ez[bi, R_MQE])
+        rz.mqe_t = int(ez[bi, R_MQET])
+        rz.mte = int(ez[bi, R_MTE])
+        rz.mte_q = int(ez[bi, R_MTEQ])
+        rz.score = int(ez[bi, R_SCORE])
+        st, en, _, _ = band_offsets(qlen, tlen, -1)
+        rows = d[:, bi, :]
+        if not rz.zdropped and not (flag & KSW_EZ_EXTZ_ONLY):
+            rz.cigar = _backtrack_abs(rows, st, en, tlen - 1, qlen - 1,
+                                      rev_cigar,
+                                      min_intron_len=long_thres)
+        elif rz.max_t >= 0 and rz.max_q >= 0:
+            rz.cigar = _backtrack_abs(rows, st, en, rz.max_t, rz.max_q,
+                                      rev_cigar,
+                                      min_intron_len=long_thres)
     return results

@@ -75,3 +75,15 @@ def test_align_backend_tpu_parity(golden_dir, ref_test_dir):
     want = [l for l in (golden_dir / "mapont_MT_a.sam").read_text()
             .splitlines() if not l.startswith("@PG")]
     assert got == want
+
+
+def test_align_backend_tpu_splice_parity(golden_dir, ref_test_dir, tmp_path):
+    """--align-backend tpu with the splice preset (Pallas exts2 kernel;
+    gate lowered to 0 so the tiny fixture's fills route to the kernel)."""
+    out = run_cli(f"--align-backend tpu --align-tpu-min-mat 0 "
+                  f"-x splice -a -k10 -w3 -m10 -n1 -s10 "
+                  f"{ref_test_dir}/t2.fa {ref_test_dir}/q2.fa")
+    got = [l for l in out.splitlines() if not l.startswith("@PG")]
+    want = [l for l in (golden_dir / "q2t2_splice_a.sam").read_text()
+            .splitlines() if not l.startswith("@PG")]
+    assert got == want

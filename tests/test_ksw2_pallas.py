@@ -130,3 +130,81 @@ def test_extz2_equals_extd2_equal_costs(flag):
                          400, eb, flag)
         for f in FIELDS:
             assert getattr(e1, f) == getattr(e2, f), f
+
+
+# ---------------------------------------------------------------------------
+# exts2 (splice) kernel
+
+
+def splice_tasks(rng, n_tasks=3, exon=60, intron=120):
+    """Queries = concatenated exons; targets = exons separated by a
+    GT..AG intron, so the splice state actually fires."""
+    from mm2tpu.ops.ksw2_splice_ref import ksw_exts2  # noqa: F401
+    tasks = []
+    for _ in range(n_tasks):
+        e1 = rng.integers(0, 4, exon).astype(np.uint8)
+        e2 = rng.integers(0, 4, exon).astype(np.uint8)
+        intr = rng.integers(0, 4, intron).astype(np.uint8)
+        intr[0], intr[1] = 2, 3          # GT donor
+        intr[-2], intr[-1] = 0, 2        # AG acceptor
+        t8 = np.concatenate([e1, intr, e2])
+        q8 = mutate(np.concatenate([e1, e2]), rng, sub=0.05, ind=0.02)
+        tasks.append((q8, t8))
+    return tasks
+
+
+def check_exts2(tasks, q, e, q2, noncan, zdrop, junc_bonus, flag,
+                juncs=None):
+    from mm2tpu.ops.ksw2_pallas import exts2_batch
+    from mm2tpu.ops.ksw2_splice_ref import ksw_exts2
+    res = exts2_batch(tasks, MAT, q=q, e=e, q2=q2, noncan=noncan,
+                      zdrop=zdrop, junc_bonus=junc_bonus, flag=flag,
+                      juncs=juncs, interpret=True)
+    for i, (q8, t8) in enumerate(tasks):
+        exp = ksw_exts2(len(q8), q8, len(t8), t8, MAT, q, e, q2, noncan,
+                        zdrop, junc_bonus, flag,
+                        junc=juncs[i] if juncs is not None else None)
+        for f in FIELDS:
+            assert getattr(exp, f) == getattr(res[i], f), (i, f)
+
+
+@pytest.mark.parametrize("seed", range(2))
+def test_pallas_exts2_splice_for(seed):
+    rng = np.random.default_rng(seed)
+    check_exts2(splice_tasks(rng), 4, 2, 32, 9, 200, 9,
+                K.KSW_EZ_SPLICE_FOR)
+
+
+def test_pallas_exts2_splice_rev_and_flank():
+    rng = np.random.default_rng(5)
+    check_exts2(splice_tasks(rng), 4, 2, 32, 9, 200, 9,
+                K.KSW_EZ_SPLICE_REV | K.KSW_EZ_SPLICE_FLANK)
+
+
+def test_pallas_exts2_rev_cigar():
+    rng = np.random.default_rng(6)
+    check_exts2(splice_tasks(rng), 4, 2, 32, 9, 200, 9,
+                K.KSW_EZ_SPLICE_FOR | K.KSW_EZ_REV_CIGAR |
+                K.KSW_EZ_RIGHT)
+
+
+def test_pallas_exts2_approx_and_junc():
+    rng = np.random.default_rng(7)
+    tasks = splice_tasks(rng)
+    juncs = []
+    for q8, t8 in tasks:
+        j = np.zeros(len(t8), np.uint8)
+        j[60] |= 1    # annotated donor at the intron start
+        j[180] |= 2   # annotated acceptor at the intron end
+        juncs.append(j)
+    check_exts2(tasks, 4, 2, 32, 9, 200, 9,
+                K.KSW_EZ_SPLICE_FOR | K.KSW_EZ_APPROX_MAX |
+                K.KSW_EZ_APPROX_DROP, juncs=juncs)
+
+
+def test_pallas_exts2_zdrop():
+    rng = np.random.default_rng(8)
+    # a long mismatch tail forces a Z-drop
+    t8 = rng.integers(0, 4, 300).astype(np.uint8)
+    q8 = np.concatenate([t8[:80], (t8[80:] + 2) % 4]).astype(np.uint8)
+    check_exts2([(q8, t8)], 4, 2, 32, 9, 50, 9, K.KSW_EZ_SPLICE_FOR)

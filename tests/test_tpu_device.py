@@ -84,9 +84,42 @@ print("KSW2_DEVICE_OK")
 """
 
 
+EXTS2_SNIPPET = r"""
+import sys; sys.path.insert(0, ".")
+import numpy as np, jax
+assert jax.default_backend() == "tpu", jax.default_backend()
+from mm2tpu.ops import ksw2_ref as K
+from mm2tpu.ops.ksw2_pallas import exts2_batch
+from mm2tpu.ops.ksw2_splice_ref import ksw_exts2
+MAT = K.gen_simple_mat(2, 4, 1)
+FIELDS = ("max","zdropped","max_q","max_t","mqe","mqe_t","mte","mte_q",
+          "score","reach_end","cigar")
+rng = np.random.default_rng(0)
+tasks=[]
+for _ in range(3):
+    e1=rng.integers(0,4,120).astype(np.uint8)
+    e2=rng.integers(0,4,120).astype(np.uint8)
+    intr=rng.integers(0,4,200).astype(np.uint8)
+    intr[0],intr[1]=2,3; intr[-2],intr[-1]=0,2
+    tasks.append((np.concatenate([e1,e2]), np.concatenate([e1,intr,e2])))
+res=exts2_batch(tasks,MAT,q=4,e=2,q2=32,noncan=9,zdrop=200,junc_bonus=9,
+                flag=K.KSW_EZ_SPLICE_FOR,interpret=False)
+for i,(q8,t8) in enumerate(tasks):
+    exp=ksw_exts2(len(q8),q8,len(t8),t8,MAT,4,2,32,9,200,9,
+                  K.KSW_EZ_SPLICE_FOR)
+    for f in FIELDS:
+        assert getattr(exp,f)==getattr(res[i],f), (i,f)
+print("EXTS2_DEVICE_OK")
+"""
+
+
 def test_chain_kernel_on_device():
     assert "CHAIN_DEVICE_OK" in run_snippet(CHAIN_SNIPPET)
 
 
 def test_ksw2_kernel_on_device():
     assert "KSW2_DEVICE_OK" in run_snippet(KSW2_SNIPPET)
+
+
+def test_exts2_kernel_on_device():
+    assert "EXTS2_DEVICE_OK" in run_snippet(EXTS2_SNIPPET)
