@@ -7,11 +7,10 @@ from __future__ import annotations
 
 import argparse
 import sys
-import time
 from typing import List, Optional
 
 from . import __version__
-from .index.build import build_index, load_index, save_index, MM_I_HPC, MM_I_NO_SEQ
+from .index.build import build_index, save_index, MM_I_HPC, MM_I_NO_SEQ
 from .index.mmi import read_mmi, write_mmi, MAGIC
 from .io.bseq import FastxReader, read_fastx
 from .io.format import write_paf, write_sam, sam_header

@@ -6,7 +6,7 @@ from typing import List, Optional, Sequence
 
 from ..mapping.hit import Region
 from ..options import (MM_F_OUT_CG, MM_F_OUT_CS, MM_F_OUT_MD, MM_F_OUT_CS_LONG,
-                       MM_F_COPY_COMMENT, MM_F_SOFTCLIP, MM_F_LONG_CIGAR)
+                       MM_F_COPY_COMMENT, MM_F_SOFTCLIP)
 
 CIGAR_STR = "MIDNSHP=XB"
 NT4_UPPER = "ACGTN"

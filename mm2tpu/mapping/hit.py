@@ -11,7 +11,7 @@ from typing import List, Optional
 import numpy as np
 
 from ..utils.hashing import hash64
-from ..options import (MapOptions, MM_SEED_SEG_MASK, MM_SEED_SEG_SHIFT,
+from ..options import (MapOptions,
                        MM_SEED_LONG_JOIN, MM_F_ALL_CHAINS, MM_F_SPLICE,
                        MM_F_SR, MM_F_NO_LJOIN, MM_F_HARD_MLEVEL)
 

@@ -1,14 +1,14 @@
 """Per-read mapping pipeline (reference: mm_map_frag, map.c:272-392)."""
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
 
 import numpy as np
 
 from ..index.build import MMIndex
 from ..options import (MapOptions, MM_F_SPLICE, MM_F_SR, MM_F_CIGAR,
-                       MM_F_ALL_CHAINS, MM_F_HARD_MLEVEL, MM_F_HEAP_SORT,
+                       MM_F_ALL_CHAINS, MM_F_HARD_MLEVEL,
                        MM_SEED_SEG_MASK, MM_MAX_SEG)
 from ..utils.hashing import reg_hash
 from . import hit as hit_mod
@@ -90,14 +90,14 @@ def _needs_rechain(ctx: _FragCtx, opt: MapOptions, a: np.ndarray,
 def _dump_anchor(tag, mi, a, i, first):
     """--print-seeds SD/CN line (map.c:298-303, 350-354)."""
     import sys as _sys
+
+    from .hit import _i32
     x, y = int(a[i, 0]), int(a[i, 1])
     rid = (x << 1 >> 33) & 0x7FFFFFFF
     diff = 0
     if not first:
-        from .hit import _i32
         diff = (_i32(a[i, 1]) - _i32(a[i - 1, 1])) - \
                (_i32(a[i, 0]) - _i32(a[i - 1, 0]))
-    from .hit import _i32
     print("\t".join(map(str, tag + (
         mi.seq[rid].name, _i32(np.uint64(x)), "+-"[x >> 63],
         _i32(np.uint64(y)), (y >> 32) & 0xFF, diff))), file=_sys.stderr)

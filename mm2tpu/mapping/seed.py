@@ -8,7 +8,7 @@ collect_seed_hits). Anchor encoding (minimap.h:53 comment, map.c:232-241):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
