@@ -1,0 +1,124 @@
+"""Randomized large-scale differential test vs the reference binary.
+
+Beyond the fixed MT fixtures: a seeded multi-contig random genome with
+repeat insertions and error-laden reads, mapped by BOTH the reference fork
+(compiled software-only, /tmp/golden/minimap2-golden — scripts/
+make_golden.sh) and mm2tpu, byte-diffed. Exercises multi-contig rid
+handling, repeats (rep_len/mapq), both strands and several presets on
+input neither implementation has ever seen.
+
+Skipped when the reference binary is absent.
+"""
+import io as _io
+import os
+import subprocess
+from contextlib import redirect_stdout
+
+import numpy as np
+import pytest
+
+from mm2tpu.cli import main as cli_main
+
+GOLDEN_BIN = "/tmp/golden/minimap2-golden"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(GOLDEN_BIN),
+    reason="reference binary not built (scripts/make_golden.sh)")
+
+RC = str.maketrans("ACGT", "TGCA")
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("randg")
+    rng = np.random.default_rng(42)
+    bases = np.array(list("ACGT"))
+
+    def rand_seq(n):
+        return "".join(bases[rng.integers(0, 4, n)])
+
+    core = rand_seq(120000)
+    rep = rand_seq(4000)
+    ctgs = {
+        "ctg1": core[:60000] + rep + core[60000:100000] + rep + core[100000:],
+        "ctg2": rand_seq(150000) + rep,
+        "ctg3": rand_seq(80000),
+    }
+    ref = tmp / "ref.fa"
+    with open(ref, "w") as f:
+        for name, s in ctgs.items():
+            f.write(f">{name}\n")
+            for j in range(0, len(s), 80):
+                f.write(s[j:j + 80] + "\n")
+
+    def mutate(s):
+        out = []
+        for ch in s:
+            r = rng.random()
+            if r < 0.02:
+                continue
+            if r < 0.04:
+                out.append("ACGT"[rng.integers(4)])
+            if rng.random() < 0.06:
+                out.append("ACGT"[rng.integers(4)])
+            out.append(ch)
+        return "".join(out)
+
+    names = list(ctgs)
+    reads = tmp / "reads.fa"
+    with open(reads, "w") as f:
+        for i in range(50):
+            ctg = names[int(rng.integers(3))]
+            L = int(rng.integers(800, 6000))
+            st = int(rng.integers(0, len(ctgs[ctg]) - L))
+            s = mutate(ctgs[ctg][st:st + L])
+            if rng.random() < 0.5:
+                s = s.translate(RC)[::-1]
+            f.write(f">rd{i}\n{s}\n")
+    # a short subset for the (slower) SAM alignment case
+    sam_reads = tmp / "sam_reads.fa"
+    lines = reads.read_text().splitlines()
+    sam_reads.write_text("\n".join(lines[:20]) + "\n")
+    return ref, reads, sam_reads
+
+
+def ref_out(args):
+    r = subprocess.run([GOLDEN_BIN] + args, capture_output=True, text=True,
+                       timeout=300)
+    assert r.returncode == 0, r.stderr[-1000:]
+    return "\n".join(l for l in r.stdout.splitlines()
+                     if not l.startswith("@PG"))
+
+
+def my_out(args):
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(args)
+    assert rc == 0
+    return "\n".join(l for l in buf.getvalue().splitlines()
+                     if not l.startswith("@PG"))
+
+
+@pytest.mark.parametrize("preset,cigar", [("map-ont", True),
+                                          ("map-pb", True),
+                                          ("asm20", False)])
+def test_random_genome_paf(dataset, preset, cigar):
+    ref, reads, _ = dataset
+    args = ["-x", preset] + (["-c"] if cigar else []) + [str(ref),
+                                                         str(reads)]
+    assert my_out(args) == ref_out(args)
+
+
+def test_random_genome_paf_threaded(dataset):
+    """The threaded pipeline must reproduce the reference output on the
+    random genome (batch-mode parity is covered on the MT fixtures, where
+    interpret-mode chaining is affordable)."""
+    ref, reads, _ = dataset
+    args = ["-x", "map-ont", "-c", str(ref), str(reads)]
+    assert my_out(["-t", "4"] + args) == ref_out(args)
+
+
+def test_random_genome_sam(dataset):
+    ref, _, sam_reads = dataset
+    args = ["-x", "map-ont", "-a", str(ref), str(sam_reads)]
+    assert my_out(args) == ref_out(args)
