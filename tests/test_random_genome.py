@@ -21,9 +21,16 @@ from mm2tpu.cli import main as cli_main
 
 GOLDEN_BIN = "/tmp/golden/minimap2-golden"
 
+if not os.path.exists(GOLDEN_BIN) and os.path.exists("/root/reference"):
+    # one-shot auto-build (software-only reference; ~30 s)
+    subprocess.run(
+        ["bash", os.path.join(os.path.dirname(__file__), "..", "scripts",
+                              "build_golden_bin.sh")],
+        capture_output=True, timeout=300)
+
 pytestmark = pytest.mark.skipif(
     not os.path.exists(GOLDEN_BIN),
-    reason="reference binary not built (scripts/make_golden.sh)")
+    reason="reference binary not built (scripts/build_golden_bin.sh)")
 
 RC = str.maketrans("ACGT", "TGCA")
 
