@@ -141,7 +141,10 @@ def fix_cigar(r: Region, qseq, tseq) -> Tuple[int, int]:
                 for kk in range(k + 2, l):
                     cig[kk] &= 0xF
                 to_shrink = True
-            k = l
+            # the C loop is `for (...; ++k)` with `k = l` in the body
+            # (align.c:126-143): the post-increment is what guarantees
+            # progress when l == k (e.g. an N op matching the 0x3 sum)
+            k = l + 1
         else:
             k += 1
     if to_shrink:

@@ -129,3 +129,73 @@ def test_random_genome_sam(dataset):
     ref, _, sam_reads = dataset
     args = ["-x", "map-ont", "-a", str(ref), str(sam_reads)]
     assert my_out(args) == ref_out(args)
+
+
+def test_random_genome_sr_paired(dataset, tmp_path):
+    """Paired-end short reads on the random genome (pe.c pairing model,
+    sr preset) vs the reference binary."""
+    ref, _, _ = dataset
+    rng = np.random.default_rng(7)
+    ctgs = {}
+    name = None
+    for line in open(ref):
+        if line.startswith(">"):
+            name = line[1:].strip()
+            ctgs[name] = []
+        else:
+            ctgs[name].append(line.strip())
+    ctgs = {k: "".join(v) for k, v in ctgs.items()}
+    names = list(ctgs)
+    r1 = tmp_path / "r1.fq"
+    r2 = tmp_path / "r2.fq"
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        for i in range(120):
+            ctg = names[int(rng.integers(3))]
+            frag = int(rng.integers(250, 600))
+            st = int(rng.integers(0, len(ctgs[ctg]) - frag))
+            seq = ctgs[ctg][st:st + frag]
+            a, b = seq[:100], seq[-100:].translate(RC)[::-1]
+            def noise(s):
+                return "".join("ACGT"[rng.integers(4)]
+                               if rng.random() < 0.005 else c for c in s)
+            f1.write(f"@p{i}\n{noise(a)}\n+\n{'I' * 100}\n")
+            f2.write(f"@p{i}\n{noise(b)}\n+\n{'I' * 100}\n")
+    for extra in ([], ["-a"]):
+        args = ["-x", "sr"] + extra + [str(ref), str(r1), str(r2)]
+        assert my_out(args) == ref_out(args), extra
+
+
+def test_random_genome_splice(dataset, tmp_path):
+    """cDNA reads against a genome with GT..AG introns (splice preset,
+    exts2 model) vs the reference binary."""
+    ref, _, _ = dataset
+    rng = np.random.default_rng(9)
+    ctgs = {}
+    name = None
+    for line in open(ref):
+        if line.startswith(">"):
+            name = line[1:].strip()
+            ctgs[name] = []
+        else:
+            ctgs[name].append(line.strip())
+    ctgs = {k: "".join(v) for k, v in ctgs.items()}
+    reads = tmp_path / "cdna.fa"
+    with open(reads, "w") as f:
+        for i in range(8):
+            g = ctgs["ctg2"]
+            st = int(rng.integers(0, len(g) - 10000))
+            exons = []
+            pos = st
+            for _ in range(int(rng.integers(2, 4))):
+                elen = int(rng.integers(120, 300))
+                exons.append(g[pos:pos + elen])
+                pos += elen + int(rng.integers(150, 700))
+            seq = "".join(exons)
+            if rng.random() < 0.5:
+                seq = seq.translate(RC)[::-1]
+            f.write(f">cd{i}\n{seq}\n")
+    # -G caps the intron length (and with it the unbanded exts2 fill
+    # size); real long-intron fills belong on the device kernel, not in
+    # the CPU test suite
+    args = ["-x", "splice", "-G", "2k", "-a", str(ref), str(reads)]
+    assert my_out(args) == ref_out(args)
