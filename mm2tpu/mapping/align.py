@@ -276,6 +276,20 @@ def append_cigar(r: Region, cigar: List[int]) -> None:
         p.cigar.extend(cigar)
 
 
+_NATIVE_KSW = None
+
+
+def _native_ksw() -> bool:
+    global _NATIVE_KSW
+    if _NATIVE_KSW is None:
+        try:
+            from ..native import lib as native_lib
+            _NATIVE_KSW = native_lib.has_ksw()
+        except Exception:
+            _NATIVE_KSW = False
+    return _NATIVE_KSW
+
+
 def align_pair(opt: MapOptions, qseq, tseq, junc, mat, w: int,
                end_bonus: int, zdrop: int, flag: int) -> K.ExtzResult:
     """mm_align_pair (align.c:313-339)."""
@@ -315,6 +329,13 @@ def align_pair(opt: MapOptions, qseq, tseq, junc, mat, w: int,
             [(np.asarray(qseq, np.uint8), np.asarray(tseq, np.uint8))],
             mat, q=opt.q, e=opt.e, q2=opt.q2, e2=opt.e2, w=w,
             zdrop=zdrop, end_bonus=end_bonus, flag=flag)[0]
+    if _native_ksw():
+        # native C++ extd2 (bit-identical to the NumPy oracle; the
+        # equal-cost identity serves the extz2 branch too)
+        from ..native import lib as native_lib
+        return native_lib.ksw_extd2(qlen, qseq, tlen, tseq, mat, opt.q,
+                                    opt.e, opt.q2, opt.e2, w, zdrop,
+                                    end_bonus, flag)
     if opt.q == opt.q2 and opt.e == opt.e2:
         return K.ksw_extz2(qlen, qseq, tlen, tseq, mat, opt.q, opt.e, w,
                            zdrop, end_bonus, flag)

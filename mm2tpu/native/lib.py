@@ -40,6 +40,18 @@ def _load() -> Optional[ctypes.CDLL]:
         _i8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_uint32, ctypes.c_int32, _u64p, _u64p, ctypes.c_int64]
     lib.mm2_sketch.restype = ctypes.c_int64
+    if hasattr(lib, "mm2_ksw_extd2"):
+        lib.mm2_ksw_extd2.argtypes = [
+            ctypes.c_int32, _i8p, ctypes.c_int32, _i8p,
+            np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.mm2_ksw_extd2.restype = ctypes.c_int
+        lib.mm2_free.argtypes = [ctypes.c_void_p]
+        lib.mm2_free.restype = None
     _lib = lib
     return lib
 
@@ -75,6 +87,41 @@ def v_carry(f: np.ndarray, p: np.ndarray) -> np.ndarray:
         lib.mm2_v_carry(n, np.ascontiguousarray(f, np.int32),
                         np.ascontiguousarray(p, np.int32), v)
     return v
+
+
+def has_ksw() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_ksw_extd2")
+
+
+def ksw_extd2(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
+              mat: np.ndarray, q: int, e: int, q2: int, e2: int, w: int,
+              zdrop: int, end_bonus: int, flag: int):
+    """Native extd2 extension DP; same contract (and bit-identical
+    results) as ops/ksw2_ref.ksw_extd2. Releases the GIL."""
+    from ..ops.ksw2_ref import ExtzResult
+
+    lib = _load()
+    ez_out = np.zeros(10, np.int64)
+    cig_ptr = ctypes.POINTER(ctypes.c_uint32)()
+    n_cig = ctypes.c_int32(0)
+    rc = lib.mm2_ksw_extd2(
+        qlen, np.ascontiguousarray(query, np.uint8),
+        tlen, np.ascontiguousarray(target, np.uint8),
+        np.ascontiguousarray(np.asarray(mat).reshape(-1), np.int8),
+        q, e, q2, e2, w, zdrop, end_bonus, flag,
+        ez_out, ctypes.byref(cig_ptr), ctypes.byref(n_cig))
+    if rc != 0:
+        raise MemoryError("mm2_ksw_extd2 allocation failed")
+    ez = ExtzResult()
+    (ez.max, zd, ez.max_q, ez.max_t, ez.mqe, ez.mqe_t, ez.mte,
+     ez.mte_q, ez.score, re_) = (int(x) for x in ez_out)
+    ez.zdropped = bool(zd)
+    ez.reach_end = bool(re_)
+    if n_cig.value:
+        ez.cigar = [int(cig_ptr[i]) for i in range(n_cig.value)]
+        lib.mm2_free(cig_ptr)
+    return ez
 
 
 def sketch(codes: np.ndarray, w: int, k: int, rid: int,

@@ -7,6 +7,7 @@
 // Build: make -C native   (produces libmm2tpu.so, loaded via ctypes)
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <vector>
@@ -187,5 +188,449 @@ int64_t mm2_sketch(const uint8_t *codes, int64_t len, int32_t w, int32_t k,
     if (mn.x != U64MAX) emit(mn.x, mn.y);
     return n_out <= cap ? n_out : -n_out;
 }
+
+// ---------------------------------------------------------------------
+// ksw2 extd2 (dual affine) extension DP — scalar C++ with the exact
+// observable semantics of the SSE4.1 build (see ops/ksw2_ref.py, which
+// this mirrors line for line; the numpy port is the tested oracle).
+// Covers extz2 too via the equal-cost identity (q2=q, e2=e).
+
+static const int32_t MM2_NEG_INF = -0x40000000;
+
+enum {
+    EZ_SCORE_ONLY = 0x01, EZ_RIGHT = 0x02, EZ_GENERIC_SC = 0x04,
+    EZ_APPROX_MAX = 0x08, EZ_APPROX_DROP = 0x10, EZ_EXTZ_ONLY = 0x40,
+    EZ_REV_CIGAR = 0x80,
+};
+
+struct Ez {
+    int64_t max_;
+    int32_t zdropped, max_q, max_t;
+    int64_t mqe;
+    int32_t mqe_t;
+    int64_t mte;
+    int32_t mte_q;
+    int64_t score;
+    int32_t reach_end;
+};
+
+static bool apply_zdrop(Ez &ez, int64_t H, int32_t r, int32_t t,
+                        int32_t zdrop, int32_t e) {
+    if (H > ez.max_) {
+        ez.max_ = H;
+        ez.max_t = t;
+        ez.max_q = r - t;
+    } else if (t >= ez.max_t && r - t >= ez.max_q) {
+        int32_t tl = t - ez.max_t, ql = (r - t) - ez.max_q;
+        int32_t l = tl > ql ? tl - ql : ql - tl;
+        if (zdrop >= 0 && ez.max_ - H > zdrop + (int64_t)l * e) {
+            ez.zdropped = 1;
+            return true;
+        }
+    }
+    return false;
+}
+
+static void push_cigar(uint32_t *&cig, int32_t &n, int32_t &cap,
+                       int32_t op, int32_t len) {
+    if (n == 0 || op != (int32_t)(cig[n - 1] & 0xF)) {
+        if (n == cap) {
+            cap = cap ? cap << 1 : 64;
+            cig = (uint32_t *)realloc(cig, cap * sizeof(uint32_t));
+        }
+        cig[n++] = (uint32_t)len << 4 | op;
+    } else {
+        cig[n - 1] += (uint32_t)len << 4;
+    }
+}
+
+static uint32_t *backtrack(const uint8_t *p, const int64_t *poff,
+                           const int32_t *off, const int32_t *off_end,
+                           int32_t i0, int32_t j0, bool rev_cigar,
+                           int32_t *n_out) {
+    uint32_t *cig = nullptr;
+    int32_t n = 0, cap = 0;
+    int32_t i = i0, j = j0, state = 0;
+    while (i >= 0 && j >= 0) {
+        int32_t r = i + j;
+        int32_t force_state = -1;
+        if (i < off[r]) force_state = 2;
+        if (i > off_end[r]) force_state = 1;
+        int32_t tmp = force_state < 0 ? p[poff[r] + (i - off[r])] : 0;
+        if (state == 0) state = tmp & 7;
+        else if (!((tmp >> (state + 2)) & 1)) state = 0;
+        if (state == 0) state = tmp & 7;
+        if (force_state >= 0) state = force_state;
+        if (state == 0) {
+            push_cigar(cig, n, cap, 0, 1);
+            --i;
+            --j;
+        } else if (state == 1 || state == 3) {
+            push_cigar(cig, n, cap, 2, 1);
+            --i;
+        } else {
+            push_cigar(cig, n, cap, 1, 1);
+            --j;
+        }
+    }
+    if (i >= 0) push_cigar(cig, n, cap, 2, i + 1);
+    if (j >= 0) push_cigar(cig, n, cap, 1, j + 1);
+    if (!rev_cigar)
+        for (int32_t k = 0; k < n >> 1; ++k) {
+            uint32_t t = cig[k];
+            cig[k] = cig[n - 1 - k];
+            cig[n - 1 - k] = t;
+        }
+    *n_out = n;
+    return cig;
+}
+
+// ez_out layout: [max, zdropped, max_q, max_t, mqe, mqe_t, mte, mte_q,
+// score, reach_end]. Returns 0, or -1 on allocation failure.
+int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
+                  const uint8_t *target, const int8_t *mat /*5x5*/,
+                  int32_t q, int32_t e, int32_t q2, int32_t e2, int32_t w,
+                  int32_t zdrop, int32_t end_bonus, int32_t flag,
+                  int64_t *ez_out, uint32_t **cigar_out,
+                  int32_t *n_cigar_out) {
+    // ksw_reset_extz: max starts at 0 (ksw2.h:101-108)
+    Ez ez = {0, 0, -1, -1, MM2_NEG_INF, -1, MM2_NEG_INF, -1,
+             MM2_NEG_INF, 0};
+    *cigar_out = nullptr;
+    *n_cigar_out = 0;
+    bool with_cigar = !(flag & EZ_SCORE_ONLY);
+    bool approx_max = flag & EZ_APPROX_MAX;
+    bool right = flag & EZ_RIGHT;
+    const int m = 5;
+    auto finish = [&](void) {
+        ez_out[0] = ez.max_;
+        ez_out[1] = ez.zdropped;
+        ez_out[2] = ez.max_q;
+        ez_out[3] = ez.max_t;
+        ez_out[4] = ez.mqe;
+        ez_out[5] = ez.mqe_t;
+        ez_out[6] = ez.mte;
+        ez_out[7] = ez.mte_q;
+        ez_out[8] = ez.score;
+        ez_out[9] = ez.reach_end;
+    };
+    if (qlen <= 0 || tlen <= 0) {
+        finish();
+        return 0;
+    }
+    if (q2 + e2 < q + e) {
+        int32_t t = q;
+        q = q2;
+        q2 = t;
+        t = e;
+        e = e2;
+        e2 = t;
+    }
+    int32_t sc_mch = mat[0], sc_mis = mat[1];
+    int32_t sc_N = mat[m * m - 1] == 0 ? -e2 : mat[m * m - 1];
+    if (w < 0) w = tlen > qlen ? tlen : qlen;
+    int32_t wl = w, wr = w;
+    int32_t tlen_ = (tlen + 15) / 16;
+    int32_t n_col_ = qlen < tlen ? qlen : tlen;
+    n_col_ = ((n_col_ < w + 1 ? n_col_ : w + 1) + 15) / 16 + 1;
+    int32_t qlen_ = (qlen + 15) / 16;
+    int32_t min_sc = mat[1];
+    for (int i = 2; i < m * m; ++i)
+        if (mat[i] < min_sc) min_sc = mat[i];
+    if (-min_sc > 2 * (q + e)) {
+        finish();
+        return 0;
+    }
+    int32_t long_thres = e != e2 ? (q2 - q) / (e - e2) - 1 : 0;
+    if (q2 + e2 + long_thres * e2 > q + e + long_thres * e) ++long_thres;
+    int32_t long_diff = long_thres * (e - e2) - (q2 - q) - e2;
+
+    int32_t tpad = tlen_ * 16;
+    int32_t R = qlen + tlen - 1;
+    int32_t width_cap = n_col_ * 16;
+    int32_t *u = (int32_t *)malloc(sizeof(int32_t) * (size_t)tpad * 6);
+    int32_t *v = u + tpad, *x = v + tpad, *y = x + tpad;
+    int32_t *x2 = y + tpad, *y2 = x2 + tpad;
+    int32_t *s = (int32_t *)calloc(tpad + 16, sizeof(int32_t));
+    int64_t *H = approx_max ? nullptr
+                            : (int64_t *)malloc(sizeof(int64_t) * tpad);
+    int32_t *qr = (int32_t *)calloc(qlen_ * 16 + 16, sizeof(int32_t));
+    int32_t *sf = (int32_t *)calloc((size_t)tpad + qlen_ * 16 + 16,
+                                    sizeof(int32_t));
+    int32_t *off = (int32_t *)malloc(sizeof(int32_t) * (size_t)R * 2);
+    int32_t *off_end = off + R;
+    int64_t *poff = nullptr;
+    uint8_t *p = nullptr;
+    if (with_cigar) {
+        poff = (int64_t *)malloc(sizeof(int64_t) * R);
+        p = (uint8_t *)malloc((size_t)R * width_cap);
+    }
+    if (!u || !s || (!approx_max && !H) || !qr || !sf || !off ||
+        (with_cigar && (!poff || !p))) {
+        free(u);
+        free(s);
+        free(H);
+        free(qr);
+        free(sf);
+        free(off);
+        free(poff);
+        free(p);
+        finish();
+        return -1;
+    }
+    for (int32_t t = 0; t < tpad; ++t) {
+        u[t] = v[t] = x[t] = y[t] = -q - e;
+        x2[t] = y2[t] = -q2 - e2;
+        if (H) H[t] = MM2_NEG_INF;
+    }
+    for (int32_t i = 0; i < qlen; ++i) qr[i] = query[qlen - 1 - i];
+    for (int32_t t = 0; t < tlen; ++t) sf[t] = target[t];
+    for (int32_t i = 0; i < qlen_ * 16 + 16; ++i) sf[tpad + i] = qr[i];
+
+    int64_t H0 = 0;
+    int32_t last_H0_t = 0, last_st = -1, last_en = -1;
+    for (int32_t r = 0; r < R; ++r) {
+        int32_t st = 0, en = tlen - 1;
+        if (st < r - qlen + 1) st = r - qlen + 1;
+        if (en > r) en = r;
+        if (st < (r - wr + 1) >> 1) st = (r - wr + 1) >> 1;
+        if (en > (r + wl) >> 1) en = (r + wl) >> 1;
+        if (st > en) {
+            ez.zdropped = 1;
+            break;
+        }
+        int32_t st0 = st, en0 = en;
+        st = st / 16 * 16;
+        en = (en + 16) / 16 * 16 - 1;
+        int32_t x1, x21, v1;
+        if (st > 0) {
+            if (last_st <= st - 1 && st - 1 <= last_en) {
+                x1 = x[st - 1];
+                x21 = x2[st - 1];
+                v1 = v[st - 1];
+            } else {
+                x1 = -q - e;
+                x21 = -q2 - e2;
+                v1 = -q - e;
+            }
+        } else {
+            x1 = -q - e;
+            x21 = -q2 - e2;
+            v1 = r == 0 ? -q - e
+                        : r < long_thres ? -e
+                                         : r == long_thres ? long_diff : -e2;
+        }
+        if (en >= r) {
+            y[r] = -q - e;
+            y2[r] = -q2 - e2;
+            u[r] = r == 0 ? -q - e
+                          : r < long_thres ? -e
+                                           : r == long_thres ? long_diff
+                                                             : -e2;
+        }
+        int32_t qoff = qlen - 1 - r;
+        if (!(flag & EZ_GENERIC_SC)) {
+            for (int32_t t0 = st0; t0 <= en0; t0 += 16)
+                for (int32_t t = t0; t < t0 + 16; ++t) {
+                    int32_t sq = sf[t];
+                    int32_t stq = qoff + t >= 0 ? qr[qoff + t] : 0;
+                    s[t] = (sq == m - 1 || stq == m - 1)
+                               ? sc_N
+                               : (sq == stq ? sc_mch : sc_mis);
+                }
+        } else {
+            for (int32_t t = st0; t <= en0; ++t)
+                s[t] = mat[sf[t] * m + (qoff + t >= 0 ? qr[qoff + t] : 0)];
+        }
+        uint8_t *pr = nullptr;
+        if (with_cigar) {
+            off[r] = st;
+            off_end[r] = en;
+            poff[r] = (int64_t)r * width_cap;
+            pr = p + poff[r];
+        }
+        for (int32_t t = st; t <= en; ++t) {
+            int32_t xt1 = x1, x2t1 = x21, vt1 = v1, ut = u[t];
+            x1 = x[t];
+            x21 = x2[t];
+            v1 = v[t];
+            int32_t z = s[t];
+            int32_t a = xt1 + vt1, b = y[t] + ut;
+            int32_t a2 = x2t1 + vt1, b2 = y2[t] + ut;
+            int32_t d;
+            if (with_cigar) {
+                if (!right) {
+                    d = a > z ? 1 : 0;
+                    z = a > z ? a : z;
+                    d = b > z ? 2 : d;
+                    z = b > z ? b : z;
+                    d = a2 > z ? 3 : d;
+                    z = a2 > z ? a2 : z;
+                    d = b2 > z ? 4 : d;
+                    z = b2 > z ? b2 : z;
+                } else {
+                    d = z > a ? 0 : 1;
+                    z = z > a ? z : a;
+                    d = z > b ? d : 2;
+                    z = z > b ? z : b;
+                    d = z > a2 ? d : 3;
+                    z = z > a2 ? z : a2;
+                    d = z > b2 ? d : 4;
+                    z = z > b2 ? z : b2;
+                }
+            } else {
+                d = 0;
+                z = a > z ? a : z;
+                z = b > z ? b : z;
+                z = a2 > z ? a2 : z;
+                z = b2 > z ? b2 : z;
+            }
+            z = z < sc_mch ? z : sc_mch;
+            u[t] = z - vt1;
+            v[t] = z - ut;
+            int32_t t1 = z - q;
+            a -= t1;
+            b -= t1;
+            int32_t t2 = z - q2;
+            a2 -= t2;
+            b2 -= t2;
+            bool ga, gb, ga2, gb2;
+            if (!right) {
+                ga = a > 0;
+                gb = b > 0;
+                ga2 = a2 > 0;
+                gb2 = b2 > 0;
+            } else {
+                ga = a >= 0;
+                gb = b >= 0;
+                ga2 = a2 >= 0;
+                gb2 = b2 >= 0;
+            }
+            x[t] = (ga ? a : 0) - (q + e);
+            y[t] = (gb ? b : 0) - (q + e);
+            x2[t] = (ga2 ? a2 : 0) - (q2 + e2);
+            y2[t] = (gb2 ? b2 : 0) - (q2 + e2);
+            if (with_cigar)
+                pr[t - st] = (uint8_t)(d | (ga ? 0x08 : 0) | (gb ? 0x10 : 0) |
+                                       (ga2 ? 0x20 : 0) | (gb2 ? 0x40 : 0));
+        }
+        if (!approx_max) {
+            int64_t max_H;
+            int32_t max_t;
+            if (r > 0) {
+                // exact max with the SSE build's 4-lane tie-breaking
+                if (en0 > 0)
+                    H[en0] = H[en0 - 1] + u[en0];
+                else
+                    H[en0] = H[en0] + v[en0];
+                max_H = H[en0];
+                max_t = en0;
+                int32_t en1 = st0 + (en0 - st0) / 4 * 4;
+                int64_t lane_best[4];
+                int32_t lane_t[4];
+                for (int l = 0; l < 4; ++l) {
+                    lane_best[l] = max_H;
+                    lane_t[l] = max_t;
+                }
+                for (int32_t t = st0; t < en1; ++t) H[t] += v[t];
+                for (int l = 0; l < 4; ++l) {
+                    int64_t best = MM2_NEG_INF;
+                    int32_t bt = -1;
+                    for (int32_t t = st0 + l; t < en1; t += 4)
+                        if (H[t] > best) {
+                            best = H[t];
+                            bt = t;
+                        }
+                    if (bt >= 0 && best > lane_best[l]) {
+                        lane_best[l] = best;
+                        lane_t[l] = bt;
+                    }
+                }
+                for (int l = 0; l < 4; ++l)
+                    if (max_H < lane_best[l]) {
+                        max_H = lane_best[l];
+                        max_t = lane_t[l];
+                    }
+                for (int32_t t = en1; t < en0; ++t) {
+                    H[t] += v[t];
+                    if (H[t] > max_H) {
+                        max_H = H[t];
+                        max_t = t;
+                    }
+                }
+            } else {
+                H[0] = v[0] - (q + e);
+                max_H = H[0];
+                max_t = 0;
+            }
+            if (en0 == tlen - 1 && H[en0] > ez.mte) {
+                ez.mte = H[en0];
+                ez.mte_q = r - en;
+            }
+            if (r - st0 == qlen - 1 && H[st0] > ez.mqe) {
+                ez.mqe = H[st0];
+                ez.mqe_t = st0;
+            }
+            if (apply_zdrop(ez, max_H, r, max_t, zdrop, e2)) break;
+            if (r == qlen + tlen - 2 && en0 == tlen - 1)
+                ez.score = H[tlen - 1];
+        } else {
+            if (r > 0) {
+                if (last_H0_t >= st0 && last_H0_t <= en0 &&
+                    last_H0_t + 1 >= st0 && last_H0_t + 1 <= en0) {
+                    int32_t d0 = v[last_H0_t], d1 = u[last_H0_t + 1];
+                    if (d0 > d1)
+                        H0 += d0;
+                    else {
+                        H0 += d1;
+                        ++last_H0_t;
+                    }
+                } else if (last_H0_t >= st0 && last_H0_t <= en0) {
+                    H0 += v[last_H0_t];
+                } else {
+                    ++last_H0_t;
+                    H0 += u[last_H0_t];
+                }
+            } else {
+                H0 = v[0] - (q + e);
+                last_H0_t = 0;
+            }
+            if ((flag & EZ_APPROX_DROP) &&
+                apply_zdrop(ez, H0, r, last_H0_t, zdrop, e2))
+                break;
+            if (r == qlen + tlen - 2 && en0 == tlen - 1) ez.score = H0;
+        }
+        last_st = st;
+        last_en = en;
+    }
+
+    if (with_cigar) {
+        bool rev_cigar = flag & EZ_REV_CIGAR;
+        if (!ez.zdropped && !(flag & EZ_EXTZ_ONLY)) {
+            *cigar_out = backtrack(p, poff, off, off_end, tlen - 1,
+                                   qlen - 1, rev_cigar, n_cigar_out);
+        } else if (!ez.zdropped && (flag & EZ_EXTZ_ONLY) &&
+                   ez.mqe + end_bonus > ez.max_) {
+            ez.reach_end = 1;
+            *cigar_out = backtrack(p, poff, off, off_end, ez.mqe_t,
+                                   qlen - 1, rev_cigar, n_cigar_out);
+        } else if (ez.max_t >= 0 && ez.max_q >= 0) {
+            *cigar_out = backtrack(p, poff, off, off_end, ez.max_t,
+                                   ez.max_q, rev_cigar, n_cigar_out);
+        }
+    }
+    free(u);
+    free(s);
+    free(H);
+    free(qr);
+    free(sf);
+    free(off);
+    free(poff);
+    free(p);
+    finish();
+    return 0;
+}
+
+void mm2_free(void *ptr) { free(ptr); }
 
 }  // extern "C"
