@@ -44,28 +44,57 @@ def _update_max_zdrop(score, i, j, state, e, pos):
         state[0], state[1], state[2] = score, i, j
 
 
-def test_zdrop(opt: MapOptions, qseq, tseq, cigar, mat) -> int:
-    """mm_test_zdrop (align.c:47-89): 0 = pass, 1 = zdrop, 2 = inversion."""
-    state = [INT32_MIN, -1, -1, 0]  # max, max_i, max_j, max_zdrop
-    pos = [[-1, -1], [-1, -1]]
-    score = 0
+def _zdrop_scan(opt: MapOptions, qseq, tseq, cigar, mat):
+    """The per-base max/zdrop walk of mm_test_zdrop (align.c:52-68),
+    vectorized: running last-occurrence max via prefix scans, first-
+    occurrence best zdrop via argmax. Returns (max_zdrop, pos)."""
+    iv, jv, inc = [], [], []
     i = j = 0
+    mat_i = np.asarray(mat, np.int64)
     for c in cigar:
         op, ln = c & 0xF, c >> 4
         if op == 0:
-            for l in range(ln):
-                score += int(mat[tseq[i + l] * 5 + qseq[j + l]])
-                _update_max_zdrop(score, i + l, j + l, state, opt.e, pos)
+            inc.append(mat_i[np.asarray(tseq[i:i + ln], np.int64) * 5
+                             + np.asarray(qseq[j:j + ln], np.int64)])
+            iv.append(np.arange(i, i + ln, dtype=np.int64))
+            jv.append(np.arange(j, j + ln, dtype=np.int64))
             i += ln
             j += ln
         elif op in (1, 2, 3):
-            score -= opt.q + opt.e * ln
+            inc.append(np.array([-(opt.q + opt.e * ln)], np.int64))
             if op == 1:
                 j += ln
             else:
                 i += ln
-            _update_max_zdrop(score, i, j, state, opt.e, pos)
-    max_zdrop = state[3]
+            iv.append(np.array([i], np.int64))
+            jv.append(np.array([j], np.int64))
+    if not inc:
+        return 0, [[-1, -1], [-1, -1]]
+    s = np.cumsum(np.concatenate(inc))
+    iv = np.concatenate(iv)
+    jv = np.concatenate(jv)
+    T = len(s)
+    m_before = np.concatenate(([INT32_MIN],
+                               np.maximum.accumulate(s)[:-1]))
+    upd = s >= m_before  # state-update steps (align.c:43, ties update)
+    idx = np.arange(T, dtype=np.int64)
+    m_idx = np.maximum.accumulate(np.where(upd, idx, -1))
+    d = iv - jv
+    # z only where the score dropped below the running max
+    z = np.where(upd, np.int64(INT32_MIN),
+                 s[m_idx] - s - np.abs(d - d[m_idx]) * opt.e)
+    kbest = int(np.argmax(z))  # first occurrence wins (strict > updates)
+    max_zdrop = int(z[kbest])
+    if max_zdrop <= 0:  # state[3] starts at 0; only z > 0 ever records pos
+        return 0, [[-1, -1], [-1, -1]]
+    mk = int(m_idx[kbest])
+    pos = [[int(iv[mk]), int(iv[kbest])], [int(jv[mk]), int(jv[kbest])]]
+    return max_zdrop, pos
+
+
+def test_zdrop(opt: MapOptions, qseq, tseq, cigar, mat) -> int:
+    """mm_test_zdrop (align.c:47-89): 0 = pass, 1 = zdrop, 2 = inversion."""
+    max_zdrop, pos = _zdrop_scan(opt, qseq, tseq, cigar, mat)
     q_len = pos[1][1] - pos[1][0]
     t_len = pos[0][1] - pos[0][0]
     if (not (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_FOR_ONLY | MM_F_REV_ONLY))
