@@ -29,21 +29,6 @@ def _span(ay: int) -> int:
     return (ay >> 32) & 0xFF
 
 
-def _update_max_zdrop(score, i, j, state, e, pos):
-    """align.c:32-45; state = [max, max_i, max_j, max_zdrop]."""
-    if score < state[0]:
-        li = i - state[1]
-        lj = j - state[2]
-        diff = abs(li - lj)
-        z = state[0] - score - diff * e
-        if z > state[3]:
-            state[3] = z
-            pos[0][0], pos[0][1] = state[1], i
-            pos[1][0], pos[1][1] = state[2], j
-    else:
-        state[0], state[1], state[2] = score, i, j
-
-
 def _zdrop_scan(opt: MapOptions, qseq, tseq, cigar, mat):
     """The per-base max/zdrop walk of mm_test_zdrop (align.c:52-68),
     vectorized: running last-occurrence max via prefix scans, first-

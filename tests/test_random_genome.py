@@ -199,3 +199,34 @@ def test_random_genome_splice(dataset, tmp_path):
     # the CPU test suite
     args = ["-x", "splice", "-G", "2k", "-a", str(ref), str(reads)]
     assert my_out(args) == ref_out(args)
+
+
+OPTION_SWEEP = [
+    ["-x", "map-ont", "-a", "--eqx"],
+    ["-x", "map-ont", "-a", "--MD"],
+    ["-x", "map-ont", "-c", "--cs"],
+    ["-x", "map-ont", "-c", "--cs=long"],
+    ["-x", "map-ont", "-H", "-c"],          # HPC k-mers
+    ["-x", "map-ont", "-c", "-N", "10", "-p", "0.5"],
+    ["-x", "map-ont", "-c", "--secondary", "no"],
+    ["-x", "map-ont", "-a", "-Y"],          # soft-clip supplementary
+    ["-k", "17", "-w", "7", "-c"],          # non-preset k/w
+]
+
+
+@pytest.mark.parametrize("extra", OPTION_SWEEP,
+                         ids=[" ".join(e) for e in OPTION_SWEEP])
+def test_random_genome_option_sweep(dataset, extra):
+    """Option surface hardening: tag emitters, HPC sketching, secondary
+    controls and custom k/w must all match the reference byte-for-byte
+    on the random genome."""
+    ref, _, sam_reads = dataset
+    args = extra + [str(ref), str(sam_reads)]
+    assert my_out(args) == ref_out(args)
+
+
+def test_random_genome_ava(dataset, tmp_path):
+    """ava-ont all-vs-all overlapping of the simulated reads."""
+    _, reads, _ = dataset
+    args = ["-x", "ava-ont", str(reads), str(reads)]
+    assert my_out(args) == ref_out(args)
