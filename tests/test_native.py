@@ -80,3 +80,42 @@ def test_e2e_with_native_backend(golden_dir, ref_test_dir, native):
     out = run_cli(f"--chain-backend native -x map-ont "
                   f"/root/reference/test/MT-orang.fa /root/reference/test/MT-human.fa")
     assert out == (golden_dir / "mapont_MT.paf").read_text()
+
+
+@pytest.mark.parametrize("flag_name", ["plain", "extz_only", "rev_right",
+                                       "approx", "score_only"])
+def test_native_ksw_extd2_matches_oracle(flag_name):
+    """Native C++ extd2 vs the NumPy oracle across flags, gap models and
+    N bases (the oracle itself is pinned to the SSE build in
+    test_ksw2.py)."""
+    from mm2tpu.ops import ksw2_ref as K
+    from mm2tpu.native import lib as native_lib
+    if not native_lib.has_ksw():
+        pytest.skip("native library not built")
+    flags = dict(plain=0, extz_only=K.KSW_EZ_EXTZ_ONLY,
+                 rev_right=K.KSW_EZ_REV_CIGAR | K.KSW_EZ_RIGHT,
+                 approx=K.KSW_EZ_APPROX_MAX | K.KSW_EZ_APPROX_DROP,
+                 score_only=K.KSW_EZ_SCORE_ONLY)[flag_name]
+    mat = K.gen_simple_mat(2, 4, 1)
+    rng = np.random.default_rng(hash(flag_name) & 0xFFFF)
+    fields = ("max", "zdropped", "max_q", "max_t", "mqe", "mqe_t", "mte",
+              "mte_q", "score", "reach_end", "cigar")
+    for _ in range(4):
+        t8 = rng.integers(0, 5, int(rng.integers(40, 400))).astype(np.uint8)
+        q8 = []
+        for c in t8:
+            r = rng.random()
+            if r < 0.03:
+                continue
+            if r < 0.12:
+                q8.append(int(rng.integers(0, 4)))
+            q8.append(int(c))
+        q8 = np.array(q8, np.uint8)
+        eb = 10 if flags & K.KSW_EZ_EXTZ_ONLY else -1
+        for q, e, q2, e2 in ((4, 2, 24, 1), (4, 2, 4, 2)):
+            exp = K.ksw_extd2(len(q8), q8, len(t8), t8, mat, q, e, q2, e2,
+                              151, 400, eb, flags)
+            got = native_lib.ksw_extd2(len(q8), q8, len(t8), t8, mat, q, e,
+                                       q2, e2, 151, 400, eb, flags)
+            for f in fields:
+                assert getattr(exp, f) == getattr(got, f), (flag_name, f)
