@@ -61,16 +61,18 @@ def main():
     r1, rk = harness(1), harness(K)
     float(r1(lo))
     float(rk(lo))
-    reps = 3
+    reps = 5
 
-    t0 = time.time()
-    for _ in range(reps):
-        float(r1(lo))
-    t1 = (time.time() - t0) / reps
-    t0 = time.time()
-    for _ in range(reps):
-        float(rk(lo))
-    tk = (time.time() - t0) / reps
+    def best(run):
+        ts = []
+        for _ in range(reps):
+            t0 = time.time()
+            float(run(lo))
+            ts.append(time.time() - t0)
+        return min(ts)  # min-of-reps: robust to host/tunnel jitter
+
+    t1 = best(r1)
+    tk = best(rk)
 
     per_invocation = (tk - t1) / (K - 1)
     rate = B * N / per_invocation

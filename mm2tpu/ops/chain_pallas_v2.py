@@ -281,7 +281,15 @@ def _chain_kernel_v2(max_dist_x: int, max_dist_y: int, bw: int, iter_cap: int,
 
         return 0
 
-    jax.lax.fori_loop(0, TILE, chunk, 0)
+    # 4-way unrolled chunk loop: the per-iteration loop/scalar overhead is
+    # a significant fraction of the ~600-op chunk body (measured on v5e:
+    # 16M -> 22M anchors/s going 1x -> 4x; 8x regresses on icache)
+    def chunk4(cc4, _):
+        for u_ in range(4):
+            chunk(4 * cc4 + u_, 0)
+        return 0
+
+    jax.lax.fori_loop(0, TILE // 4, chunk4, 0)
     # flush outputs in ring (column) layout; host/XLA unpermutes
     for r in range(C):
         f_out[pl.ds(r * TILE, TILE)] = fo_s[r, :]
