@@ -29,10 +29,28 @@ def _span(ay: int) -> int:
     return (ay >> 32) & 0xFF
 
 
+_NATIVE_WALKS = None
+
+
+def _native_walks() -> bool:
+    global _NATIVE_WALKS
+    if _NATIVE_WALKS is None:
+        try:
+            from ..native import lib as native_lib
+            _NATIVE_WALKS = native_lib.has_cigar_walks()
+        except Exception:
+            _NATIVE_WALKS = False
+    return _NATIVE_WALKS
+
+
 def _zdrop_scan(opt: MapOptions, qseq, tseq, cigar, mat):
     """The per-base max/zdrop walk of mm_test_zdrop (align.c:52-68),
     vectorized: running last-occurrence max via prefix scans, first-
     occurrence best zdrop via argmax. Returns (max_zdrop, pos)."""
+    if _native_walks():
+        from ..native import lib as native_lib
+        return native_lib.zdrop_scan(np.asarray(cigar, np.uint32),
+                                     qseq, tseq, mat, opt.q, opt.e)
     iv, jv, inc = [], [], []
     i = j = 0
     mat_i = np.asarray(mat, np.int64)
@@ -228,6 +246,17 @@ def update_extra(r: Region, qseq, tseq, mat, q: int, e: int, is_eqx: bool) -> No
     qshift, tshift = fix_cigar(r, qseq, tseq)
     qseq = qseq[qshift:]
     tseq = tseq[tshift:]
+    if _native_walks():
+        from ..native import lib as native_lib
+        blen, mlen, n_ambi, dp_max, qoff, toff = native_lib.update_stats(
+            np.asarray(p.cigar, np.uint32), qseq, tseq, mat, q, e)
+        r.blen, r.mlen = int(blen), int(mlen)
+        p.n_ambi += int(n_ambi)
+        p.dp_max = int(dp_max)
+        assert qoff == r.qe - r.qs and toff == r.re - r.rs
+        if is_eqx:
+            update_cigar_eqx(r, qseq, tseq)
+        return
     r.blen = r.mlen = 0
     s = mx = 0
     toff = qoff = 0

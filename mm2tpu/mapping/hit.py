@@ -429,7 +429,8 @@ def set_mapq(regs: List[Region], min_chain_sc: int, match_sc: int,
     for r in regs:
         if r.parent == r.id:
             sum_sc += r.score
-    uniq_ratio = f32(sum_sc) / f32(sum_sc + rep_len)
+    with np.errstate(invalid="ignore"):  # 0/0 -> NaN, as in the C float math
+        uniq_ratio = f32(sum_sc) / f32(sum_sc + rep_len)
     for r in regs:
         if r.inv:
             r.mapq = 0

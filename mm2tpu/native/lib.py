@@ -40,6 +40,14 @@ def _load() -> Optional[ctypes.CDLL]:
         _i8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_uint32, ctypes.c_int32, _u64p, _u64p, ctypes.c_int64]
     lib.mm2_sketch.restype = ctypes.c_int64
+    _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    _s8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    if hasattr(lib, "mm2_update_stats"):
+        for fn in (lib.mm2_update_stats, lib.mm2_zdrop_scan):
+            fn.argtypes = [_u32p, ctypes.c_int64, _i8p, _i8p, _s8p,
+                           ctypes.c_int32, ctypes.c_int32, _i64p]
+            fn.restype = None
     if hasattr(lib, "mm2_ksw_extd2"):
         lib.mm2_ksw_extd2.argtypes = [
             ctypes.c_int32, _i8p, ctypes.c_int32, _i8p,
@@ -122,6 +130,42 @@ def ksw_extd2(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
         ez.cigar = [int(cig_ptr[i]) for i in range(n_cig.value)]
         lib.mm2_free(cig_ptr)
     return ez
+
+
+def has_cigar_walks() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_update_stats")
+
+
+def update_stats(cigar: np.ndarray, qseq: np.ndarray, tseq: np.ndarray,
+                 mat: np.ndarray, q: int, e: int) -> np.ndarray:
+    """Native mm_update_extra stats walk (align.c:240-286); returns
+    int64 [blen, mlen, n_ambi, dp_max, qoff, toff]."""
+    lib = _load()
+    out = np.zeros(6, np.int64)
+    lib.mm2_update_stats(
+        np.ascontiguousarray(cigar, np.uint32), len(cigar),
+        np.ascontiguousarray(qseq, np.uint8),
+        np.ascontiguousarray(tseq, np.uint8),
+        np.ascontiguousarray(np.asarray(mat).reshape(-1), np.int8),
+        q, e, out)
+    return out
+
+
+def zdrop_scan(cigar: np.ndarray, qseq: np.ndarray, tseq: np.ndarray,
+               mat: np.ndarray, q: int, e: int):
+    """Native mm_test_zdrop scan (align.c:52-68); returns
+    (max_zdrop, [[i0, i1], [j0, j1]])."""
+    lib = _load()
+    out = np.zeros(5, np.int64)
+    lib.mm2_zdrop_scan(
+        np.ascontiguousarray(cigar, np.uint32), len(cigar),
+        np.ascontiguousarray(qseq, np.uint8),
+        np.ascontiguousarray(tseq, np.uint8),
+        np.ascontiguousarray(np.asarray(mat).reshape(-1), np.int8),
+        q, e, out)
+    return int(out[0]), [[int(out[1]), int(out[2])],
+                         [int(out[3]), int(out[4])]]
 
 
 def sketch(codes: np.ndarray, w: int, k: int, rid: int,

@@ -193,7 +193,8 @@ def chain_scores_window(a: np.ndarray, max_dist_x: int, max_dist_y: int,
             sc = np.where(in_branch & pair_bonus, sc + 1, sc)
         else:
             gap_cost = lin_cost
-        sc = sc - (np.float64(gap_cost) * gap_scale + 0.499).astype(np.int64)
+        sc = sc - (np.asarray(gap_cost, np.float64) * gap_scale
+                   + 0.499).astype(np.int64)
         sc = sc + f[j]
         sc = np.where(ok, sc, np.int64(NEG_INF32))
         best = int(np.max(sc)) if len(sc) else NEG_INF32

@@ -244,6 +244,90 @@ static void push_cigar(uint32_t *&cig, int32_t &n, int32_t &cap,
     }
 }
 
+}  // extern "C" (template below needs C++ linkage)
+
+// One anti-diagonal of the extd2 difference DP, elementwise over the band.
+// Old-row values arrive via scratch copies (xs/vs/x2s are shifted by one:
+// index i holds the t-1 slot, with the band-edge boundary in slot 0), so
+// in-place writes to u/v/x/y/x2/y2 keep the exact stale-lane semantics of
+// the 16-lane SSE build. The loop body is branch-free; with __restrict
+// the compiler vectorizes it (AVX-512: 16 cells/iteration).
+template <bool WITH_CIGAR, bool RIGHT>
+static void extd2_row(int32_t W, const int32_t *__restrict sr,
+                      const int32_t *__restrict xs,
+                      const int32_t *__restrict vs,
+                      const int32_t *__restrict x2s,
+                      const int32_t *__restrict uo,
+                      const int32_t *__restrict yo,
+                      const int32_t *__restrict y2o,
+                      int32_t *__restrict un, int32_t *__restrict vn,
+                      int32_t *__restrict xn, int32_t *__restrict yn,
+                      int32_t *__restrict x2n, int32_t *__restrict y2n,
+                      uint8_t *__restrict pr, int32_t sc_mch, int32_t q,
+                      int32_t e, int32_t q2, int32_t e2) {
+    for (int32_t i = 0; i < W; ++i) {
+        int32_t z = sr[i];
+        int32_t a = xs[i] + vs[i], b = yo[i] + uo[i];
+        int32_t a2 = x2s[i] + vs[i], b2 = y2o[i] + uo[i];
+        int32_t d = 0;
+        if (WITH_CIGAR) {
+            if (!RIGHT) {
+                d = a > z ? 1 : 0;
+                z = a > z ? a : z;
+                d = b > z ? 2 : d;
+                z = b > z ? b : z;
+                d = a2 > z ? 3 : d;
+                z = a2 > z ? a2 : z;
+                d = b2 > z ? 4 : d;
+                z = b2 > z ? b2 : z;
+            } else {
+                d = z > a ? 0 : 1;
+                z = z > a ? z : a;
+                d = z > b ? d : 2;
+                z = z > b ? z : b;
+                d = z > a2 ? d : 3;
+                z = z > a2 ? z : a2;
+                d = z > b2 ? d : 4;
+                z = z > b2 ? z : b2;
+            }
+        } else {
+            z = a > z ? a : z;
+            z = b > z ? b : z;
+            z = a2 > z ? a2 : z;
+            z = b2 > z ? b2 : z;
+        }
+        z = z < sc_mch ? z : sc_mch;
+        un[i] = z - vs[i];
+        vn[i] = z - uo[i];
+        int32_t t1 = z - q, t2 = z - q2;
+        a -= t1;
+        b -= t1;
+        a2 -= t2;
+        b2 -= t2;
+        bool ga, gb, ga2, gb2;
+        if (!RIGHT) {
+            ga = a > 0;
+            gb = b > 0;
+            ga2 = a2 > 0;
+            gb2 = b2 > 0;
+        } else {
+            ga = a >= 0;
+            gb = b >= 0;
+            ga2 = a2 >= 0;
+            gb2 = b2 >= 0;
+        }
+        xn[i] = (ga ? a : 0) - (q + e);
+        yn[i] = (gb ? b : 0) - (q + e);
+        x2n[i] = (ga2 ? a2 : 0) - (q2 + e2);
+        y2n[i] = (gb2 ? b2 : 0) - (q2 + e2);
+        if (WITH_CIGAR)
+            pr[i] = (uint8_t)(d | (ga ? 0x08 : 0) | (gb ? 0x10 : 0) |
+                              (ga2 ? 0x20 : 0) | (gb2 ? 0x40 : 0));
+    }
+}
+
+extern "C" {
+
 static uint32_t *backtrack(const uint8_t *p, const int64_t *poff,
                            const int32_t *off, const int32_t *off_end,
                            int32_t i0, int32_t j0, bool rev_cigar,
@@ -365,7 +449,9 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
         poff = (int64_t *)malloc(sizeof(int64_t) * R);
         p = (uint8_t *)malloc((size_t)R * width_cap);
     }
-    if (!u || !s || (!approx_max && !H) || !qr || !sf || !off ||
+    int32_t rb = width_cap + 16;
+    int32_t *rowbuf = (int32_t *)malloc(sizeof(int32_t) * (size_t)rb * 6);
+    if (!u || !s || (!approx_max && !H) || !qr || !sf || !off || !rowbuf ||
         (with_cigar && (!poff || !p))) {
         free(u);
         free(s);
@@ -375,9 +461,13 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
         free(off);
         free(poff);
         free(p);
+        free(rowbuf);
         finish();
         return -1;
     }
+    int32_t *xs_ = rowbuf, *vs_ = rowbuf + rb, *x2s_ = rowbuf + 2 * rb;
+    int32_t *uo_ = rowbuf + 3 * rb, *yo_ = rowbuf + 4 * rb;
+    int32_t *y2o_ = rowbuf + 5 * rb;
     for (int32_t t = 0; t < tpad; ++t) {
         u[t] = v[t] = x[t] = y[t] = -q - e;
         x2[t] = y2[t] = -q2 - e2;
@@ -449,70 +539,39 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
             poff[r] = (int64_t)r * width_cap;
             pr = p + poff[r];
         }
-        for (int32_t t = st; t <= en; ++t) {
-            int32_t xt1 = x1, x2t1 = x21, vt1 = v1, ut = u[t];
-            x1 = x[t];
-            x21 = x2[t];
-            v1 = v[t];
-            int32_t z = s[t];
-            int32_t a = xt1 + vt1, b = y[t] + ut;
-            int32_t a2 = x2t1 + vt1, b2 = y2[t] + ut;
-            int32_t d;
-            if (with_cigar) {
-                if (!right) {
-                    d = a > z ? 1 : 0;
-                    z = a > z ? a : z;
-                    d = b > z ? 2 : d;
-                    z = b > z ? b : z;
-                    d = a2 > z ? 3 : d;
-                    z = a2 > z ? a2 : z;
-                    d = b2 > z ? 4 : d;
-                    z = b2 > z ? b2 : z;
-                } else {
-                    d = z > a ? 0 : 1;
-                    z = z > a ? z : a;
-                    d = z > b ? d : 2;
-                    z = z > b ? z : b;
-                    d = z > a2 ? d : 3;
-                    z = z > a2 ? z : a2;
-                    d = z > b2 ? d : 4;
-                    z = z > b2 ? z : b2;
-                }
-            } else {
-                d = 0;
-                z = a > z ? a : z;
-                z = b > z ? b : z;
-                z = a2 > z ? a2 : z;
-                z = b2 > z ? b2 : z;
-            }
-            z = z < sc_mch ? z : sc_mch;
-            u[t] = z - vt1;
-            v[t] = z - ut;
-            int32_t t1 = z - q;
-            a -= t1;
-            b -= t1;
-            int32_t t2 = z - q2;
-            a2 -= t2;
-            b2 -= t2;
-            bool ga, gb, ga2, gb2;
-            if (!right) {
-                ga = a > 0;
-                gb = b > 0;
-                ga2 = a2 > 0;
-                gb2 = b2 > 0;
-            } else {
-                ga = a >= 0;
-                gb = b >= 0;
-                ga2 = a2 >= 0;
-                gb2 = b2 >= 0;
-            }
-            x[t] = (ga ? a : 0) - (q + e);
-            y[t] = (gb ? b : 0) - (q + e);
-            x2[t] = (ga2 ? a2 : 0) - (q2 + e2);
-            y2[t] = (gb2 ? b2 : 0) - (q2 + e2);
-            if (with_cigar)
-                pr[t - st] = (uint8_t)(d | (ga ? 0x08 : 0) | (gb ? 0x10 : 0) |
-                                       (ga2 ? 0x20 : 0) | (gb2 ? 0x40 : 0));
+        {
+            int32_t W = en - st + 1;
+            // snapshot the old row (shifted reads get the band-edge
+            // boundary in slot 0) so the vector row can write in place
+            xs_[0] = x1;
+            vs_[0] = v1;
+            x2s_[0] = x21;
+            memcpy(xs_ + 1, x + st, (size_t)(W - 1) * sizeof(int32_t));
+            memcpy(vs_ + 1, v + st, (size_t)(W - 1) * sizeof(int32_t));
+            memcpy(x2s_ + 1, x2 + st, (size_t)(W - 1) * sizeof(int32_t));
+            memcpy(uo_, u + st, (size_t)W * sizeof(int32_t));
+            memcpy(yo_, y + st, (size_t)W * sizeof(int32_t));
+            memcpy(y2o_, y2 + st, (size_t)W * sizeof(int32_t));
+            if (with_cigar && !right)
+                extd2_row<true, false>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                                       y2o_, u + st, v + st, x + st, y + st,
+                                       x2 + st, y2 + st, pr, sc_mch, q, e,
+                                       q2, e2);
+            else if (with_cigar)
+                extd2_row<true, true>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                                      y2o_, u + st, v + st, x + st, y + st,
+                                      x2 + st, y2 + st, pr, sc_mch, q, e,
+                                      q2, e2);
+            else if (!right)
+                extd2_row<false, false>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                                        y2o_, u + st, v + st, x + st, y + st,
+                                        x2 + st, y2 + st, nullptr, sc_mch, q,
+                                        e, q2, e2);
+            else
+                extd2_row<false, true>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                                       y2o_, u + st, v + st, x + st, y + st,
+                                       x2 + st, y2 + st, nullptr, sc_mch, q,
+                                       e, q2, e2);
         }
         if (!approx_max) {
             int64_t max_H;
@@ -627,10 +686,152 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
     free(off);
     free(poff);
     free(p);
+    free(rowbuf);
     finish();
     return 0;
 }
 
 void mm2_free(void *ptr) { free(ptr); }
+
+// ---------------------------------------------------------------------------
+// CIGAR-walk stats for mm_update_extra (align.c:240-286): per-op ambiguous
+// base counts, match/block lengths, and the clamped running DP score whose
+// peak is dp_max. qseq/tseq start at the region's qs1/rs1 (post fix_cigar
+// shift). out: [blen, mlen, n_ambi, dp_max, qoff, toff].
+// ---------------------------------------------------------------------------
+void mm2_update_stats(const uint32_t *cigar, int64_t n_cigar,
+                      const uint8_t *qseq, const uint8_t *tseq,
+                      const int8_t *mat /*5x5*/, int32_t q, int32_t e,
+                      int64_t *out) {
+    int64_t blen = 0, mlen = 0, n_ambi = 0;
+    int64_t toff = 0, qoff = 0;
+    int64_t s = 0, mx = 0;
+    for (int64_t k = 0; k < n_cigar; ++k) {
+        uint32_t c = cigar[k];
+        int32_t op = c & 0xF;
+        int64_t ln = c >> 4;
+        if (op == 0) {
+            int64_t na = 0, nd = 0;
+            for (int64_t l = 0; l < ln; ++l) {
+                uint8_t cq = qseq[qoff + l], ct = tseq[toff + l];
+                bool ambi = cq > 3 || ct > 3;
+                na += ambi;
+                nd += !ambi && cq != ct;
+                s += mat[(int32_t)ct * 5 + cq];
+                if (s < 0) s = 0;
+                else if (s > mx) mx = s;
+            }
+            blen += ln - na;
+            mlen += ln - (na + nd);
+            n_ambi += na;
+            toff += ln;
+            qoff += ln;
+        } else if (op == 1) {
+            int64_t na = 0;
+            for (int64_t l = 0; l < ln; ++l) na += qseq[qoff + l] > 3;
+            blen += ln - na;
+            n_ambi += na;
+            s -= q + e * ln;
+            if (s < 0) s = 0;
+            qoff += ln;
+        } else if (op == 2) {
+            int64_t na = 0;
+            for (int64_t l = 0; l < ln; ++l) na += tseq[toff + l] > 3;
+            blen += ln - na;
+            n_ambi += na;
+            s -= q + e * ln;
+            if (s < 0) s = 0;
+            toff += ln;
+        } else if (op == 3) {
+            toff += ln;
+        }
+    }
+    out[0] = blen;
+    out[1] = mlen;
+    out[2] = n_ambi;
+    out[3] = mx;
+    out[4] = qoff;
+    out[5] = toff;
+}
+
+// ---------------------------------------------------------------------------
+// Z-drop scan of mm_test_zdrop (align.c:52-68): running last-occurrence
+// score max (ties update), best first-occurrence drop penalized by the
+// diagonal shift. out: [max_zdrop, i_at_max, i_at_drop, j_at_max, j_at_drop]
+// (positions -1 when max_zdrop <= 0).
+// ---------------------------------------------------------------------------
+void mm2_zdrop_scan(const uint32_t *cigar, int64_t n_cigar,
+                    const uint8_t *qseq, const uint8_t *tseq,
+                    const int8_t *mat /*5x5*/, int32_t q, int32_t e,
+                    int64_t *out) {
+    const int64_t NEG = -0x7FFFFFFFFFFFLL;
+    int64_t s = 0, best_m = NEG;
+    int64_t mi = 0, mj = 0;        // (i, j) at the running max
+    int64_t max_z = NEG;
+    int64_t zi0 = -1, zi1 = -1, zj0 = -1, zj1 = -1;
+    int64_t i = 0, j = 0;
+    bool any = false;
+    for (int64_t k = 0; k < n_cigar; ++k) {
+        uint32_t c = cigar[k];
+        int32_t op = c & 0xF;
+        int64_t ln = c >> 4;
+        if (op == 0) {
+            for (int64_t l = 0; l < ln; ++l) {
+                s += mat[(int32_t)tseq[i + l] * 5 + qseq[j + l]];
+                int64_t ii = i + l, jj = j + l;
+                if (s >= best_m) {
+                    best_m = s;
+                    mi = ii;
+                    mj = jj;
+                } else {
+                    int64_t dd = (ii - jj) - (mi - mj);
+                    if (dd < 0) dd = -dd;
+                    int64_t z = best_m - s - dd * e;
+                    if (z > max_z) {
+                        max_z = z;
+                        zi0 = mi;
+                        zi1 = ii;
+                        zj0 = mj;
+                        zj1 = jj;
+                    }
+                }
+            }
+            i += ln;
+            j += ln;
+            any = true;
+        } else if (op == 1 || op == 2 || op == 3) {
+            s -= q + e * ln;
+            if (op == 1) j += ln;
+            else i += ln;
+            if (s >= best_m) {
+                best_m = s;
+                mi = i;
+                mj = j;
+            } else {
+                int64_t dd = (i - j) - (mi - mj);
+                if (dd < 0) dd = -dd;
+                int64_t z = best_m - s - dd * e;
+                if (z > max_z) {
+                    max_z = z;
+                    zi0 = mi;
+                    zi1 = i;
+                    zj0 = mj;
+                    zj1 = j;
+                }
+            }
+            any = true;
+        }
+    }
+    if (!any || max_z <= 0) {
+        out[0] = 0;
+        out[1] = out[2] = out[3] = out[4] = -1;
+        return;
+    }
+    out[0] = max_z;
+    out[1] = zi0;
+    out[2] = zi1;
+    out[3] = zj0;
+    out[4] = zj1;
+}
 
 }  // extern "C"
