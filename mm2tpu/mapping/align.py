@@ -19,8 +19,8 @@ from ..options import (MapOptions, MM_F_SR, MM_F_SPLICE, MM_F_SPLICE_FOR,
                        MM_SEED_IGNORE, MM_SEED_TANDEM, MM_SEED_LONG_JOIN,
                        MM_SEED_SELF)
 from ..ops import ksw2_ref as K
-from .hit import (Region, Extra, _i32, split_reg, filter_regs, hit_sort,
-                  squeeze_a, MM_PARENT_UNSET, MM_PARENT_TMP_PRI)
+from .hit import (Region, Extra, _i32, _i32v, split_reg, filter_regs,
+                  hit_sort, squeeze_a, MM_PARENT_UNSET, MM_PARENT_TMP_PRI)
 
 INT32_MIN = -2**31
 
@@ -415,13 +415,13 @@ def adjust_minier(mi, qseq0, ax: int, ay: int) -> Tuple[int, int]:
 
 
 def collect_long_gaps(as1, cnt1, a, min_gap) -> List[int]:
-    """align.c:367-384."""
-    ks = []
-    for i in range(1, cnt1):
-        gap = (_i32(a[as1 + i, 1]) - _i32(a[as1 + i - 1, 1])) - \
-              (_i32(a[as1 + i, 0]) - _i32(a[as1 + i - 1, 0]))
-        if gap < -min_gap or gap > min_gap:
-            ks.append(i)
+    """align.c:367-384 (vectorized over the chain's seeds)."""
+    if cnt1 <= 1:
+        return []
+    ax = _i32v(a[as1: as1 + cnt1, 0])
+    ay = _i32v(a[as1: as1 + cnt1, 1])
+    gap = np.diff(ay) - np.diff(ax)
+    ks = (np.nonzero((gap < -min_gap) | (gap > min_gap))[0] + 1).tolist()
     return ks if len(ks) > 1 else []
 
 

@@ -123,11 +123,12 @@ def ksw_extd2(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
         raise MemoryError("mm2_ksw_extd2 allocation failed")
     ez = ExtzResult()
     (ez.max, zd, ez.max_q, ez.max_t, ez.mqe, ez.mqe_t, ez.mte,
-     ez.mte_q, ez.score, re_) = (int(x) for x in ez_out)
+     ez.mte_q, ez.score, re_) = ez_out.tolist()
     ez.zdropped = bool(zd)
     ez.reach_end = bool(re_)
     if n_cig.value:
-        ez.cigar = [int(cig_ptr[i]) for i in range(n_cig.value)]
+        ez.cigar = np.ctypeslib.as_array(cig_ptr,
+                                         shape=(n_cig.value,)).tolist()
         lib.mm2_free(cig_ptr)
     return ez
 
