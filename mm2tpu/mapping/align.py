@@ -320,6 +320,18 @@ def append_cigar(r: Region, cigar: List[int]) -> None:
 
 
 _NATIVE_KSW = None
+_NATIVE_EXTS2 = None
+
+
+def _native_exts2() -> bool:
+    global _NATIVE_EXTS2
+    if _NATIVE_EXTS2 is None:
+        try:
+            from ..native import lib as native_lib
+            _NATIVE_EXTS2 = native_lib.has_exts2()
+        except Exception:
+            _NATIVE_EXTS2 = False
+    return _NATIVE_EXTS2
 
 
 def _native_ksw() -> bool:
@@ -358,6 +370,11 @@ def align_pair(opt: MapOptions, qseq, tseq, junc, mat, w: int,
                 mat, q=opt.q, e=opt.e, q2=opt.q2, noncan=opt.noncan,
                 zdrop=zdrop, junc_bonus=opt.junc_bonus, flag=flag,
                 juncs=[junc] if junc is not None else None)[0]
+        if _native_exts2():
+            from ..native import lib as native_lib
+            return native_lib.ksw_exts2(
+                qlen, qseq, tlen, tseq, mat, opt.q, opt.e, opt.q2,
+                opt.noncan, zdrop, opt.junc_bonus, flag, junc)
         from ..ops.ksw2_splice_ref import ksw_exts2
         return ksw_exts2(qlen, qseq, tlen, tseq, mat, opt.q, opt.e, opt.q2,
                          opt.noncan, zdrop, opt.junc_bonus, flag, junc)

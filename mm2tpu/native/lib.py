@@ -48,6 +48,15 @@ def _load() -> Optional[ctypes.CDLL]:
             fn.argtypes = [_u32p, ctypes.c_int64, _i8p, _i8p, _s8p,
                            ctypes.c_int32, ctypes.c_int32, _i64p]
             fn.restype = None
+    if hasattr(lib, "mm2_ksw_exts2"):
+        lib.mm2_ksw_exts2.argtypes = [
+            ctypes.c_int32, _i8p, ctypes.c_int32, _i8p, _s8p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, _i64p,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.mm2_ksw_exts2.restype = ctypes.c_int
     if hasattr(lib, "mm2_ksw_extd2"):
         lib.mm2_ksw_extd2.argtypes = [
             ctypes.c_int32, _i8p, ctypes.c_int32, _i8p,
@@ -167,6 +176,47 @@ def zdrop_scan(cigar: np.ndarray, qseq: np.ndarray, tseq: np.ndarray,
         q, e, out)
     return int(out[0]), [[int(out[1]), int(out[2])],
                          [int(out[3]), int(out[4])]]
+
+
+def has_exts2() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_ksw_exts2")
+
+
+def ksw_exts2(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
+              mat: np.ndarray, q: int, e: int, q2: int, noncan: int,
+              zdrop: int, junc_bonus: int, flag: int, junc=None):
+    """Native splice extension DP; same contract (and bit-identical
+    results) as ops/ksw2_splice_ref.ksw_exts2. Releases the GIL."""
+    from ..ops.ksw2_ref import ExtzResult
+
+    lib = _load()
+    ez_out = np.zeros(10, np.int64)
+    cig_ptr = ctypes.POINTER(ctypes.c_uint32)()
+    n_cig = ctypes.c_int32(0)
+    if junc is not None:
+        junc_arr = np.ascontiguousarray(junc, np.uint8)
+        junc_p = junc_arr.ctypes.data_as(ctypes.c_void_p)
+    else:
+        junc_p = None
+    rc = lib.mm2_ksw_exts2(
+        qlen, np.ascontiguousarray(query, np.uint8),
+        tlen, np.ascontiguousarray(target, np.uint8),
+        np.ascontiguousarray(np.asarray(mat).reshape(-1), np.int8),
+        q, e, q2, noncan, zdrop, junc_bonus, flag, junc_p,
+        ez_out, ctypes.byref(cig_ptr), ctypes.byref(n_cig))
+    if rc != 0:
+        raise MemoryError("mm2_ksw_exts2 allocation failed")
+    ez = ExtzResult()
+    (ez.max, zd, ez.max_q, ez.max_t, ez.mqe, ez.mqe_t, ez.mte,
+     ez.mte_q, ez.score, re_) = ez_out.tolist()
+    ez.zdropped = bool(zd)
+    ez.reach_end = bool(re_)
+    if n_cig.value:
+        ez.cigar = np.ctypeslib.as_array(cig_ptr,
+                                         shape=(n_cig.value,)).tolist()
+        lib.mm2_free(cig_ptr)
+    return ez
 
 
 def sketch(codes: np.ndarray, w: int, k: int, rid: int,

@@ -214,6 +214,54 @@ struct Ez {
     int32_t reach_end;
 };
 
+// The SIMD exact-max update over one anti-diagonal, including the SSE
+// build's 4-lane tie-breaking (extd2 l.326-358; shared with exts2).
+static void exact_max_scan(int64_t *H, const int32_t *u, const int32_t *v,
+                           int32_t st0, int32_t en0, int64_t *out_H,
+                           int32_t *out_t) {
+    if (en0 > 0)
+        H[en0] = H[en0 - 1] + u[en0];
+    else
+        H[en0] = H[en0] + v[en0];
+    int64_t max_H = H[en0];
+    int32_t max_t = en0;
+    int32_t en1 = st0 + (en0 - st0) / 4 * 4;
+    int64_t lane_best[4];
+    int32_t lane_t[4];
+    for (int l = 0; l < 4; ++l) {
+        lane_best[l] = max_H;
+        lane_t[l] = max_t;
+    }
+    for (int32_t t = st0; t < en1; ++t) H[t] += v[t];
+    for (int l = 0; l < 4; ++l) {
+        int64_t best = MM2_NEG_INF;
+        int32_t bt = -1;
+        for (int32_t t = st0 + l; t < en1; t += 4)
+            if (H[t] > best) {
+                best = H[t];
+                bt = t;
+            }
+        if (bt >= 0 && best > lane_best[l]) {
+            lane_best[l] = best;
+            lane_t[l] = bt;
+        }
+    }
+    for (int l = 0; l < 4; ++l)
+        if (max_H < lane_best[l]) {
+            max_H = lane_best[l];
+            max_t = lane_t[l];
+        }
+    for (int32_t t = en1; t < en0; ++t) {
+        H[t] += v[t];
+        if (H[t] > max_H) {
+            max_H = H[t];
+            max_t = t;
+        }
+    }
+    *out_H = max_H;
+    *out_t = max_t;
+}
+
 static bool apply_zdrop(Ez &ez, int64_t H, int32_t r, int32_t t,
                         int32_t zdrop, int32_t e) {
     if (H > ez.max_) {
@@ -326,12 +374,82 @@ static void extd2_row(int32_t W, const int32_t *__restrict sr,
     }
 }
 
+// One anti-diagonal of the exts2 (splice) difference DP. Same snapshot
+// scheme as extd2_row; the second gap state is the intron: opening pays
+// q2 at donor sites, closing adds the acceptor score, extension is free,
+// and there is no score clip (ksw2_exts2_sse.c semantics, mirrored from
+// ops/ksw2_splice_ref.py).
+template <bool WITH_CIGAR, bool RIGHT>
+static void exts2_row(int32_t W, const int32_t *__restrict sr,
+                      const int32_t *__restrict xs,
+                      const int32_t *__restrict vs,
+                      const int32_t *__restrict x2s,
+                      const int32_t *__restrict uo,
+                      const int32_t *__restrict yo,
+                      const int32_t *__restrict dn,
+                      const int32_t *__restrict ac,
+                      int32_t *__restrict un, int32_t *__restrict vn,
+                      int32_t *__restrict xn, int32_t *__restrict yn,
+                      int32_t *__restrict x2n, uint8_t *__restrict pr,
+                      int32_t q, int32_t e, int32_t q2) {
+    for (int32_t i = 0; i < W; ++i) {
+        int32_t z = sr[i];
+        int32_t a = xs[i] + vs[i], b = yo[i] + uo[i];
+        int32_t a2 = x2s[i] + vs[i];
+        int32_t a2a = a2 + ac[i];
+        int32_t d = 0;
+        if (WITH_CIGAR) {
+            if (!RIGHT) {
+                d = a > z ? 1 : 0;
+                z = a > z ? a : z;
+                d = b > z ? 2 : d;
+                z = b > z ? b : z;
+                d = a2a > z ? 3 : d;
+                z = a2a > z ? a2a : z;
+            } else {
+                d = z > a ? 0 : 1;
+                z = z > a ? z : a;
+                d = z > b ? d : 2;
+                z = z > b ? z : b;
+                d = z > a2a ? d : 3;
+                z = z > a2a ? z : a2a;
+            }
+        } else {
+            z = a > z ? a : z;
+            z = b > z ? b : z;
+            z = a2a > z ? a2a : z;
+        }
+        un[i] = z - vs[i];
+        vn[i] = z - uo[i];
+        int32_t t1 = z - q;
+        a -= t1;
+        b -= t1;
+        a2 -= z - q2;
+        bool ga, gb, ga2;
+        if (!RIGHT) {
+            ga = a > 0;
+            gb = b > 0;
+            ga2 = a2 > dn[i];
+        } else {
+            ga = a >= 0;
+            gb = b >= 0;
+            ga2 = a2 >= dn[i];
+        }
+        xn[i] = (ga ? a : 0) - (q + e);
+        yn[i] = (gb ? b : 0) - (q + e);
+        x2n[i] = (a2 > dn[i] ? a2 : dn[i]) - q2;
+        if (WITH_CIGAR)
+            pr[i] = (uint8_t)(d | (ga ? 0x08 : 0) | (gb ? 0x10 : 0) |
+                              (ga2 ? 0x20 : 0));
+    }
+}
+
 extern "C" {
 
 static uint32_t *backtrack(const uint8_t *p, const int64_t *poff,
                            const int32_t *off, const int32_t *off_end,
                            int32_t i0, int32_t j0, bool rev_cigar,
-                           int32_t *n_out) {
+                           int32_t *n_out, int32_t min_intron_len = 0) {
     uint32_t *cig = nullptr;
     int32_t n = 0, cap = 0;
     int32_t i = i0, j = j0, state = 0;
@@ -349,15 +467,20 @@ static uint32_t *backtrack(const uint8_t *p, const int64_t *poff,
             push_cigar(cig, n, cap, 0, 1);
             --i;
             --j;
-        } else if (state == 1 || state == 3) {
+        } else if (state == 1 || (state == 3 && min_intron_len <= 0)) {
             push_cigar(cig, n, cap, 2, 1);
+            --i;
+        } else if (state == 3) {
+            push_cigar(cig, n, cap, 3, 1);  // intron (N)
             --i;
         } else {
             push_cigar(cig, n, cap, 1, 1);
             --j;
         }
     }
-    if (i >= 0) push_cigar(cig, n, cap, 2, i + 1);
+    if (i >= 0)
+        push_cigar(cig, n, cap,
+                   (min_intron_len > 0 && i >= min_intron_len) ? 3 : 2, i + 1);
     if (j >= 0) push_cigar(cig, n, cap, 1, j + 1);
     if (!rev_cigar)
         for (int32_t k = 0; k < n >> 1; ++k) {
@@ -577,46 +700,7 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
             int64_t max_H;
             int32_t max_t;
             if (r > 0) {
-                // exact max with the SSE build's 4-lane tie-breaking
-                if (en0 > 0)
-                    H[en0] = H[en0 - 1] + u[en0];
-                else
-                    H[en0] = H[en0] + v[en0];
-                max_H = H[en0];
-                max_t = en0;
-                int32_t en1 = st0 + (en0 - st0) / 4 * 4;
-                int64_t lane_best[4];
-                int32_t lane_t[4];
-                for (int l = 0; l < 4; ++l) {
-                    lane_best[l] = max_H;
-                    lane_t[l] = max_t;
-                }
-                for (int32_t t = st0; t < en1; ++t) H[t] += v[t];
-                for (int l = 0; l < 4; ++l) {
-                    int64_t best = MM2_NEG_INF;
-                    int32_t bt = -1;
-                    for (int32_t t = st0 + l; t < en1; t += 4)
-                        if (H[t] > best) {
-                            best = H[t];
-                            bt = t;
-                        }
-                    if (bt >= 0 && best > lane_best[l]) {
-                        lane_best[l] = best;
-                        lane_t[l] = bt;
-                    }
-                }
-                for (int l = 0; l < 4; ++l)
-                    if (max_H < lane_best[l]) {
-                        max_H = lane_best[l];
-                        max_t = lane_t[l];
-                    }
-                for (int32_t t = en1; t < en0; ++t) {
-                    H[t] += v[t];
-                    if (H[t] > max_H) {
-                        max_H = H[t];
-                        max_t = t;
-                    }
-                }
+                exact_max_scan(H, u, v, st0, en0, &max_H, &max_t);
             } else {
                 H[0] = v[0] - (q + e);
                 max_H = H[0];
@@ -687,6 +771,333 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
     free(poff);
     free(p);
     free(rowbuf);
+    finish();
+    return 0;
+}
+
+// Donor/acceptor site score arrays (ksw2_exts2_sse.c:119-171 semantics,
+// mirrored from ops/ksw2_splice_ref.py::_site_arrays).
+static void exts2_sites(int32_t tlen, int32_t tpad, const uint8_t *t,
+                        const uint8_t *junc, int32_t noncan,
+                        int32_t junc_bonus, int32_t flag, int32_t *donor,
+                        int32_t *acceptor) {
+    const int32_t F_FOR = 0x100, F_REV = 0x200, F_FLANK = 0x400,
+                  F_REVC = 0x80;
+    for (int32_t i = 0; i < tpad; ++i) donor[i] = acceptor[i] = 0;
+    if (!(flag & (F_FOR | F_REV))) return;
+    int32_t semi = (flag & F_FLANK) ? -(noncan / 2) : 0;
+    for (int32_t i = 0; i < tpad; ++i) donor[i] = acceptor[i] = -noncan;
+    if (!(flag & F_REVC)) {
+        for (int32_t i = 0; i < tlen - 4; ++i) {
+            int32_t can = 0;
+            if ((flag & F_FOR) && t[i + 1] == 2 && t[i + 2] == 3) can = 1;
+            if ((flag & F_REV) && t[i + 1] == 1 && t[i + 2] == 3) can = 1;
+            if (can && (t[i + 3] == 0 || t[i + 3] == 2)) can = 2;
+            if (can) donor[i] = can == 2 ? 0 : semi;
+        }
+        if (junc)
+            for (int32_t i = 0; i < tlen - 1; ++i)
+                if (((flag & F_FOR) && (junc[i + 1] & 1)) ||
+                    ((flag & F_REV) && (junc[i + 1] & 8)))
+                    donor[i] += junc_bonus;
+        for (int32_t i = 2; i < tlen; ++i) {
+            int32_t can = 0;
+            if ((flag & F_FOR) && t[i - 1] == 0 && t[i] == 2) can = 1;
+            if ((flag & F_REV) && t[i - 1] == 0 && t[i] == 1) can = 1;
+            if (can && (t[i - 2] == 1 || t[i - 2] == 3)) can = 2;
+            if (can) acceptor[i] = can == 2 ? 0 : semi;
+        }
+        if (junc)
+            for (int32_t i = 0; i < tlen; ++i)
+                if (((flag & F_FOR) && (junc[i] & 2)) ||
+                    ((flag & F_REV) && (junc[i] & 4)))
+                    acceptor[i] += junc_bonus;
+    } else {  // reversed sequences: mirror-image motifs
+        for (int32_t i = 0; i < tlen - 4; ++i) {
+            int32_t can = 0;
+            if ((flag & F_FOR) && t[i + 1] == 2 && t[i + 2] == 0) can = 1;
+            if ((flag & F_REV) && t[i + 1] == 1 && t[i + 2] == 0) can = 1;
+            if (can && (t[i + 3] == 1 || t[i + 3] == 3)) can = 2;
+            if (can) donor[i] = can == 2 ? 0 : semi;
+        }
+        if (junc)
+            for (int32_t i = 0; i < tlen - 1; ++i)
+                if (((flag & F_FOR) && (junc[i + 1] & 2)) ||
+                    ((flag & F_REV) && (junc[i + 1] & 4)))
+                    donor[i] += junc_bonus;
+        for (int32_t i = 2; i < tlen; ++i) {
+            int32_t can = 0;
+            if ((flag & F_FOR) && t[i - 1] == 3 && t[i] == 2) can = 1;
+            if ((flag & F_REV) && t[i - 1] == 3 && t[i] == 1) can = 1;
+            if (can && (t[i - 2] == 0 || t[i - 2] == 2)) can = 2;
+            if (can) acceptor[i] = can == 2 ? 0 : semi;
+        }
+        if (junc)
+            for (int32_t i = 0; i < tlen; ++i)
+                if (((flag & F_FOR) && (junc[i] & 1)) ||
+                    ((flag & F_REV) && (junc[i] & 8)))
+                    acceptor[i] += junc_bonus;
+    }
+}
+
+// ksw2 exts2 (splice) extension DP. Same observable semantics as the
+// SSE4.1 build, mirrored from ops/ksw2_splice_ref.py (the tested
+// oracle). ez_out layout as mm2_ksw_extd2. junc may be null.
+int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
+                  const uint8_t *target, const int8_t *mat /*5x5*/,
+                  int32_t q, int32_t e, int32_t q2, int32_t noncan,
+                  int32_t zdrop, int32_t junc_bonus, int32_t flag,
+                  const uint8_t *junc, int64_t *ez_out, uint32_t **cigar_out,
+                  int32_t *n_cigar_out) {
+    Ez ez = {0, 0, -1, -1, MM2_NEG_INF, -1, MM2_NEG_INF, -1,
+             MM2_NEG_INF, 0};
+    *cigar_out = nullptr;
+    *n_cigar_out = 0;
+    bool with_cigar = !(flag & EZ_SCORE_ONLY);
+    bool approx_max = flag & EZ_APPROX_MAX;
+    bool right = flag & EZ_RIGHT;
+    const int m = 5;
+    auto finish = [&](void) {
+        ez_out[0] = ez.max_;
+        ez_out[1] = ez.zdropped;
+        ez_out[2] = ez.max_q;
+        ez_out[3] = ez.max_t;
+        ez_out[4] = ez.mqe;
+        ez_out[5] = ez.mqe_t;
+        ez_out[6] = ez.mte;
+        ez_out[7] = ez.mte_q;
+        ez_out[8] = ez.score;
+        ez_out[9] = ez.reach_end;
+    };
+    if (qlen <= 0 || tlen <= 0 || q2 <= q + e) {
+        finish();
+        return 0;
+    }
+    int32_t sc_mch = mat[0], sc_mis = mat[1];
+    int32_t sc_N = mat[m * m - 1] == 0 ? -e : mat[m * m - 1];
+    int32_t min_sc = mat[1];
+    for (int i = 2; i < m * m; ++i)
+        if (mat[i] < min_sc) min_sc = mat[i];
+    if (-min_sc > 2 * (q + e)) {
+        finish();
+        return 0;
+    }
+    int32_t long_thres = (q2 - q) / e - 1;
+    if (q2 > q + e + long_thres * e) ++long_thres;
+    int32_t long_diff = long_thres * e - (q2 - q);
+
+    int32_t tlen_ = (tlen + 15) / 16, qlen_ = (qlen + 15) / 16;
+    int32_t tpad = tlen_ * 16;
+    int32_t R = qlen + tlen - 1;
+    int32_t n_col_ = qlen < tlen ? qlen : tlen;
+    int32_t width_cap = (n_col_ + 30 + 15) / 16 * 16;
+    int32_t *u = (int32_t *)malloc(sizeof(int32_t) * (size_t)tpad * 5);
+    int32_t *v = u ? u + tpad : nullptr, *x = u ? v + tpad : nullptr;
+    int32_t *y = u ? x + tpad : nullptr, *x2 = u ? y + tpad : nullptr;
+    int32_t *s = (int32_t *)calloc(tpad + 16, sizeof(int32_t));
+    int64_t *H = approx_max ? nullptr
+                            : (int64_t *)malloc(sizeof(int64_t) * tpad);
+    int32_t *qr = (int32_t *)calloc(qlen_ * 16 + 16, sizeof(int32_t));
+    int32_t *sf = (int32_t *)calloc((size_t)tpad + qlen_ * 16 + 16,
+                                    sizeof(int32_t));
+    int32_t *sites = (int32_t *)malloc(sizeof(int32_t) * (size_t)tpad * 2);
+    int32_t *off = (int32_t *)malloc(sizeof(int32_t) * (size_t)R * 2);
+    int32_t *off_end = off ? off + R : nullptr;
+    int32_t rb = width_cap + 16;
+    int32_t *rowbuf = (int32_t *)malloc(sizeof(int32_t) * (size_t)rb * 5);
+    int64_t *poff = nullptr;
+    uint8_t *p = nullptr;
+    if (with_cigar) {
+        poff = (int64_t *)malloc(sizeof(int64_t) * R);
+        p = (uint8_t *)malloc((size_t)R * width_cap);
+    }
+    if (!u || !s || (!approx_max && !H) || !qr || !sf || !sites || !off ||
+        !rowbuf || (with_cigar && (!poff || !p))) {
+        free(u);
+        free(s);
+        free(H);
+        free(qr);
+        free(sf);
+        free(sites);
+        free(off);
+        free(rowbuf);
+        free(poff);
+        free(p);
+        finish();
+        return -1;
+    }
+    int32_t *donor = sites, *acceptor = sites + tpad;
+    int32_t *xs_ = rowbuf, *vs_ = rowbuf + rb, *x2s_ = rowbuf + 2 * rb;
+    int32_t *uo_ = rowbuf + 3 * rb, *yo_ = rowbuf + 4 * rb;
+    for (int32_t t = 0; t < tpad; ++t) {
+        u[t] = v[t] = x[t] = y[t] = -q - e;
+        x2[t] = -q2;
+        if (H) H[t] = MM2_NEG_INF;
+    }
+    for (int32_t i = 0; i < qlen; ++i) qr[i] = query[qlen - 1 - i];
+    for (int32_t t = 0; t < tlen; ++t) sf[t] = target[t];
+    for (int32_t i = 0; i < qlen_ * 16 + 16; ++i) sf[tpad + i] = qr[i];
+    exts2_sites(tlen, tpad, target, junc, noncan, junc_bonus, flag, donor,
+                acceptor);
+
+    int64_t H0 = 0;
+    int32_t last_H0_t = 0, last_st = -1, last_en = -1;
+    for (int32_t r = 0; r < R; ++r) {
+        int32_t st = 0, en = tlen - 1;
+        if (st < r - qlen + 1) st = r - qlen + 1;
+        if (en > r) en = r;
+        int32_t st0 = st, en0 = en;
+        st = st / 16 * 16;
+        en = (en + 16) / 16 * 16 - 1;
+        int32_t x1, x21, v1;
+        if (st > 0) {
+            if (last_st <= st - 1 && st - 1 <= last_en) {
+                x1 = x[st - 1];
+                x21 = x2[st - 1];
+                v1 = v[st - 1];
+            } else {
+                x1 = -q - e;
+                x21 = -q2;
+                v1 = -q - e;
+            }
+        } else {
+            x1 = -q - e;
+            x21 = -q2;
+            v1 = r == 0 ? -q - e
+                        : r < long_thres ? -e
+                                         : r == long_thres ? long_diff : 0;
+        }
+        if (en >= r) {
+            y[r] = -q - e;
+            u[r] = r == 0 ? -q - e
+                          : r < long_thres ? -e
+                                           : r == long_thres ? long_diff : 0;
+        }
+        int32_t qoff = qlen - 1 - r;
+        if (!(flag & EZ_GENERIC_SC)) {
+            for (int32_t t0 = st0; t0 <= en0; t0 += 16)
+                for (int32_t t = t0; t < t0 + 16; ++t) {
+                    int32_t sq = sf[t];
+                    int32_t stq = qoff + t >= 0 ? qr[qoff + t] : 0;
+                    s[t] = (sq == m - 1 || stq == m - 1)
+                               ? sc_N
+                               : (sq == stq ? sc_mch : sc_mis);
+                }
+        } else {
+            for (int32_t t = st0; t <= en0; ++t)
+                s[t] = mat[sf[t] * m + (qoff + t >= 0 ? qr[qoff + t] : 0)];
+        }
+        uint8_t *pr = nullptr;
+        if (with_cigar) {
+            off[r] = st;
+            off_end[r] = en;
+            poff[r] = (int64_t)r * width_cap;
+            pr = p + poff[r];
+        }
+        {
+            int32_t W = en - st + 1;
+            xs_[0] = x1;
+            vs_[0] = v1;
+            x2s_[0] = x21;
+            memcpy(xs_ + 1, x + st, (size_t)(W - 1) * sizeof(int32_t));
+            memcpy(vs_ + 1, v + st, (size_t)(W - 1) * sizeof(int32_t));
+            memcpy(x2s_ + 1, x2 + st, (size_t)(W - 1) * sizeof(int32_t));
+            memcpy(uo_, u + st, (size_t)W * sizeof(int32_t));
+            memcpy(yo_, y + st, (size_t)W * sizeof(int32_t));
+            if (with_cigar && !right)
+                exts2_row<true, false>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                                       donor + st, acceptor + st, u + st,
+                                       v + st, x + st, y + st, x2 + st, pr,
+                                       q, e, q2);
+            else if (with_cigar)
+                exts2_row<true, true>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                                      donor + st, acceptor + st, u + st,
+                                      v + st, x + st, y + st, x2 + st, pr,
+                                      q, e, q2);
+            else if (!right)
+                exts2_row<false, false>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                                        donor + st, acceptor + st, u + st,
+                                        v + st, x + st, y + st, x2 + st,
+                                        nullptr, q, e, q2);
+            else
+                exts2_row<false, true>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                                       donor + st, acceptor + st, u + st,
+                                       v + st, x + st, y + st, x2 + st,
+                                       nullptr, q, e, q2);
+        }
+        if (!approx_max) {
+            int64_t max_H;
+            int32_t max_t;
+            if (r > 0) {
+                exact_max_scan(H, u, v, st0, en0, &max_H, &max_t);
+            } else {
+                H[0] = v[0] - (q + e);
+                max_H = H[0];
+                max_t = 0;
+            }
+            if (en0 == tlen - 1 && H[en0] > ez.mte) {
+                ez.mte = H[en0];
+                ez.mte_q = r - en;
+            }
+            if (r - st0 == qlen - 1 && H[st0] > ez.mqe) {
+                ez.mqe = H[st0];
+                ez.mqe_t = st0;
+            }
+            if (apply_zdrop(ez, max_H, r, max_t, zdrop, 0)) break;
+            if (r == qlen + tlen - 2 && en0 == tlen - 1)
+                ez.score = H[tlen - 1];
+        } else {
+            if (r > 0) {
+                if (last_H0_t >= st0 && last_H0_t <= en0 &&
+                    last_H0_t + 1 >= st0 && last_H0_t + 1 <= en0) {
+                    int32_t d0 = v[last_H0_t], d1 = u[last_H0_t + 1];
+                    if (d0 > d1)
+                        H0 += d0;
+                    else {
+                        H0 += d1;
+                        ++last_H0_t;
+                    }
+                } else if (last_H0_t >= st0 && last_H0_t <= en0) {
+                    H0 += v[last_H0_t];
+                } else {
+                    ++last_H0_t;
+                    H0 += u[last_H0_t];
+                }
+            } else {
+                H0 = v[0] - (q + e);
+                last_H0_t = 0;
+            }
+            if ((flag & EZ_APPROX_DROP) &&
+                apply_zdrop(ez, H0, r, last_H0_t, zdrop, 0))
+                break;
+            if (r == qlen + tlen - 2 && en0 == tlen - 1) ez.score = H0;
+        }
+        last_st = st;
+        last_en = en;
+    }
+
+    if (with_cigar) {
+        bool rev_cigar = flag & EZ_REV_CIGAR;
+        if (!ez.zdropped && !(flag & EZ_EXTZ_ONLY)) {
+            *cigar_out = backtrack(p, poff, off, off_end, tlen - 1,
+                                   qlen - 1, rev_cigar, n_cigar_out,
+                                   long_thres);
+        } else if (ez.max_t >= 0 && ez.max_q >= 0) {
+            *cigar_out = backtrack(p, poff, off, off_end, ez.max_t,
+                                   ez.max_q, rev_cigar, n_cigar_out,
+                                   long_thres);
+        }
+    }
+    free(u);
+    free(s);
+    free(H);
+    free(qr);
+    free(sf);
+    free(sites);
+    free(off);
+    free(rowbuf);
+    free(poff);
+    free(p);
     finish();
     return 0;
 }

@@ -119,3 +119,65 @@ def test_native_ksw_extd2_matches_oracle(flag_name):
                                        q2, e2, 151, 400, eb, flags)
             for f in fields:
                 assert getattr(exp, f) == getattr(got, f), (flag_name, f)
+
+
+@pytest.mark.parametrize("mode", ["fwd", "rev", "both", "flank", "junc",
+                                  "rev_cigar", "approx", "score_only"])
+def test_native_ksw_exts2_matches_oracle(mode):
+    """Native C++ exts2 (splice) vs the NumPy oracle across strand flags,
+    flank scoring, junction bonuses and approx/score-only modes (the
+    oracle is pinned to the SSE build in test_ksw2.py)."""
+    from mm2tpu.ops import ksw2_ref as K
+    from mm2tpu.ops.ksw2_splice_ref import ksw_exts2
+    from mm2tpu.native import lib as native_lib
+    if not native_lib.has_exts2():
+        pytest.skip("native library not built")
+    flags = dict(
+        fwd=K.KSW_EZ_SPLICE_FOR,
+        rev=K.KSW_EZ_SPLICE_REV,
+        both=K.KSW_EZ_SPLICE_FOR | K.KSW_EZ_SPLICE_REV,
+        flank=K.KSW_EZ_SPLICE_FOR | K.KSW_EZ_SPLICE_FLANK,
+        junc=K.KSW_EZ_SPLICE_FOR,
+        rev_cigar=K.KSW_EZ_SPLICE_FOR | K.KSW_EZ_REV_CIGAR | K.KSW_EZ_RIGHT,
+        approx=K.KSW_EZ_SPLICE_FOR | K.KSW_EZ_APPROX_MAX
+               | K.KSW_EZ_APPROX_DROP,
+        score_only=K.KSW_EZ_SPLICE_FOR | K.KSW_EZ_SCORE_ONLY,
+    )[mode]
+    mat = K.gen_simple_mat(1, 2, 1)
+    rng = np.random.default_rng(hash(mode) & 0xFFFF)
+    fields = ("max", "zdropped", "max_q", "max_t", "mqe", "mqe_t", "mte",
+              "mte_q", "score", "reach_end", "cigar")
+    for rep in range(3):
+        # exon/intron structured target so introns + canonical sites occur
+        tlen = int(rng.integers(200, 900))
+        t8 = rng.integers(0, 4, tlen).astype(np.uint8)
+        # drop in GT..AG motifs
+        for _ in range(6):
+            i = int(rng.integers(0, tlen - 40))
+            ln = int(rng.integers(25, 40))
+            t8[i], t8[i + 1] = 2, 3
+            t8[i + ln - 2], t8[i + ln - 1] = 0, 2
+        # query = target with the motif spans deleted + noise
+        q8 = []
+        skip = 0
+        for i, c in enumerate(t8):
+            if skip:
+                skip -= 1
+                continue
+            r = rng.random()
+            if r < 0.02:
+                continue
+            if r < 0.08:
+                q8.append(int(rng.integers(0, 4)))
+            q8.append(int(c))
+        q8 = np.array(q8, np.uint8)
+        junc = None
+        if mode == "junc":
+            junc = rng.integers(0, 16, tlen).astype(np.uint8)
+        for q, e, q2, noncan in ((6, 2, 32, 9), (4, 1, 26, 5)):
+            exp = ksw_exts2(len(q8), q8, tlen, t8, mat, q, e, q2, noncan,
+                            200, 9, flags, junc)
+            got = native_lib.ksw_exts2(len(q8), q8, tlen, t8, mat, q, e,
+                                       q2, noncan, 200, 9, flags, junc)
+            for f in fields:
+                assert getattr(exp, f) == getattr(got, f), (mode, f)
