@@ -571,25 +571,42 @@ def max_stretch(r: Region, a) -> Tuple[int, int]:
     as_, cnt = r.as_, r.cnt
     if r.cnt < 2:
         return as_, cnt
-    max_score, max_i, max_len = -1, -1, 0
-    score = _span(int(a[r.as_, 1]))
-    length = 1
-    i = r.as_ + 1
-    for i in range(r.as_ + 1, r.as_ + r.cnt):
-        q_span = _span(int(a[i, 1]))
-        lr = _i32(a[i, 0]) - _i32(a[i - 1, 0])
-        lq = _i32(a[i, 1]) - _i32(a[i - 1, 1])
-        if lq == lr:
-            score += min(lq, q_span)
-            length += 1
-        else:
-            if score > max_score:
-                max_score, max_len, max_i = score, length, i - length
-            score, length = q_span, 1
-    i = r.as_ + r.cnt
-    if score > max_score:
-        max_score, max_len, max_i = score, length, i - length
-    return max_i, max_len
+    if cnt < 24:  # short chains (sr): the scalar scan beats numpy overhead
+        max_score, max_i, max_len = -1, -1, 0
+        score = _span(int(a[as_, 1]))
+        length = 1
+        i = as_ + 1
+        for i in range(as_ + 1, as_ + cnt):
+            q_span = _span(int(a[i, 1]))
+            lr = _i32(a[i, 0]) - _i32(a[i - 1, 0])
+            lq = _i32(a[i, 1]) - _i32(a[i - 1, 1])
+            if lq == lr:
+                score += min(lq, q_span)
+                length += 1
+            else:
+                if score > max_score:
+                    max_score, max_len, max_i = score, length, i - length
+                score, length = q_span, 1
+        i = as_ + cnt
+        if score > max_score:
+            max_score, max_len, max_i = score, length, i - length
+        return max_i, max_len
+    # vectorized: split into equal-diagonal runs, score each run, pick the
+    # first maximum (the scalar scan's strict-> tie-break)
+    seg = a[as_: as_ + cnt]
+    spans = ((seg[:, 1] >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+    lr = np.diff(_i32v(seg[:, 0]))
+    lq = np.diff(_i32v(seg[:, 1]))
+    cont = lq == lr
+    run_id = np.concatenate(([0], np.cumsum(~cont)))
+    contrib = np.empty(cnt, np.int64)
+    contrib[0] = spans[0]
+    contrib[1:] = np.where(cont, np.minimum(lq, spans[1:]), spans[1:])
+    sums = np.bincount(run_id, weights=contrib).astype(np.int64)
+    lens = np.bincount(run_id)
+    starts = np.concatenate(([0], np.nonzero(~cont)[0] + 1))
+    best = int(np.argmax(sums))
+    return as_ + int(starts[best]), int(lens[best])
 
 
 def seed_ext_score(opt: MapOptions, mi, mat, qlen: int, qseq0, ax, ay) -> int:

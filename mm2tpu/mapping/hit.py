@@ -75,6 +75,18 @@ def _cal_fuzzy_len(r: Region, a: np.ndarray) -> None:
     r.mlen = r.blen = 0
     if r.cnt <= 0:
         return
+    if r.cnt < 24:  # short chains (sr): scalar beats numpy overhead
+        ax, ay = int(a[r.as_, 0]), int(a[r.as_, 1])
+        r.mlen = r.blen = (ay >> 32) & 0xFF
+        for i in range(r.as_ + 1, r.as_ + r.cnt):
+            bx, by = int(a[i, 0]), int(a[i, 1])
+            sp = (by >> 32) & 0xFF
+            tl = _i32(bx) - _i32(ax)
+            ql = _i32(by) - _i32(ay)
+            r.blen += tl if tl > ql else ql
+            r.mlen += sp if (tl > sp and ql > sp) else min(tl, ql)
+            ax, ay = bx, by
+        return
     seg = a[r.as_:r.as_ + r.cnt]
     spans = ((seg[:, 1] >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
     r.mlen = r.blen = int(spans[0])

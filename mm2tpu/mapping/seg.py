@@ -27,29 +27,32 @@ def seg_gen(hash_: int, qlens: Sequence[int], regs0: List[Region],
     qlen_sum = acc[-1] + qlens[-1]
 
     n_regs0 = len(regs0)
-    u = [np.array([r.score << 32 for r in regs0], dtype=np.uint64)
-         for _ in range(n_segs)]
-    parts: List[List[List[int]]] = [[[] for _ in range(n_regs0)] for _ in range(n_segs)]
+    # per-region segment id of each anchor + per-segment counts (vectorized)
+    reg_sids = []
+    counts = np.zeros((n_segs, n_regs0), np.int64)
     for i, r in enumerate(regs0):
-        for j in range(r.cnt):
-            sid = (int(a[r.as_ + j, 1]) & MM_SEED_SEG_MASK) >> MM_SEED_SEG_SHIFT
-            u[sid][i] += np.uint64(1)
-            parts[sid][i].append(r.as_ + j)
+        sids = ((a[r.as_: r.as_ + r.cnt, 1] & np.uint64(MM_SEED_SEG_MASK))
+                >> np.uint64(MM_SEED_SEG_SHIFT)).astype(np.int64)
+        reg_sids.append(sids)
+        counts[:, i] = np.bincount(sids, minlength=n_segs)
     segs = []
     for s in range(n_segs):
-        keep = [(int(u[s][i]), parts[s][i]) for i in range(n_regs0)
-                if int(u[s][i]) & 0xFFFFFFFF]
-        rows = []
-        for _, idxs in keep:
-            for t in idxs:
-                row = a[t].copy()
-                pos = int(row[1]) & 0xFFFFFFFF
-                rev = int(row[0]) >> 63
-                shift = (qlen_sum - (qlens[s] + acc[s])) if rev else acc[s]
-                row[1] = np.uint64((int(row[1]) - shift) & 0xFFFFFFFFFFFFFFFF)
-                rows.append(row)
-        sa = np.array(rows, dtype=np.uint64).reshape(-1, 2) if rows else np.zeros((0, 2), np.uint64)
-        su = np.array([v for v, _ in keep], dtype=np.uint64)
+        idx_chunks, su_vals = [], []
+        for i, r in enumerate(regs0):
+            c = int(counts[s, i])
+            if c:
+                su_vals.append((r.score << 32) + c)
+                idx_chunks.append(r.as_ + np.nonzero(reg_sids[i] == s)[0])
+        if idx_chunks:
+            idx = np.concatenate(idx_chunks)
+            sa = a[idx]  # fancy indexing copies
+            rev = (sa[:, 0] >> np.uint64(63)).astype(bool)
+            shift = np.where(rev, qlen_sum - (qlens[s] + acc[s]),
+                             acc[s]).astype(np.uint64)
+            sa[:, 1] = sa[:, 1] - shift  # uint64 wraparound, as in the C
+        else:
+            sa = np.zeros((0, 2), np.uint64)
+        su = np.array(su_vals, dtype=np.uint64)
         seg = Seg(u=su, a=sa)
         seg.regs = hit_mod.gen_regs(hash_, qlens[s], su, sa)
         for r in seg.regs:

@@ -2,6 +2,12 @@
 
 Build with `make -C native`. All entry points fall back gracefully to the
 Python/NumPy references when the shared library is absent.
+
+Array arguments are declared `c_void_p` and passed as raw `.ctypes.data`
+pointers: the ndpointer/from_param validation machinery costs ~10us per
+call, which dominates short-read workloads (thousands of small native
+calls per batch). Each wrapper guarantees dtype + contiguity itself via
+`_ptr` and keeps the backing array alive across the call.
 """
 from __future__ import annotations
 
@@ -15,9 +21,15 @@ _SO = pathlib.Path(__file__).resolve().parent.parent.parent / "native" / "libmm2
 _lib: Optional[ctypes.CDLL] = None
 _checked = False
 
-_i8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-_u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
-_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_VP = ctypes.c_void_p
+_I32 = ctypes.c_int32
+_I64 = ctypes.c_int64
+
+
+def _ptr(a, dtype):
+    """(keepalive, raw pointer) for an array coerced to C-contiguous dtype."""
+    a = np.ascontiguousarray(a, dtype)
+    return a, a.ctypes.data
 
 
 def _load() -> Optional[ctypes.CDLL]:
@@ -30,44 +42,33 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
     lib = ctypes.CDLL(str(_SO))
     lib.mm2_chain_exact.argtypes = [
-        ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
-        ctypes.c_int32, _u64p, _u64p, _i32p, _i32p, _i32p]
+        _I64, _I32, _I32, _I32, _I32, _I32, ctypes.c_float, _I32, _I32,
+        _VP, _VP, _VP, _VP, _VP]
     lib.mm2_chain_exact.restype = None
-    lib.mm2_v_carry.argtypes = [ctypes.c_int64, _i32p, _i32p, _i32p]
+    lib.mm2_v_carry.argtypes = [_I64, _VP, _VP, _VP]
     lib.mm2_v_carry.restype = None
     lib.mm2_sketch.argtypes = [
-        _i8p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
-        ctypes.c_uint32, ctypes.c_int32, _u64p, _u64p, ctypes.c_int64]
-    lib.mm2_sketch.restype = ctypes.c_int64
-    _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
-    _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-    _s8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        _VP, _I64, _I32, _I32, ctypes.c_uint32, _I32, _VP, _VP, _I64]
+    lib.mm2_sketch.restype = _I64
     if hasattr(lib, "mm2_update_stats"):
         for fn in (lib.mm2_update_stats, lib.mm2_zdrop_scan):
-            fn.argtypes = [_u32p, ctypes.c_int64, _i8p, _i8p, _s8p,
-                           ctypes.c_int32, ctypes.c_int32, _i64p]
+            fn.argtypes = [_VP, _I64, _VP, _VP, _VP, _I32, _I32, _VP]
             fn.restype = None
     if hasattr(lib, "mm2_ksw_exts2"):
         lib.mm2_ksw_exts2.argtypes = [
-            ctypes.c_int32, _i8p, ctypes.c_int32, _i8p, _s8p,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_void_p, _i64p,
+            _I32, _VP, _I32, _VP, _VP, _I32, _I32, _I32, _I32, _I32, _I32,
+            _I32, _VP, _VP,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
-            ctypes.POINTER(ctypes.c_int32)]
+            ctypes.POINTER(_I32)]
         lib.mm2_ksw_exts2.restype = ctypes.c_int
     if hasattr(lib, "mm2_ksw_extd2"):
         lib.mm2_ksw_extd2.argtypes = [
-            ctypes.c_int32, _i8p, ctypes.c_int32, _i8p,
-            np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            _I32, _VP, _I32, _VP, _VP, _I32, _I32, _I32, _I32, _I32, _I32,
+            _I32, _I32, _VP,
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
-            ctypes.POINTER(ctypes.c_int32)]
+            ctypes.POINTER(_I32)]
         lib.mm2_ksw_extd2.restype = ctypes.c_int
-        lib.mm2_free.argtypes = [ctypes.c_void_p]
+        lib.mm2_free.argtypes = [_VP]
         lib.mm2_free.restype = None
     _lib = lib
     return lib
@@ -88,11 +89,12 @@ def chain_scores_exact(a: np.ndarray, max_dist_x: int, max_dist_y: int,
     p = np.full(n, -1, np.int32)
     v = np.zeros(n, np.int32)
     if n:
-        ax = np.ascontiguousarray(a[:, 0])
-        ay = np.ascontiguousarray(a[:, 1])
+        ax, axp = _ptr(a[:, 0], np.uint64)
+        ay, ayp = _ptr(a[:, 1], np.uint64)
         lib.mm2_chain_exact(n, max_dist_x, max_dist_y, bw, max_skip,
                             max_iter, gap_scale, int(is_cdna), n_segs,
-                            ax, ay, f, p, v)
+                            axp, ayp, f.ctypes.data, p.ctypes.data,
+                            v.ctypes.data)
     return f, p.astype(np.int64), v
 
 
@@ -101,8 +103,9 @@ def v_carry(f: np.ndarray, p: np.ndarray) -> np.ndarray:
     n = len(f)
     v = np.zeros(n, np.int32)
     if n:
-        lib.mm2_v_carry(n, np.ascontiguousarray(f, np.int32),
-                        np.ascontiguousarray(p, np.int32), v)
+        fa, fp = _ptr(f, np.int32)
+        pa, pp = _ptr(p, np.int32)
+        lib.mm2_v_carry(n, fp, pp, v.ctypes.data)
     return v
 
 
@@ -122,12 +125,12 @@ def ksw_extd2(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
     ez_out = np.zeros(10, np.int64)
     cig_ptr = ctypes.POINTER(ctypes.c_uint32)()
     n_cig = ctypes.c_int32(0)
+    qa, qp = _ptr(query, np.uint8)
+    ta, tp = _ptr(target, np.uint8)
+    ma, mp = _ptr(np.asarray(mat).reshape(-1), np.int8)
     rc = lib.mm2_ksw_extd2(
-        qlen, np.ascontiguousarray(query, np.uint8),
-        tlen, np.ascontiguousarray(target, np.uint8),
-        np.ascontiguousarray(np.asarray(mat).reshape(-1), np.int8),
-        q, e, q2, e2, w, zdrop, end_bonus, flag,
-        ez_out, ctypes.byref(cig_ptr), ctypes.byref(n_cig))
+        qlen, qp, tlen, tp, mp, q, e, q2, e2, w, zdrop, end_bonus, flag,
+        ez_out.ctypes.data, ctypes.byref(cig_ptr), ctypes.byref(n_cig))
     if rc != 0:
         raise MemoryError("mm2_ksw_extd2 allocation failed")
     ez = ExtzResult()
@@ -153,12 +156,11 @@ def update_stats(cigar: np.ndarray, qseq: np.ndarray, tseq: np.ndarray,
     int64 [blen, mlen, n_ambi, dp_max, qoff, toff]."""
     lib = _load()
     out = np.zeros(6, np.int64)
-    lib.mm2_update_stats(
-        np.ascontiguousarray(cigar, np.uint32), len(cigar),
-        np.ascontiguousarray(qseq, np.uint8),
-        np.ascontiguousarray(tseq, np.uint8),
-        np.ascontiguousarray(np.asarray(mat).reshape(-1), np.int8),
-        q, e, out)
+    ca, cp = _ptr(cigar, np.uint32)
+    qa, qp = _ptr(qseq, np.uint8)
+    ta, tp = _ptr(tseq, np.uint8)
+    ma, mp = _ptr(np.asarray(mat).reshape(-1), np.int8)
+    lib.mm2_update_stats(cp, len(ca), qp, tp, mp, q, e, out.ctypes.data)
     return out
 
 
@@ -168,14 +170,13 @@ def zdrop_scan(cigar: np.ndarray, qseq: np.ndarray, tseq: np.ndarray,
     (max_zdrop, [[i0, i1], [j0, j1]])."""
     lib = _load()
     out = np.zeros(5, np.int64)
-    lib.mm2_zdrop_scan(
-        np.ascontiguousarray(cigar, np.uint32), len(cigar),
-        np.ascontiguousarray(qseq, np.uint8),
-        np.ascontiguousarray(tseq, np.uint8),
-        np.ascontiguousarray(np.asarray(mat).reshape(-1), np.int8),
-        q, e, out)
-    return int(out[0]), [[int(out[1]), int(out[2])],
-                         [int(out[3]), int(out[4])]]
+    ca, cp = _ptr(cigar, np.uint32)
+    qa, qp = _ptr(qseq, np.uint8)
+    ta, tp = _ptr(tseq, np.uint8)
+    ma, mp = _ptr(np.asarray(mat).reshape(-1), np.int8)
+    lib.mm2_zdrop_scan(cp, len(ca), qp, tp, mp, q, e, out.ctypes.data)
+    o = out.tolist()
+    return o[0], [[o[1], o[2]], [o[3], o[4]]]
 
 
 def has_exts2() -> bool:
@@ -194,17 +195,16 @@ def ksw_exts2(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
     ez_out = np.zeros(10, np.int64)
     cig_ptr = ctypes.POINTER(ctypes.c_uint32)()
     n_cig = ctypes.c_int32(0)
+    qa, qp = _ptr(query, np.uint8)
+    ta, tp = _ptr(target, np.uint8)
+    ma, mp = _ptr(np.asarray(mat).reshape(-1), np.int8)
     if junc is not None:
-        junc_arr = np.ascontiguousarray(junc, np.uint8)
-        junc_p = junc_arr.ctypes.data_as(ctypes.c_void_p)
+        ja, jp = _ptr(junc, np.uint8)
     else:
-        junc_p = None
+        ja, jp = None, None
     rc = lib.mm2_ksw_exts2(
-        qlen, np.ascontiguousarray(query, np.uint8),
-        tlen, np.ascontiguousarray(target, np.uint8),
-        np.ascontiguousarray(np.asarray(mat).reshape(-1), np.int8),
-        q, e, q2, noncan, zdrop, junc_bonus, flag, junc_p,
-        ez_out, ctypes.byref(cig_ptr), ctypes.byref(n_cig))
+        qlen, qp, tlen, tp, mp, q, e, q2, noncan, zdrop, junc_bonus, flag,
+        jp, ez_out.ctypes.data, ctypes.byref(cig_ptr), ctypes.byref(n_cig))
     if rc != 0:
         raise MemoryError("mm2_ksw_exts2 allocation failed")
     ez = ExtzResult()
@@ -223,14 +223,16 @@ def sketch(codes: np.ndarray, w: int, k: int, rid: int,
            is_hpc: bool) -> np.ndarray:
     """Native minimizer sketch over nt4 codes; returns (n,2) uint64."""
     lib = _load()
-    codes = np.ascontiguousarray(codes, np.uint8)
-    cap = max(len(codes), 64)
+    ca, cp = _ptr(codes, np.uint8)
+    cap = max(len(ca), 64)
     x = np.empty(cap, np.uint64)
     y = np.empty(cap, np.uint64)
-    n = lib.mm2_sketch(codes, len(codes), w, k, rid, int(is_hpc), x, y, cap)
+    n = lib.mm2_sketch(cp, len(ca), w, k, rid, int(is_hpc),
+                       x.ctypes.data, y.ctypes.data, cap)
     if n < 0:  # capacity miss (pathological w/k); retry with exact size
         cap = -n
         x = np.empty(cap, np.uint64)
         y = np.empty(cap, np.uint64)
-        n = lib.mm2_sketch(codes, len(codes), w, k, rid, int(is_hpc), x, y, cap)
+        n = lib.mm2_sketch(cp, len(ca), w, k, rid, int(is_hpc),
+                           x.ctypes.data, y.ctypes.data, cap)
     return np.stack([x[:n], y[:n]], axis=1)
