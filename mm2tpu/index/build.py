@@ -132,9 +132,25 @@ class MMIndex:
 
 
 def _pack_seq4(codes: np.ndarray, S: np.ndarray, offset: int) -> None:
-    """mm_seq4_set (mmpriv.h:29) over a code array starting at offset."""
-    o = np.arange(offset, offset + len(codes), dtype=np.int64)
-    np.bitwise_or.at(S, o >> 3, codes.astype(np.uint32) << ((o.astype(np.uint32) & 7) << 2))
+    """mm_seq4_set (mmpriv.h:29) over a code array starting at offset.
+    The aligned body packs 8 codes/word vectorized; only the unaligned
+    head/tail (< 8 codes each) use the scatter path."""
+    n = len(codes)
+    head = min(-offset % 8, n)
+    nb = (n - head) // 8
+    for sl, off in (((0, head), offset), ((head + nb * 8, n), offset + head + nb * 8)):
+        if sl[1] > sl[0]:
+            o = np.arange(off, off + (sl[1] - sl[0]), dtype=np.int64)
+            np.bitwise_or.at(S, o >> 3,
+                             codes[sl[0]:sl[1]].astype(np.uint32)
+                             << ((o.astype(np.uint32) & 7) << 2))
+    if nb > 0:
+        body = codes[head: head + nb * 8].astype(np.uint32).reshape(nb, 8)
+        words = body[:, 0]
+        for j in range(1, 8):
+            words = words | (body[:, j] << np.uint32(4 * j))
+        w0 = (offset + head) >> 3
+        S[w0: w0 + nb] |= words
 
 
 def build_index(names: Sequence[Optional[str]], seqs: Sequence[str],
@@ -177,14 +193,23 @@ def finalize_index(mi: MMIndex, mm: np.ndarray) -> None:
     """Sort collected minimizers into the CSR layout (index.c:191-243)."""
     if len(mm) == 0:
         return
+    try:
+        from ..native import lib as native_lib
+        if native_lib.has_finalize():
+            mi.keys, mi.start, mi.cnt, mi.pos = native_lib.finalize_index(
+                mm[:, 0], mm[:, 1])
+            return
+    except Exception:
+        pass
     minier = mm[:, 0] >> np.uint64(8)
     y = mm[:, 1]
     order = np.lexsort((y, minier))  # group by hash, position-sorted runs
     minier_s, y_s = minier[order], y[order]
-    keys, start, cnt = np.unique(minier_s, return_index=True, return_counts=True)
-    mi.keys = keys
-    mi.start = start.astype(np.int64)
-    mi.cnt = cnt.astype(np.int32)
+    # run boundaries on the already-sorted keys (np.unique would re-sort)
+    bnd = np.nonzero(np.concatenate(([True], minier_s[1:] != minier_s[:-1])))[0]
+    mi.keys = minier_s[bnd]
+    mi.start = bnd.astype(np.int64)
+    mi.cnt = np.diff(np.concatenate((bnd, [len(minier_s)]))).astype(np.int32)
     mi.pos = y_s
 
 

@@ -55,49 +55,53 @@ def _read_part(f) -> MMIndex:
         (ln,) = struct.unpack("<I", f.read(4))
         mi.seq.append(RefSeq(name=name, offset=sum_len, length=ln))
         sum_len += ln
-    miniers, starts, cnts, pos_chunks = [], [], [], []
-    total = 0
+    # collect per-bucket entry arrays, then sort/gather globally
+    p_chunks, m_chunks, v_chunks, s_chunks = [], [], [], []
+    p_off = 0
     for bucket in range(1 << b):
         (n,) = struct.unpack("<i", f.read(4))
         p = np.frombuffer(f.read(8 * n), dtype=np.uint64)
         (size,) = struct.unpack("<I", f.read(4))
+        p_chunks.append(p)
         if size == 0:
+            p_off += n
             continue
         kv = np.frombuffer(f.read(16 * size), dtype=np.uint64).reshape(-1, 2)
         key, val = kv[:, 0], kv[:, 1]
         minier = (key >> np.uint64(1)) << np.uint64(b) | np.uint64(bucket)
         single = (key & np.uint64(1)) != 0
-        for j in np.argsort(minier):
-            miniers.append(int(minier[j]))
-            starts.append(total)
-            if single[j]:
-                cnts.append(1)
-                pos_chunks.append(np.array([val[j]], dtype=np.uint64))
-                total += 1
-            else:
-                st, c = int(val[j] >> np.uint64(32)), int(val[j] & np.uint64(0xFFFFFFFF))
-                cnts.append(c)
-                pos_chunks.append(p[st: st + c])
-                total += c
+        # start into the global p stream; singles marked -1 (resolved below)
+        st = np.where(single, np.int64(-1),
+                      (val >> np.uint64(32)).astype(np.int64) + p_off)
+        m_chunks.append(minier)
+        v_chunks.append(val)
+        s_chunks.append(st)
+        p_off += n
     if not (flag & MM_I_NO_SEQ):
         mi.S = np.frombuffer(f.read(4 * ((sum_len + 7) // 8)), dtype=np.uint32)
-    if miniers:
-        miniers = np.array(miniers, dtype=np.uint64)
-        order = np.argsort(miniers, kind="stable")
+    if m_chunks:
+        miniers = np.concatenate(m_chunks)
+        vals = np.concatenate(v_chunks)
+        st_all = np.concatenate(s_chunks)
+        single = st_all < 0
+        # singleton payloads become a tail region of the p stream so the
+        # final re-pack is one gather
+        sv = vals[single]
+        st_all[single] = p_off + np.arange(len(sv), dtype=np.int64)
+        cnt_all = np.where(single, np.int64(1),
+                           (vals & np.uint64(0xFFFFFFFF)).astype(np.int64))
+        P = np.concatenate(p_chunks + [sv])
+        order = np.argsort(miniers)
         mi.keys = miniers[order]
-        pos = np.concatenate(pos_chunks)
-        starts = np.array(starts, dtype=np.int64)[order]
-        cnts = np.array(cnts, dtype=np.int32)[order]
-        # re-pack pos into key-sorted order
-        out = np.empty(total, dtype=np.uint64)
-        new_starts = np.empty(len(order), dtype=np.int64)
-        o = 0
-        for i in range(len(order)):
-            c = int(cnts[i])
-            out[o: o + c] = pos[starts[i]: starts[i] + c]
-            new_starts[i] = o
-            o += c
-        mi.keys, mi.start, mi.cnt, mi.pos = mi.keys, new_starts, cnts, out
+        cnts = cnt_all[order]
+        src = st_all[order]
+        new_starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        total = int(cnts.sum())
+        gi = (np.repeat(src, cnts) + np.arange(total, dtype=np.int64)
+              - np.repeat(new_starts, cnts))
+        mi.start = new_starts.astype(np.int64)
+        mi.cnt = cnts.astype(np.int32)
+        mi.pos = P[gi]
     return mi
 
 
@@ -117,30 +121,45 @@ def write_mmi(mi: MMIndex, path: str, append: bool = False) -> None:
             f.write(name)
             f.write(struct.pack("<I", s.length))
             sum_len += s.length
+        # group keys by bucket (stable: keys stay sorted within a bucket),
+        # then emit each bucket with fully vectorized gathers
         order = np.argsort(bucket_of, kind="stable")
-        by_bucket = {}
-        for j in order:
-            by_bucket.setdefault(int(bucket_of[j]), []).append(int(j))
+        sorted_buckets = bucket_of[order]
+        bnd = np.searchsorted(sorted_buckets, np.arange((1 << b) + 1))
+        starts = mi.start.astype(np.int64)
+        cnts = mi.cnt.astype(np.int64)
         for bucket in range(1 << b):
-            idxs = by_bucket.get(bucket, [])
-            p_parts, kvs = [], []
-            start_p = 0
-            for j in idxs:
-                minier = int(mi.keys[j])
-                c = int(mi.cnt[j])
-                key = (minier >> b) << 1
-                if c == 1:
-                    kvs.append((key | 1, int(mi.pos[int(mi.start[j])])))
-                else:
-                    run = mi.pos[int(mi.start[j]): int(mi.start[j]) + c]
-                    p_parts.append(run)
-                    kvs.append((key, start_p << 32 | c))
-                    start_p += c
-            p = np.concatenate(p_parts) if p_parts else np.zeros(0, np.uint64)
+            idxs = order[bnd[bucket]: bnd[bucket + 1]]
+            if len(idxs) == 0:
+                f.write(struct.pack("<i", 0))
+                f.write(struct.pack("<I", 0))
+                continue
+            c = cnts[idxs]
+            stj = starts[idxs]
+            keyf = (mi.keys[idxs] >> np.uint64(b)) << np.uint64(1)
+            single = c == 1
+            multi = ~single
+            mc = c[multi]
+            total_p = int(mc.sum())
+            if total_p:
+                out_start = np.concatenate(([0], np.cumsum(mc)[:-1]))
+                gi = (np.repeat(stj[multi], mc)
+                      + np.arange(total_p, dtype=np.int64)
+                      - np.repeat(out_start, mc))
+                p = mi.pos[gi]
+            else:
+                out_start = mc
+                p = np.zeros(0, np.uint64)
+            kv = np.empty((len(idxs), 2), np.uint64)
+            kv[:, 0] = keyf | single
+            if single.any():
+                kv[single, 1] = mi.pos[stj[single]]
+            if total_p:
+                kv[multi, 1] = ((out_start.astype(np.uint64) << np.uint64(32))
+                                | mc.astype(np.uint64))
             f.write(struct.pack("<i", len(p)))
-            f.write(p.astype(np.uint64).tobytes())
-            f.write(struct.pack("<I", len(kvs)))
-            for key, val in kvs:
-                f.write(struct.pack("<2Q", key, val))
+            f.write(p.tobytes())
+            f.write(struct.pack("<I", len(kv)))
+            f.write(kv.tobytes())
         if not (mi.flag & MM_I_NO_SEQ) and mi.S is not None:
             f.write(mi.S.astype(np.uint32).tobytes())

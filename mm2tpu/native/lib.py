@@ -50,6 +50,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.mm2_sketch.argtypes = [
         _VP, _I64, _I32, _I32, ctypes.c_uint32, _I32, _VP, _VP, _I64]
     lib.mm2_sketch.restype = _I64
+    if hasattr(lib, "mm2_finalize_index"):
+        lib.mm2_finalize_index.argtypes = [_I64, _VP, _VP, _VP, _VP, _VP,
+                                           _VP]
+        lib.mm2_finalize_index.restype = _I64
     if hasattr(lib, "mm2_update_stats"):
         for fn in (lib.mm2_update_stats, lib.mm2_zdrop_scan):
             fn.argtypes = [_VP, _I64, _VP, _VP, _VP, _I32, _I32, _VP]
@@ -143,6 +147,29 @@ def ksw_extd2(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
                                          shape=(n_cig.value,)).tolist()
         lib.mm2_free(cig_ptr)
     return ez
+
+
+def has_finalize() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_finalize_index")
+
+
+def finalize_index(x: np.ndarray, y: np.ndarray):
+    """Native minimizer sort into CSR (index.c:191-243 semantics).
+    Returns (keys, start, cnt, pos)."""
+    lib = _load()
+    n = len(x)
+    xa, xp = _ptr(x, np.uint64)
+    ya, yp = _ptr(y, np.uint64)
+    pos = np.empty(n, np.uint64)
+    keys = np.empty(n, np.uint64)
+    start = np.empty(n, np.int64)
+    cnt = np.empty(n, np.int32)
+    nk = lib.mm2_finalize_index(n, xp, yp, pos.ctypes.data, keys.ctypes.data,
+                                start.ctypes.data, cnt.ctypes.data)
+    # views, not copies: this box's memory bandwidth makes 130MB of copies
+    # cost seconds; the over-allocation tail is ~20% and freed with the part
+    return keys[:nk], start[:nk], cnt[:nk], pos
 
 
 def has_cigar_walks() -> bool:

@@ -11,6 +11,8 @@
 #include <cstring>
 #include <cmath>
 #include <vector>
+#include <algorithm>
+#include <utility>
 
 extern "C" {
 
@@ -1103,6 +1105,35 @@ int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
 }
 
 void mm2_free(void *ptr) { free(ptr); }
+
+// ---------------------------------------------------------------------------
+// Index finalize: sort minimizers into the CSR layout (index.c:191-243
+// semantics: group by hash minier = x>>8, runs sorted by payload y).
+// Outputs pos (n), keys/start/cnt (<= n, caller-allocated at n); returns
+// the number of distinct keys.
+// ---------------------------------------------------------------------------
+int64_t mm2_finalize_index(int64_t n, const uint64_t *x, const uint64_t *y,
+                           uint64_t *pos_out, uint64_t *keys_out,
+                           int64_t *start_out, int32_t *cnt_out) {
+    if (n <= 0) return 0;
+    std::vector<std::pair<uint64_t, uint64_t>> v((size_t)n);
+    for (int64_t i = 0; i < n; ++i) v[i] = {x[i] >> 8, y[i]};
+    std::sort(v.begin(), v.end());
+    int64_t nk = -1;
+    uint64_t prev = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        pos_out[i] = v[i].second;
+        if (nk < 0 || v[i].first != prev) {
+            ++nk;
+            keys_out[nk] = prev = v[i].first;
+            start_out[nk] = i;
+            cnt_out[nk] = 1;
+        } else {
+            ++cnt_out[nk];
+        }
+    }
+    return nk + 1;
+}
 
 // ---------------------------------------------------------------------------
 // CIGAR-walk stats for mm_update_extra (align.c:240-286): per-op ambiguous
