@@ -55,6 +55,25 @@ def _read_part(f) -> MMIndex:
         (ln,) = struct.unpack("<I", f.read(4))
         mi.seq.append(RefSeq(name=name, offset=sum_len, length=ln))
         sum_len += ln
+    try:
+        from ..native import lib as native_lib
+        has_native = native_lib.has_mmi_reader()
+    except Exception:
+        has_native = False
+    if has_native:
+        # single-pass native parse: read the rest of the file once, parse
+        # the bucket region in C++, seek back to the part boundary
+        base = f.tell()
+        data = f.read()
+        keys, start, cnt, pos, consumed = native_lib.read_mmi_buckets(
+            data, b)
+        mi.keys, mi.start, mi.cnt, mi.pos = keys, start, cnt, pos
+        s_words = 0 if (flag & MM_I_NO_SEQ) else (sum_len + 7) // 8
+        if s_words:
+            mi.S = np.frombuffer(
+                data[consumed: consumed + 4 * s_words], dtype=np.uint32)
+        f.seek(base + consumed + 4 * s_words)
+        return mi
     # collect per-bucket entry arrays, then sort/gather globally
     p_chunks, m_chunks, v_chunks, s_chunks = [], [], [], []
     p_off = 0

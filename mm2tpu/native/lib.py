@@ -54,6 +54,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mm2_finalize_index.argtypes = [_I64, _VP, _VP, _VP, _VP, _VP,
                                            _VP]
         lib.mm2_finalize_index.restype = _I64
+    if hasattr(lib, "mm2_read_mmi_buckets"):
+        lib.mm2_scan_mmi_buckets.argtypes = [
+            _VP, _I64, _I32, ctypes.POINTER(_I64), ctypes.POINTER(_I64),
+            ctypes.POINTER(_I64)]
+        lib.mm2_scan_mmi_buckets.restype = ctypes.c_int
+        lib.mm2_read_mmi_buckets.argtypes = [
+            _VP, _I64, _I32, _I64, _VP, _VP, _VP, _VP]
+        lib.mm2_read_mmi_buckets.restype = ctypes.c_int
     if hasattr(lib, "mm2_update_stats"):
         for fn in (lib.mm2_update_stats, lib.mm2_zdrop_scan):
             fn.argtypes = [_VP, _I64, _VP, _VP, _VP, _I32, _I32, _VP]
@@ -170,6 +178,36 @@ def finalize_index(x: np.ndarray, y: np.ndarray):
     # views, not copies: this box's memory bandwidth makes 130MB of copies
     # cost seconds; the over-allocation tail is ~20% and freed with the part
     return keys[:nk], start[:nk], cnt[:nk], pos
+
+
+def has_mmi_reader() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_read_mmi_buckets")
+
+
+def read_mmi_buckets(data, b: int):
+    """Native .mmi bucket-region parse into CSR arrays. Returns
+    (keys, start, cnt, pos, consumed_bytes). Two-phase: a header scan
+    sizes the outputs so the fill pass writes caller memory directly."""
+    lib = _load()
+    buf = np.frombuffer(data, np.uint8)
+    n_entries = ctypes.c_int64()
+    npos = ctypes.c_int64()
+    consumed = ctypes.c_int64()
+    if lib.mm2_scan_mmi_buckets(buf.ctypes.data, len(buf), b,
+                                ctypes.byref(n_entries), ctypes.byref(npos),
+                                ctypes.byref(consumed)) != 0:
+        raise ValueError("corrupt .mmi bucket region")
+    nk = n_entries.value
+    keys = np.empty(nk, np.uint64)
+    start = np.empty(nk, np.int64)
+    cnt = np.empty(nk, np.int32)
+    pos = np.empty(npos.value, np.uint64)
+    if lib.mm2_read_mmi_buckets(buf.ctypes.data, len(buf), b, nk,
+                                keys.ctypes.data, start.ctypes.data,
+                                cnt.ctypes.data, pos.ctypes.data) != 0:
+        raise ValueError("corrupt .mmi bucket region")
+    return keys, start, cnt, pos, consumed.value
 
 
 def has_cigar_walks() -> bool:

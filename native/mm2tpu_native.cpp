@@ -1136,6 +1136,112 @@ int64_t mm2_finalize_index(int64_t n, const uint64_t *x, const uint64_t *y,
 }
 
 // ---------------------------------------------------------------------------
+// .mmi bucket-region parsing (index.c:481-534 layout), two phases so the
+// caller can pre-allocate exact outputs:
+//   mm2_scan_mmi_buckets  — walk the headers, return entry/pos counts and
+//                           the region's byte length
+//   mm2_read_mmi_buckets  — fill caller-allocated CSR arrays; keys sorted
+//                           globally by minier via a 16-byte (key, idx)
+//                           sort; pos gathered straight from the buffer
+// ---------------------------------------------------------------------------
+int mm2_scan_mmi_buckets(const uint8_t *buf, int64_t len, int32_t b,
+                         int64_t *n_entries_out, int64_t *npos_out,
+                         int64_t *consumed_out) {
+    const uint8_t *cur = buf, *end = buf + len;
+    int64_t nb = (int64_t)1 << b;
+    int64_t n_entries = 0, npos = 0;
+    for (int64_t bucket = 0; bucket < nb; ++bucket) {
+        if (end - cur < 4) return -1;
+        int32_t n;
+        memcpy(&n, cur, 4);
+        cur += 4;
+        if (n < 0 || end - cur < (int64_t)n * 8 + 4) return -1;
+        cur += (int64_t)n * 8;
+        uint32_t size;
+        memcpy(&size, cur, 4);
+        cur += 4;
+        if (end - cur < (int64_t)size * 16) return -1;
+        // singles contribute 1 to pos but 0 to the p stream; count them
+        for (uint32_t j = 0; j < size; ++j) {
+            uint64_t key;
+            memcpy(&key, cur + (int64_t)j * 16, 8);
+            if (key & 1) ++npos;
+        }
+        cur += (int64_t)size * 16;
+        n_entries += size;
+        npos += n;
+    }
+    *n_entries_out = n_entries;
+    *npos_out = npos;
+    *consumed_out = cur - buf;
+    return 0;
+}
+
+int mm2_read_mmi_buckets(const uint8_t *buf, int64_t len, int32_t b,
+                         int64_t n_entries, uint64_t *keys_out,
+                         int64_t *start_out, int32_t *cnt_out,
+                         uint64_t *pos_out) {
+    struct Entry {
+        int64_t src;  // byte offset of the run in buf; -1 = singleton
+        uint64_t val;
+        int32_t cnt;
+    };
+    std::vector<Entry> entries;
+    std::vector<std::pair<uint64_t, uint32_t>> order;
+    entries.reserve(n_entries);
+    order.reserve(n_entries);
+    const uint8_t *cur = buf, *end = buf + len;
+    int64_t nb = (int64_t)1 << b;
+    for (int64_t bucket = 0; bucket < nb; ++bucket) {
+        if (end - cur < 4) return -1;
+        int32_t n;
+        memcpy(&n, cur, 4);
+        cur += 4;
+        if (n < 0 || end - cur < (int64_t)n * 8 + 4) return -1;
+        int64_t p_base = cur - buf;
+        cur += (int64_t)n * 8;
+        uint32_t size;
+        memcpy(&size, cur, 4);
+        cur += 4;
+        if (end - cur < (int64_t)size * 16) return -1;
+        for (uint32_t j = 0; j < size; ++j) {
+            uint64_t key, val;
+            memcpy(&key, cur, 8);
+            memcpy(&val, cur + 8, 8);
+            cur += 16;
+            Entry e;
+            e.val = val;
+            if (key & 1) {
+                e.src = -1;
+                e.cnt = 1;
+            } else {
+                e.src = p_base + (int64_t)(val >> 32) * 8;
+                e.cnt = (int32_t)(val & 0xFFFFFFFFu);
+            }
+            order.push_back({(key >> 1) << b | (uint64_t)bucket,
+                             (uint32_t)entries.size()});
+            entries.push_back(e);
+        }
+    }
+    if ((int64_t)entries.size() != n_entries) return -1;
+    std::sort(order.begin(), order.end());
+    int64_t o = 0;
+    for (int64_t i = 0; i < n_entries; ++i) {
+        const Entry &e = entries[order[i].second];
+        keys_out[i] = order[i].first;
+        start_out[i] = o;
+        cnt_out[i] = e.cnt;
+        if (e.src < 0)
+            pos_out[o++] = e.val;
+        else {
+            memcpy(pos_out + o, buf + e.src, (size_t)e.cnt * 8);
+            o += e.cnt;
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // CIGAR-walk stats for mm_update_extra (align.c:240-286): per-op ambiguous
 // base counts, match/block lengths, and the clamped running DP score whose
 // peak is dp_max. qseq/tseq start at the region's qs1/rs1 (post fix_cigar
