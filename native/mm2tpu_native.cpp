@@ -1111,6 +1111,41 @@ void mm2_free(void *ptr) { free(ptr); }
 // semantics: group by hash minier = x>>8, runs sorted by payload y).
 // Outputs pos (n), keys/start/cnt (<= n, caller-allocated at n); returns
 // the number of distinct keys.
+}  // extern "C" (bucket-sort template needs C++ linkage)
+
+// MSB-bucket sort: counting-scatter by the key's top bits, then
+// cache-local std::sort per bucket. On low-memory-bandwidth hosts this
+// beats one global comparison sort by several passes (the reference gets
+// the same effect from its per-bucket radix_sort_128x, index.c:201).
+template <class T>
+static void msb_bucket_sort(std::vector<T> &v) {
+    const int BB = 13;
+    size_t n = v.size();
+    if (n < ((size_t)1 << 16)) {
+        std::sort(v.begin(), v.end());
+        return;
+    }
+    uint64_t maxk = 0;
+    for (const auto &e : v)
+        if (e.first > maxk) maxk = e.first;
+    int bits = 64 - __builtin_clzll(maxk | 1);
+    int shift = bits > BB ? bits - BB : 0;
+    size_t nb = ((size_t)(maxk >> shift)) + 1;
+    std::vector<int64_t> off(nb + 1, 0);
+    for (const auto &e : v) ++off[(size_t)(e.first >> shift) + 1];
+    for (size_t b = 1; b <= nb; ++b) off[b] += off[b - 1];
+    std::vector<T> tmp(n);
+    {
+        std::vector<int64_t> cur(off.begin(), off.end() - 1);
+        for (const auto &e : v) tmp[cur[(size_t)(e.first >> shift)]++] = e;
+    }
+    for (size_t b = 0; b < nb; ++b)
+        std::sort(tmp.begin() + off[b], tmp.begin() + off[b + 1]);
+    v.swap(tmp);
+}
+
+extern "C" {
+
 // ---------------------------------------------------------------------------
 int64_t mm2_finalize_index(int64_t n, const uint64_t *x, const uint64_t *y,
                            uint64_t *pos_out, uint64_t *keys_out,
@@ -1118,7 +1153,7 @@ int64_t mm2_finalize_index(int64_t n, const uint64_t *x, const uint64_t *y,
     if (n <= 0) return 0;
     std::vector<std::pair<uint64_t, uint64_t>> v((size_t)n);
     for (int64_t i = 0; i < n; ++i) v[i] = {x[i] >> 8, y[i]};
-    std::sort(v.begin(), v.end());
+    msb_bucket_sort(v);
     int64_t nk = -1;
     uint64_t prev = 0;
     for (int64_t i = 0; i < n; ++i) {
@@ -1224,7 +1259,7 @@ int mm2_read_mmi_buckets(const uint8_t *buf, int64_t len, int32_t b,
         }
     }
     if ((int64_t)entries.size() != n_entries) return -1;
-    std::sort(order.begin(), order.end());
+    msb_bucket_sort(order);
     int64_t o = 0;
     for (int64_t i = 0; i < n_entries; ++i) {
         const Entry &e = entries[order[i].second];
