@@ -173,36 +173,51 @@ def build_index(names: Sequence[Optional[str]], seqs: Sequence[str],
     if not (flag & MM_I_NO_SEQ):
         mi.S = np.zeros((sum_len + 7) // 8, dtype=np.uint32)
 
-    chunks = []
+    try:
+        from ..native import lib as native_lib
+        native_sketch = native_lib.available()
+    except Exception:
+        native_sketch = False
+
+    xs, ys = [], []
     offset = 0
     for rid, (name, s) in enumerate(zip(names, seqs)):
         mi.seq.append(RefSeq(name=None if (flag & MM_I_NO_NAME) else name,
                              offset=offset, length=len(s)))
         if len(s) > 0:
+            codes = encode_nt4(s)
             if mi.S is not None:
-                _pack_seq4(encode_nt4(s), mi.S, offset)
-            chunks.append(sketch_np(s, w, k, rid, bool(flag & MM_I_HPC)))
+                _pack_seq4(codes, mi.S, offset)
+            if native_sketch:  # keep x/y planar: no interleave/deinterleave
+                x, y = native_lib.sketch_xy(codes, w, k, rid,
+                                            bool(flag & MM_I_HPC))
+            else:
+                mm = sketch_np(codes, w, k, rid, bool(flag & MM_I_HPC))
+                x, y = mm[:, 0], mm[:, 1]
+            xs.append(x)
+            ys.append(y)
         offset += len(s)
 
-    mm = np.concatenate(chunks, axis=0) if chunks else np.zeros((0, 2), np.uint64)
-    finalize_index(mi, mm)
+    x = np.concatenate(xs) if xs else np.zeros(0, np.uint64)
+    y = np.concatenate(ys) if ys else np.zeros(0, np.uint64)
+    finalize_index(mi, x, y)
     return mi
 
 
-def finalize_index(mi: MMIndex, mm: np.ndarray) -> None:
-    """Sort collected minimizers into the CSR layout (index.c:191-243)."""
-    if len(mm) == 0:
+def finalize_index(mi: MMIndex, x: np.ndarray, y: np.ndarray) -> None:
+    """Sort collected minimizers into the CSR layout (index.c:191-243).
+    x/y are the planar minimizer columns."""
+    if len(x) == 0:
         return
     try:
         from ..native import lib as native_lib
         if native_lib.has_finalize():
             mi.keys, mi.start, mi.cnt, mi.pos = native_lib.finalize_index(
-                mm[:, 0], mm[:, 1])
+                x, y)
             return
     except Exception:
         pass
-    minier = mm[:, 0] >> np.uint64(8)
-    y = mm[:, 1]
+    minier = x >> np.uint64(8)
     order = np.lexsort((y, minier))  # group by hash, position-sorted runs
     minier_s, y_s = minier[order], y[order]
     # run boundaries on the already-sorted keys (np.unique would re-sort)

@@ -141,44 +141,48 @@ def write_mmi(mi: MMIndex, path: str, append: bool = False) -> None:
             f.write(struct.pack("<I", s.length))
             sum_len += s.length
         # group keys by bucket (stable: keys stay sorted within a bucket),
-        # then emit each bucket with fully vectorized gathers
+        # assemble the whole p/kv payload globally, then slice per bucket
         order = np.argsort(bucket_of, kind="stable")
         sorted_buckets = bucket_of[order]
         bnd = np.searchsorted(sorted_buckets, np.arange((1 << b) + 1))
-        starts = mi.start.astype(np.int64)
-        cnts = mi.cnt.astype(np.int64)
+        c_g = mi.cnt.astype(np.int64)[order]
+        stj_g = mi.start.astype(np.int64)[order]
+        single_g = c_g == 1
+        multi_g = ~single_g
+        mc = c_g[multi_g]
+        mb = sorted_buckets[multi_g]
+        cs = np.concatenate(([0], np.cumsum(mc)))
+        total_p = int(cs[-1])
+        # per-bucket restart of the p-stream offsets: base = global offset
+        # at the bucket's first multi-occurrence key
+        first = np.concatenate(([True], mb[1:] != mb[:-1])) \
+            if len(mb) else np.zeros(0, bool)
+        base = np.maximum.accumulate(np.where(first, cs[:-1], 0)) \
+            if len(mb) else cs[:0]
+        out_start = cs[:-1] - base
+        if total_p:
+            gi = (np.repeat(stj_g[multi_g], mc)
+                  + np.arange(total_p, dtype=np.int64)
+                  - np.repeat(cs[:-1], mc))
+            p_all = mi.pos[gi]
+        else:
+            p_all = np.zeros(0, np.uint64)
+        kv = np.empty((len(order), 2), np.uint64)
+        kv[:, 0] = ((mi.keys[order] >> np.uint64(b)) << np.uint64(1)) | single_g
+        if single_g.any():
+            kv[single_g, 1] = mi.pos[stj_g[single_g]]
+        if len(mc):
+            kv[multi_g, 1] = ((out_start.astype(np.uint64) << np.uint64(32))
+                              | mc.astype(np.uint64))
+        plen = (np.bincount(mb, weights=mc, minlength=1 << b).astype(np.int64)
+                if len(mb) else np.zeros(1 << b, np.int64))
+        pbnd = np.concatenate(([0], np.cumsum(plen)))
         for bucket in range(1 << b):
-            idxs = order[bnd[bucket]: bnd[bucket + 1]]
-            if len(idxs) == 0:
-                f.write(struct.pack("<i", 0))
-                f.write(struct.pack("<I", 0))
-                continue
-            c = cnts[idxs]
-            stj = starts[idxs]
-            keyf = (mi.keys[idxs] >> np.uint64(b)) << np.uint64(1)
-            single = c == 1
-            multi = ~single
-            mc = c[multi]
-            total_p = int(mc.sum())
-            if total_p:
-                out_start = np.concatenate(([0], np.cumsum(mc)[:-1]))
-                gi = (np.repeat(stj[multi], mc)
-                      + np.arange(total_p, dtype=np.int64)
-                      - np.repeat(out_start, mc))
-                p = mi.pos[gi]
-            else:
-                out_start = mc
-                p = np.zeros(0, np.uint64)
-            kv = np.empty((len(idxs), 2), np.uint64)
-            kv[:, 0] = keyf | single
-            if single.any():
-                kv[single, 1] = mi.pos[stj[single]]
-            if total_p:
-                kv[multi, 1] = ((out_start.astype(np.uint64) << np.uint64(32))
-                                | mc.astype(np.uint64))
-            f.write(struct.pack("<i", len(p)))
-            f.write(p.tobytes())
-            f.write(struct.pack("<I", len(kv)))
-            f.write(kv.tobytes())
+            lo, hi = bnd[bucket], bnd[bucket + 1]
+            plo, phi = pbnd[bucket], pbnd[bucket + 1]
+            f.write(struct.pack("<i", int(phi - plo)))
+            f.write(p_all[plo:phi].tobytes())
+            f.write(struct.pack("<I", int(hi - lo)))
+            f.write(kv[lo:hi].tobytes())
         if not (mi.flag & MM_I_NO_SEQ) and mi.S is not None:
             f.write(mi.S.astype(np.uint32).tobytes())

@@ -284,9 +284,10 @@ def ksw_exts2(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
     return ez
 
 
-def sketch(codes: np.ndarray, w: int, k: int, rid: int,
-           is_hpc: bool) -> np.ndarray:
-    """Native minimizer sketch over nt4 codes; returns (n,2) uint64."""
+def sketch_xy(codes: np.ndarray, w: int, k: int, rid: int,
+              is_hpc: bool):
+    """Native minimizer sketch over nt4 codes; returns (x, y) uint64
+    arrays (views of the over-allocated buffers — no copy)."""
     lib = _load()
     ca, cp = _ptr(codes, np.uint8)
     cap = max(len(ca), 64)
@@ -300,4 +301,11 @@ def sketch(codes: np.ndarray, w: int, k: int, rid: int,
         y = np.empty(cap, np.uint64)
         n = lib.mm2_sketch(cp, len(ca), w, k, rid, int(is_hpc),
                            x.ctypes.data, y.ctypes.data, cap)
-    return np.stack([x[:n], y[:n]], axis=1)
+    return x[:n], y[:n]
+
+
+def sketch(codes: np.ndarray, w: int, k: int, rid: int,
+           is_hpc: bool) -> np.ndarray:
+    """Native minimizer sketch over nt4 codes; returns (n,2) uint64."""
+    x, y = sketch_xy(codes, w, k, rid, is_hpc)
+    return np.stack([x, y], axis=1)
