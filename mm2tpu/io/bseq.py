@@ -42,6 +42,67 @@ def read_fastx(path: str) -> Iterator[Seq]:
 
 
 def parse_fastx(f) -> Iterator[Seq]:
+    """Fast whole-buffer parse with a fallback to the exact line-by-line
+    parser for anything structurally unusual (blank lines inside fastq,
+    mixed fasta/fastq, whitespace inside sequence lines) and for streams
+    too large to slurp (stays line-by-line, bounded memory)."""
+    _SLURP_MAX = 256 << 20
+    data = f.read(_SLURP_MAX)
+    if not data:
+        return
+    if len(data) == _SLURP_MAX:  # oversized stream: exact streaming parse
+        yield from _parse_fastx_lines(_ChainReader(data, f))
+        return
+    i = 0
+    while i < len(data) and data[i] in "\r\n \t":
+        i += 1
+    data = data[i:]
+    if data.startswith(">") and "\n@" not in data:
+        for ch in data[1:].split("\n>"):
+            head, _, body = ch.partition("\n")
+            seq = body.replace("\n", "")
+            if "\r" in seq:
+                seq = seq.replace("\r", "")
+            if " " in seq or "\t" in seq:  # exact per-line strip semantics
+                seq = "".join(l.strip() for l in body.splitlines())
+            name, _, comment = head.partition(" ")
+            if not comment:
+                name, _, comment = head.partition("\t")
+            yield Seq(name=name.split()[0] if name else "", seq=seq,
+                      comment=comment or None)
+        return
+    if data.startswith("@"):
+        lines = data.splitlines()
+        if len(lines) % 4 == 0 and \
+                all(l.startswith("@") for l in lines[0::4]) and \
+                all(l.startswith("+") for l in lines[2::4]):
+            for j in range(0, len(lines), 4):
+                head = lines[j][1:]
+                name, _, comment = head.partition(" ")
+                yield Seq(name=name, seq=lines[j + 1].strip(),
+                          qual=lines[j + 3].strip() or None,
+                          comment=comment or None)
+            return
+    yield from _parse_fastx_lines(_io.StringIO(data))
+
+
+class _ChainReader:
+    """readline() over a prefetched prefix then the live stream."""
+
+    def __init__(self, prefix: str, f):
+        self._sio = _io.StringIO(prefix)
+        self._f = f
+
+    def readline(self) -> str:
+        line = self._sio.readline()
+        if line and not line.endswith("\n"):  # prefix ended mid-line
+            return line + self._f.readline()
+        if line:
+            return line
+        return self._f.readline()
+
+
+def _parse_fastx_lines(f) -> Iterator[Seq]:
     line = f.readline()
     while line:
         line = line.rstrip("\n")
