@@ -105,7 +105,7 @@ def test_zdrop(opt: MapOptions, qseq, tseq, cigar, mat) -> int:
             and t_len < opt.max_gap):
         sub = qseq[pos[1][1] - q_len: pos[1][1]][::-1]
         qseq2 = np.where(sub >= 4, 4, 3 - sub).astype(np.uint8)
-        score, _, _ = K.ksw_ll(q_len, qseq2, t_len,
+        score, _, _ = _ksw_ll(q_len, qseq2, t_len,
                                tseq[pos[0][0]: pos[0][0] + t_len], mat,
                                opt.q, opt.e)
         if score >= opt.min_chain_score * opt.a and score >= opt.min_dp_max:
@@ -321,6 +321,22 @@ def append_cigar(r: Region, cigar: List[int]) -> None:
 
 _NATIVE_KSW = None
 _NATIVE_EXTS2 = None
+_NATIVE_LL = None
+
+
+def _ksw_ll(qlen, qseq, tlen, tseq, mat, gapo, gape):
+    """ksw_ll_i16 dispatch: native striped local SW when built."""
+    global _NATIVE_LL
+    if _NATIVE_LL is None:
+        try:
+            from ..native import lib as native_lib
+            _NATIVE_LL = native_lib.has_ksw_ll()
+        except Exception:
+            _NATIVE_LL = False
+    if _NATIVE_LL:
+        from ..native import lib as native_lib
+        return native_lib.ksw_ll(qlen, qseq, tlen, tseq, mat, gapo, gape)
+    return K.ksw_ll(qlen, qseq, tlen, tseq, mat, gapo, gape)
 
 
 def _native_exts2() -> bool:
@@ -624,7 +640,7 @@ def seed_ext_score(opt: MapOptions, mi, mat, qlen: int, qseq0, ax, ay) -> int:
     qe = min(qe + ext, qlen)
     tseq = mi.getseq_fast(rid, rs, re)
     qseq = qseq0[int(ax) >> 63][qs:qe]
-    score, _, _ = K.ksw_ll(qe - qs, qseq, re - rs, tseq, mat, opt.q, opt.e)
+    score, _, _ = _ksw_ll(qe - qs, qseq, re - rs, tseq, mat, opt.q, opt.e)
     return score
 
 
@@ -921,7 +937,7 @@ def align1_inv(opt: MapOptions, mi, qlen: int, qseq0, r1: Region,
 
     qrev = qseq[::-1]
     trev = tseq[::-1]
-    score, q_off, t_off = K.ksw_ll(ql, qrev, tl, trev, mat, opt.q, opt.e)
+    score, q_off, t_off = _ksw_ll(ql, qrev, tl, trev, mat, opt.q, opt.e)
     if score < opt.min_dp_max:
         return None
     q_off = ql - (q_off + 1)

@@ -66,6 +66,10 @@ def _load() -> Optional[ctypes.CDLL]:
         for fn in (lib.mm2_update_stats, lib.mm2_zdrop_scan):
             fn.argtypes = [_VP, _I64, _VP, _VP, _VP, _I32, _I32, _VP]
             fn.restype = None
+    if hasattr(lib, "mm2_ksw_ll"):
+        lib.mm2_ksw_ll.argtypes = [_I32, _VP, _I32, _VP, _VP, _I32, _I32,
+                                   _VP]
+        lib.mm2_ksw_ll.restype = None
     if hasattr(lib, "mm2_ksw_exts2"):
         lib.mm2_ksw_exts2.argtypes = [
             _I32, _VP, _I32, _VP, _VP, _I32, _I32, _I32, _I32, _I32, _I32,
@@ -242,6 +246,24 @@ def zdrop_scan(cigar: np.ndarray, qseq: np.ndarray, tseq: np.ndarray,
     lib.mm2_zdrop_scan(cp, len(ca), qp, tp, mp, q, e, out.ctypes.data)
     o = out.tolist()
     return o[0], [[o[1], o[2]], [o[3], o[4]]]
+
+
+def has_ksw_ll() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_ksw_ll")
+
+
+def ksw_ll(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
+           mat: np.ndarray, gapo: int, gape: int):
+    """Native striped local SW; same contract (and identical tie behavior)
+    as ops/ksw2_ref.ksw_ll. Returns (score, qe, te)."""
+    lib = _load()
+    out = np.zeros(3, np.int64)
+    qa, qp = _ptr(query, np.uint8)
+    ta, tp = _ptr(target, np.uint8)
+    ma, mp = _ptr(np.asarray(mat).reshape(-1), np.int8)
+    lib.mm2_ksw_ll(qlen, qp, tlen, tp, mp, gapo, gape, out.ctypes.data)
+    return int(out[0]), int(out[1]), int(out[2])
 
 
 def has_exts2() -> bool:

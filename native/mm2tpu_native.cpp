@@ -1107,6 +1107,104 @@ int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
 void mm2_free(void *ptr) { free(ptr); }
 
 // ---------------------------------------------------------------------------
+// Striped local SW (ksw_ll_qinit/ksw_ll_i16, ksw2_ll_sse.c) — exact port
+// of the ops/ksw2_ref.ksw_ll oracle including the padded-lane carries and
+// the striped-memory-order qe tie scan. out: [score, qe, te].
+// ---------------------------------------------------------------------------
+void mm2_ksw_ll(int32_t qlen, const uint8_t *query, int32_t tlen,
+                const uint8_t *target, const int8_t *mat /*5x5*/,
+                int32_t gapo, int32_t gape, int64_t *out) {
+    const int p = 8;
+    int32_t slen = (qlen + p - 1) / p;
+    int64_t gapoe = gapo + gape;
+    size_t np_ = (size_t)slen * p;
+    std::vector<int64_t> prof(5 * np_, 0);
+    for (int aa = 0; aa < 5; ++aa)
+        for (int32_t j = 0; j < slen; ++j)
+            for (int k = 0; k < p; ++k) {
+                int32_t qpos = j + k * slen;
+                prof[(size_t)aa * np_ + (size_t)j * p + k] =
+                    qpos < qlen ? mat[aa * 5 + query[qpos]] : 0;
+            }
+    std::vector<int64_t> H0(np_, 0), H1(np_, 0), E(np_, 0), Hmax(np_, 0);
+    int64_t gmax = 0;
+    int32_t te = -1;
+    int64_t h[8], f[8], maxv[8];
+    for (int32_t i = 0; i < tlen; ++i) {
+        const int64_t *S = prof.data() + (size_t)target[i] * np_;
+        for (int k = 0; k < p; ++k) {
+            f[k] = 0;
+            maxv[k] = 0;
+        }
+        // h = last stripe of H0 shifted right one lane
+        h[0] = 0;
+        for (int k = 1; k < p; ++k) h[k] = H0[(size_t)(slen - 1) * p + k - 1];
+        for (int32_t j = 0; j < slen; ++j) {
+            int64_t *Ej = E.data() + (size_t)j * p;
+            int64_t *H1j = H1.data() + (size_t)j * p;
+            const int64_t *H0j = H0.data() + (size_t)j * p;
+            const int64_t *Sj = S + (size_t)j * p;
+            for (int k = 0; k < p; ++k) {
+                int64_t hh = h[k] + Sj[k];
+                int64_t e = Ej[k];
+                if (e > hh) hh = e;
+                if (f[k] > hh) hh = f[k];
+                if (hh > maxv[k]) maxv[k] = hh;
+                H1j[k] = hh;
+                int64_t q = hh - gapoe;
+                if (q < 0) q = 0;
+                e -= gape;
+                if (e < 0) e = 0;
+                Ej[k] = e > q ? e : q;
+                int64_t ff = f[k] - gape;
+                if (ff < 0) ff = 0;
+                f[k] = ff > q ? ff : q;
+                h[k] = H0j[k];
+            }
+        }
+        // lazy-F propagation
+        bool done = false;
+        for (int it = 0; it < p && !done; ++it) {
+            for (int k = p - 1; k > 0; --k) f[k] = f[k - 1];
+            f[0] = 0;
+            for (int32_t j = 0; j < slen; ++j) {
+                int64_t *H1j = H1.data() + (size_t)j * p;
+                bool any = false;
+                for (int k = 0; k < p; ++k) {
+                    int64_t hh = H1j[k] > f[k] ? H1j[k] : f[k];
+                    H1j[k] = hh;
+                    int64_t q = hh - gapoe;
+                    if (q < 0) q = 0;
+                    int64_t ff = f[k] - gape;
+                    if (ff < 0) ff = 0;
+                    f[k] = ff;
+                    if (ff > q) any = true;
+                }
+                if (!any) {
+                    done = true;
+                    break;
+                }
+            }
+        }
+        int64_t imax = 0;
+        for (int k = 0; k < p; ++k)
+            if (maxv[k] > imax) imax = maxv[k];
+        if (imax >= gmax) {
+            gmax = imax;
+            te = i;
+            Hmax = H1;
+        }
+        H0.swap(H1);
+    }
+    int32_t qe = -1;
+    for (size_t i = 0; i < np_; ++i)
+        if (Hmax[i] == gmax) qe = (int32_t)(i / p + (i % p) * slen);
+    out[0] = gmax;
+    out[1] = qe;
+    out[2] = te;
+}
+
+// ---------------------------------------------------------------------------
 // Index finalize: sort minimizers into the CSR layout (index.c:191-243
 // semantics: group by hash minier = x>>8, runs sorted by payload y).
 // Outputs pos (n), keys/start/cnt (<= n, caller-allocated at n); returns

@@ -181,3 +181,26 @@ def test_native_ksw_exts2_matches_oracle(mode):
                                        q2, noncan, 200, 9, flags, junc)
             for f in fields:
                 assert getattr(exp, f) == getattr(got, f), (mode, f)
+
+
+def test_native_ksw_ll_matches_oracle():
+    """Native striped local SW vs the NumPy oracle (score/qe/te incl. the
+    striped-memory tie scan), on random and inversion-like inputs."""
+    from mm2tpu.ops import ksw2_ref as K
+    from mm2tpu.native import lib as native_lib
+    if not native_lib.has_ksw_ll():
+        pytest.skip("native library not built")
+    mat = K.gen_simple_mat(2, 4, 1)
+    rng = np.random.default_rng(99)
+    for rep in range(12):
+        tlen = int(rng.integers(5, 300))
+        t8 = rng.integers(0, 5, tlen).astype(np.uint8)
+        if rep % 3 == 0:  # inversion-like: query ~ revcomp of target
+            sub = t8[::-1]
+            q8 = np.where(sub >= 4, 4, 3 - sub).astype(np.uint8)
+        else:
+            q8 = rng.integers(0, 5, int(rng.integers(5, 300))).astype(np.uint8)
+        for gapo, gape in ((4, 2), (6, 1)):
+            exp = K.ksw_ll(len(q8), q8, tlen, t8, mat, gapo, gape)
+            got = native_lib.ksw_ll(len(q8), q8, tlen, t8, mat, gapo, gape)
+            assert exp == got, (rep, gapo, gape, exp, got)
