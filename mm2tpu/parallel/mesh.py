@@ -89,27 +89,42 @@ def lookup_index_device(khi: jnp.ndarray, klo: jnp.ndarray,
 def sharded_map_step(mesh: Mesh, *, max_dist_x: int, max_dist_y: int,
                      bw: int, iter_cap: int, gap_scale: float,
                      is_cdna: bool, n_segs: int, interpret: bool = False,
-                     axis: str = "data"):
+                     ext_params: Optional[dict] = None, axis: str = "data"):
     """The full device-side mapping step over a mesh: per-shard index probe
-    of query minimizers (replicated index) + bounded-lookback chaining of
-    pre-built anchors. This is the unit the multi-chip dry-run compiles."""
+    of query minimizers (replicated index), bounded-lookback chaining of
+    pre-built anchors and — when ext_params is given — the banded extd2
+    extension kernel over the shard's alignment tasks. This is the unit
+    the multi-chip dry-run compiles."""
     chain = functools.partial(
         chain_scores_device, max_dist_x=max_dist_x, max_dist_y=max_dist_y,
         bw=bw, iter_cap=iter_cap, gap_scale=gap_scale, is_cdna=is_cdna,
         n_segs=n_segs, interpret=interpret)
+    ext = None
+    if ext_params is not None:
+        from ..ops.ksw2_pallas import extd2_device
+        ext = functools.partial(extd2_device, interpret=interpret,
+                                **ext_params)
 
     dp = P(axis, None)
     dp1 = P(axis, None)
     rep = P(None)
 
-    @functools.partial(
-        shard_map, mesh=mesh, check_vma=False,
-        in_specs=(rep, rep, rep, rep, P(axis, None), P(axis, None),
-                  dp, dp, dp, dp, dp, dp1, dp1),
-        out_specs=(P(axis, None), P(axis, None), dp, dp))
-    def step(khi, klo, kstart, kcnt, qhi, qlo, hi, lo, qi, span, sid, n, avg):
+    in_specs = [rep, rep, rep, rep, P(axis, None), P(axis, None),
+                dp, dp, dp, dp, dp, dp1, dp1]
+    out_specs = [P(axis, None), P(axis, None), dp, dp]
+    if ext is not None:
+        in_specs += [dp, dp, dp]
+        out_specs += [P(None, axis, None), dp]
+
+    @functools.partial(shard_map, mesh=mesh, check_vma=False,
+                       in_specs=tuple(in_specs), out_specs=tuple(out_specs))
+    def step(khi, klo, kstart, kcnt, qhi, qlo, hi, lo, qi, span, sid, n, avg,
+             *ext_args):
         hit_start, hit_cnt = lookup_index_device(khi, klo, kstart, kcnt, qhi, qlo)
         f, p = chain(hi, lo, qi, span, sid, n, avg)
-        return hit_start, hit_cnt, f, p
+        if ext is None:
+            return hit_start, hit_cnt, f, p
+        d, ez = ext(*ext_args)
+        return hit_start, hit_cnt, f, p, d, ez
 
     return jax.jit(step)
