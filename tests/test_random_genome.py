@@ -230,3 +230,54 @@ def test_random_genome_ava(dataset, tmp_path):
     _, reads, _ = dataset
     args = ["-x", "ava-ont", str(reads), str(reads)]
     assert my_out(args) == ref_out(args)
+
+
+def test_random_genome_junc_bed(dataset, tmp_path):
+    """--junc-bed annotated junctions on the random genome (BED reader,
+    per-base donor/acceptor flags through the exts2 model) vs the
+    reference binary."""
+    ref, _, _ = dataset
+    rng = np.random.default_rng(21)
+    ctgs = {}
+    name = None
+    for line in open(ref):
+        if line.startswith(">"):
+            name = line[1:].strip()
+            ctgs[name] = []
+        else:
+            ctgs[name].append(line.strip())
+    ctgs = {k: "".join(v) for k, v in ctgs.items()}
+    g = ctgs["ctg3"]
+    reads = tmp_path / "cdna_j.fa"
+    bed = tmp_path / "junc.bed"
+    bed_rows = []
+    with open(reads, "w") as f:
+        for i in range(6):
+            st = int(rng.integers(0, len(g) - 8000))
+            exons = []
+            pos = st
+            for _ in range(3):
+                elen = int(rng.integers(120, 250))
+                exons.append(g[pos:pos + elen])
+                iv = int(rng.integers(200, 600))
+                bed_rows.append(("ctg3", pos + elen, pos + elen + iv, "+"))
+                pos += elen + iv
+            f.write(f">j{i}\n{''.join(exons)}\n")
+    with open(bed, "w") as f:
+        for c, s, e, strand in bed_rows:
+            f.write(f"{c}\t{s}\t{e}\tj\t0\t{strand}\n")
+    args = ["-x", "splice", "-G", "2k", "-a",
+            "--junc-bed", str(bed), str(ref), str(reads)]
+    assert my_out(args) == ref_out(args)
+
+
+def test_random_genome_alt(dataset, tmp_path):
+    """--alt contig handling (ALT marking, alt_drop re-ranking, SAM flag
+    demotion) vs the reference binary."""
+    ref, reads, _ = dataset
+    alt = tmp_path / "alts.txt"
+    alt.write_text("ctg2\n")
+    for extra in (["-c"], ["-a"]):
+        args = ["-x", "map-ont", "--alt", str(alt)] + extra + [str(ref),
+                                                               str(reads)]
+        assert my_out(args) == ref_out(args), extra
