@@ -281,3 +281,19 @@ def test_random_genome_alt(dataset, tmp_path):
         args = ["-x", "map-ont", "--alt", str(alt)] + extra + [str(ref),
                                                                str(reads)]
         assert my_out(args) == ref_out(args), extra
+
+
+@pytest.mark.parametrize("args", [
+    ["-x", "asm10", "-c"],
+    ["-x", "ava-pb"],            # HPC sketch + ava seed rules
+    ["-x", "splice:hq", "-G", "2k", "-c"],
+], ids=["asm10", "ava-pb", "splice_hq"])
+def test_random_genome_more_presets(dataset, args):
+    """Presets without dedicated fixtures (asm10, ava-pb, splice:hq)
+    byte-diffed against the reference binary."""
+    ref, reads, _ = dataset
+    if args[1] == "ava-pb":
+        full = args + [str(reads), str(reads)]
+    else:
+        full = args + [str(ref), str(reads)]
+    assert my_out(full) == ref_out(full)
