@@ -61,15 +61,30 @@ def _read_part(f) -> MMIndex:
     except Exception:
         has_native = False
     if has_native:
-        # single-pass native parse: read the rest of the file once, parse
-        # the bucket region in C++, seek back to the part boundary
+        # native parse: read the part in growing chunks (a multi-part
+        # file must not be slurped whole for every part), scan to find
+        # the region boundary, fill, then seek to the part boundary
         base = f.tell()
-        data = f.read()
-        keys, start, cnt, pos, consumed = native_lib.read_mmi_buckets(
-            data, b)
+        chunk = 64 << 20
+        parts = [f.read(chunk)]
+        while True:
+            try:
+                data = b"".join(parts) if len(parts) > 1 else parts[0]
+                keys, start, cnt, pos, consumed = \
+                    native_lib.read_mmi_buckets(data, b)
+                break
+            except ValueError:
+                more = f.read(chunk)
+                if not more:
+                    raise
+                parts = [data, more]
+                chunk *= 2
         mi.keys, mi.start, mi.cnt, mi.pos = keys, start, cnt, pos
         s_words = 0 if (flag & MM_I_NO_SEQ) else (sum_len + 7) // 8
         if s_words:
+            short = consumed + 4 * s_words - len(data)
+            if short > 0:  # S region extends past the scanned chunks
+                data += f.read(short)
             mi.S = np.frombuffer(
                 data[consumed: consumed + 4 * s_words], dtype=np.uint32)
         f.seek(base + consumed + 4 * s_words)

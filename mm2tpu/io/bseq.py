@@ -72,7 +72,10 @@ def parse_fastx(f) -> Iterator[Seq]:
                       comment=comment or None)
         return
     if data.startswith("@"):
-        lines = data.splitlines()
+        # split on \n only: the exact parser keeps \r in header fields
+        lines = data.split("\n")
+        if lines and lines[-1] == "":
+            lines.pop()
         if len(lines) % 4 == 0 and \
                 all(l.startswith("@") for l in lines[0::4]) and \
                 all(l.startswith("+") for l in lines[2::4]):

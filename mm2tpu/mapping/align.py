@@ -29,25 +29,36 @@ def _span(ay: int) -> int:
     return (ay >> 32) & 0xFF
 
 
-_NATIVE_WALKS = None
+_NATIVE_CAPS: dict = {}
 
 
-def _native_walks() -> bool:
-    global _NATIVE_WALKS
-    if _NATIVE_WALKS is None:
+def _native_has(probe: str) -> bool:
+    """Memoized native-runtime capability check (has_* probe name)."""
+    if probe not in _NATIVE_CAPS:
         try:
             from ..native import lib as native_lib
-            _NATIVE_WALKS = native_lib.has_cigar_walks()
+            _NATIVE_CAPS[probe] = getattr(native_lib, probe)()
         except Exception:
-            _NATIVE_WALKS = False
-    return _NATIVE_WALKS
+            _NATIVE_CAPS[probe] = False
+    return _NATIVE_CAPS[probe]
+
+
+def _cigar_fits(cigar, qseq, tseq) -> bool:
+    """True iff the cigar's q/t spans stay inside the sequences — the
+    native walks require this (the Python paths clamp, then assert)."""
+    ca = np.asarray(cigar, np.uint32)
+    ops = ca & 0xF
+    lns = (ca >> 4).astype(np.int64)
+    qspan = int(lns[(ops == 0) | (ops == 1)].sum())
+    tspan = int(lns[(ops == 0) | (ops == 2) | (ops == 3)].sum())
+    return qspan <= len(qseq) and tspan <= len(tseq)
 
 
 def _zdrop_scan(opt: MapOptions, qseq, tseq, cigar, mat):
     """The per-base max/zdrop walk of mm_test_zdrop (align.c:52-68),
     vectorized: running last-occurrence max via prefix scans, first-
     occurrence best zdrop via argmax. Returns (max_zdrop, pos)."""
-    if _native_walks():
+    if _native_has("has_cigar_walks") and _cigar_fits(cigar, qseq, tseq):
         from ..native import lib as native_lib
         return native_lib.zdrop_scan(np.asarray(cigar, np.uint32),
                                      qseq, tseq, mat, opt.q, opt.e)
@@ -246,7 +257,7 @@ def update_extra(r: Region, qseq, tseq, mat, q: int, e: int, is_eqx: bool) -> No
     qshift, tshift = fix_cigar(r, qseq, tseq)
     qseq = qseq[qshift:]
     tseq = tseq[tshift:]
-    if _native_walks():
+    if _native_has("has_cigar_walks") and _cigar_fits(p.cigar, qseq, tseq):
         from ..native import lib as native_lib
         blen, mlen, n_ambi, dp_max, qoff, toff = native_lib.update_stats(
             np.asarray(p.cigar, np.uint32), qseq, tseq, mat, q, e)
@@ -319,46 +330,20 @@ def append_cigar(r: Region, cigar: List[int]) -> None:
         p.cigar.extend(cigar)
 
 
-_NATIVE_KSW = None
-_NATIVE_EXTS2 = None
-_NATIVE_LL = None
-
-
 def _ksw_ll(qlen, qseq, tlen, tseq, mat, gapo, gape):
     """ksw_ll_i16 dispatch: native striped local SW when built."""
-    global _NATIVE_LL
-    if _NATIVE_LL is None:
-        try:
-            from ..native import lib as native_lib
-            _NATIVE_LL = native_lib.has_ksw_ll()
-        except Exception:
-            _NATIVE_LL = False
-    if _NATIVE_LL:
+    if _native_has("has_ksw_ll"):
         from ..native import lib as native_lib
         return native_lib.ksw_ll(qlen, qseq, tlen, tseq, mat, gapo, gape)
     return K.ksw_ll(qlen, qseq, tlen, tseq, mat, gapo, gape)
 
 
 def _native_exts2() -> bool:
-    global _NATIVE_EXTS2
-    if _NATIVE_EXTS2 is None:
-        try:
-            from ..native import lib as native_lib
-            _NATIVE_EXTS2 = native_lib.has_exts2()
-        except Exception:
-            _NATIVE_EXTS2 = False
-    return _NATIVE_EXTS2
+    return _native_has("has_exts2")
 
 
 def _native_ksw() -> bool:
-    global _NATIVE_KSW
-    if _NATIVE_KSW is None:
-        try:
-            from ..native import lib as native_lib
-            _NATIVE_KSW = native_lib.has_ksw()
-        except Exception:
-            _NATIVE_KSW = False
-    return _NATIVE_KSW
+    return _native_has("has_ksw")
 
 
 def align_pair(opt: MapOptions, qseq, tseq, junc, mat, w: int,

@@ -1294,15 +1294,23 @@ int mm2_scan_mmi_buckets(const uint8_t *buf, int64_t len, int32_t b,
         memcpy(&size, cur, 4);
         cur += 4;
         if (end - cur < (int64_t)size * 16) return -1;
-        // singles contribute 1 to pos but 0 to the p stream; count them
+        // per-entry pos contribution, validating multi-run bounds
+        // against this bucket's p array (a corrupt/malicious file must
+        // not drive the fill pass out of bounds)
         for (uint32_t j = 0; j < size; ++j) {
-            uint64_t key;
+            uint64_t key, val;
             memcpy(&key, cur + (int64_t)j * 16, 8);
-            if (key & 1) ++npos;
+            memcpy(&val, cur + (int64_t)j * 16 + 8, 8);
+            if (key & 1) {
+                ++npos;
+            } else {
+                uint64_t st = val >> 32, c = val & 0xFFFFFFFFu;
+                if (st + c > (uint64_t)n) return -1;
+                npos += (int64_t)c;
+            }
         }
         cur += (int64_t)size * 16;
         n_entries += size;
-        npos += n;
     }
     *n_entries_out = n_entries;
     *npos_out = npos;
@@ -1348,8 +1356,10 @@ int mm2_read_mmi_buckets(const uint8_t *buf, int64_t len, int32_t b,
                 e.src = -1;
                 e.cnt = 1;
             } else {
-                e.src = p_base + (int64_t)(val >> 32) * 8;
-                e.cnt = (int32_t)(val & 0xFFFFFFFFu);
+                uint64_t st = val >> 32, c = val & 0xFFFFFFFFu;
+                if (st + c > (uint64_t)n) return -1;
+                e.src = p_base + (int64_t)st * 8;
+                e.cnt = (int32_t)c;
             }
             order.push_back({(key >> 1) << b | (uint64_t)bucket,
                              (uint32_t)entries.size()});
