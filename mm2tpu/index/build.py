@@ -75,16 +75,50 @@ class MMIndex:
         s = int(self.start[i])
         return self.pos[s: s + int(self.cnt[i])]
 
+    _lut: Optional[Tuple[int, np.ndarray]] = None
+
+    def _bucket_lut(self) -> Tuple[int, np.ndarray]:
+        """(shift, boundaries) two-level lookup table over the top 14 bits
+        of the key space: replaces the first ~14 cold binary-search levels
+        with one gather (index.c's bucket split, re-keyed to high bits)."""
+        if self._lut is None:
+            bb = 14
+            shift = max(0, int(self.keys[-1]).bit_length() - bb)
+            probes = np.arange(1 << bb, dtype=np.uint64) << np.uint64(shift)
+            bnd = np.concatenate([np.searchsorted(self.keys, probes),
+                                  [len(self.keys)]]).astype(np.int64)
+            self._lut = (shift, bnd)
+        return self._lut
+
     def get_many(self, miniers: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Vectorized lookup: returns (start, cnt) per query; cnt==0 if absent."""
-        idx = np.searchsorted(self.keys, miniers)
-        idx_c = np.minimum(idx, len(self.keys) - 1) if len(self.keys) else idx
-        hit = np.zeros(len(miniers), dtype=bool)
-        if len(self.keys):
-            hit = self.keys[idx_c] == miniers
-            hit &= idx < len(self.keys)
-        start = np.where(hit, self.start[idx_c] if len(self.keys) else 0, 0)
-        cnt = np.where(hit, self.cnt[idx_c] if len(self.keys) else 0, 0)
+        nk = len(self.keys)
+        if nk == 0 or len(miniers) == 0:
+            z = np.zeros(len(miniers), np.int64)
+            return z, z.astype(np.int32)
+        if nk >= (1 << 16):
+            shift, bnd = self._bucket_lut()
+            bkt = (miniers >> np.uint64(shift)).astype(np.int64)
+            lo = bnd[bkt]
+            hi = bnd[bkt + 1]
+            # short vectorized binary search within each bucket run
+            while int(np.max(hi - lo)) > 1:
+                mid = (lo + hi) >> 1
+                less = self.keys[np.minimum(mid, nk - 1)] < miniers
+                go = hi - lo > 1
+                lo = np.where(go & less, mid, lo)
+                hi = np.where(go & ~less, mid, hi)
+            # lo is the last index with key <= query within the bucket
+            # (or the run start); a direct probe resolves the hit
+            cand = np.minimum(np.where(self.keys[lo] < miniers, lo + 1, lo),
+                              nk - 1)
+            hit = self.keys[cand] == miniers
+        else:
+            idx = np.searchsorted(self.keys, miniers)
+            cand = np.minimum(idx, nk - 1)
+            hit = (self.keys[cand] == miniers) & (idx < nk)
+        start = np.where(hit, self.start[cand], 0)
+        cnt = np.where(hit, self.cnt[cand], 0)
         return start.astype(np.int64), cnt.astype(np.int32)
 
     # ---- reference sequence fetch (mm_idx_getseq, index.c:152-162) ----

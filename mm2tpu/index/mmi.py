@@ -65,11 +65,10 @@ def _read_part(f) -> MMIndex:
         # file must not be slurped whole for every part), scan to find
         # the region boundary, fill, then seek to the part boundary
         base = f.tell()
-        chunk = 64 << 20
-        parts = [f.read(chunk)]
+        chunk = 256 << 20
+        data = bytearray(f.read(chunk))
         while True:
             try:
-                data = b"".join(parts) if len(parts) > 1 else parts[0]
                 keys, start, cnt, pos, consumed = \
                     native_lib.read_mmi_buckets(data, b)
                 break
@@ -77,7 +76,7 @@ def _read_part(f) -> MMIndex:
                 more = f.read(chunk)
                 if not more:
                     raise
-                parts = [data, more]
+                data += more  # amortized in-place growth
                 chunk *= 2
         mi.keys, mi.start, mi.cnt, mi.pos = keys, start, cnt, pos
         s_words = 0 if (flag & MM_I_NO_SEQ) else (sum_len + 7) // 8
