@@ -334,17 +334,19 @@ def apply_args(args, io: IdxOptions, mo: MapOptions) -> None:
             args.router_params))
 
 
-def load_or_build_index(target: str, io: IdxOptions, out=sys.stderr):
+def load_or_build_index(target: str, io: IdxOptions, out=sys.stderr,
+                        n_threads: int = 1):
     with open(target, "rb") as f:
         magic = f.read(4)
     if magic == MAGIC:
         return read_mmi(target)
     refs = list(read_fastx(target))
     return build_index([r.name for r in refs], [r.seq for r in refs],
-                       w=io.w, k=io.k, flag=io.flag, bucket_bits=io.bucket_bits)
+                       w=io.w, k=io.k, flag=io.flag,
+                       bucket_bits=io.bucket_bits, n_threads=n_threads)
 
 
-def index_parts(target: str, io: IdxOptions):
+def index_parts(target: str, io: IdxOptions, n_threads: int = 1):
     """Generator over index parts (mm_idx_reader semantics, index.c:560-605).
     A prebuilt .mmi yields its stored parts; a FASTA is split into ~`-I`
     (batch_size) base parts at mini-batch granularity (index.c:280-302,
@@ -376,7 +378,7 @@ def index_parts(target: str, io: IdxOptions):
             return
         yield build_index([r.name for r in part], [r.seq for r in part],
                           w=io.w, k=io.k, flag=io.flag,
-                          bucket_bits=io.bucket_bits)
+                          bucket_bits=io.bucket_bits, n_threads=n_threads)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -406,7 +408,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     out = open(args.output, "w") if args.output and args.output != "-" else sys.stdout
 
-    parts = index_parts(args.target, io)
+    parts = index_parts(args.target, io, n_threads=args.t)
     mi = next(parts, None)
     if mi is None:
         print("[ERROR] empty target", file=sys.stderr)

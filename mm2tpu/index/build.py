@@ -190,7 +190,8 @@ def _pack_seq4(codes: np.ndarray, S: np.ndarray, offset: int) -> None:
 def build_index(names: Sequence[Optional[str]], seqs: Sequence[str],
                 opt: IndexOptions | None = None, *,
                 w: int | None = None, k: int | None = None,
-                flag: int | None = None, bucket_bits: int | None = None) -> MMIndex:
+                flag: int | None = None, bucket_bits: int | None = None,
+                n_threads: int = 1) -> MMIndex:
     """Build a one-part index from in-memory sequences
     (mm_idx_gen / mm_idx_str semantics, index.c:354-434)."""
     opt = opt or IndexOptions()
@@ -213,32 +214,45 @@ def build_index(names: Sequence[Optional[str]], seqs: Sequence[str],
     except Exception:
         native_sketch = False
 
-    xs, ys = [], []
     offset = 0
+    all_codes: list = []
     for rid, (name, s) in enumerate(zip(names, seqs)):
         mi.seq.append(RefSeq(name=None if (flag & MM_I_NO_NAME) else name,
                              offset=offset, length=len(s)))
-        if len(s) > 0:
-            codes = encode_nt4(s)
-            if mi.S is not None:
-                _pack_seq4(codes, mi.S, offset)
-            if native_sketch:  # keep x/y planar: no interleave/deinterleave
-                x, y = native_lib.sketch_xy(codes, w, k, rid,
-                                            bool(flag & MM_I_HPC))
-            else:
-                mm = sketch_np(codes, w, k, rid, bool(flag & MM_I_HPC))
-                x, y = mm[:, 0], mm[:, 1]
-            xs.append(x)
-            ys.append(y)
+        codes = encode_nt4(s) if len(s) else None
+        all_codes.append(codes)
+        if codes is not None and mi.S is not None:
+            _pack_seq4(codes, mi.S, offset)
         offset += len(s)
+
+    def _sk(rid_codes):
+        rid, codes = rid_codes
+        if native_sketch:  # keep x/y planar: no interleave/deinterleave
+            return native_lib.sketch_xy(codes, w, k, rid,
+                                        bool(flag & MM_I_HPC))
+        mm = sketch_np(codes, w, k, rid, bool(flag & MM_I_HPC))
+        return mm[:, 0], mm[:, 1]
+
+    work = [(rid, c) for rid, c in enumerate(all_codes) if c is not None]
+    if n_threads > 1 and native_sketch and len(work) > 1:
+        # kt_for equivalent (index.c:247): the native sketch releases the
+        # GIL, so contigs sketch in parallel on multi-core hosts
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(n_threads, len(work))) as ex:
+            results = list(ex.map(_sk, work))
+    else:
+        results = [_sk(wc) for wc in work]
+    xs = [r[0] for r in results]
+    ys = [r[1] for r in results]
 
     x = np.concatenate(xs) if xs else np.zeros(0, np.uint64)
     y = np.concatenate(ys) if ys else np.zeros(0, np.uint64)
-    finalize_index(mi, x, y)
+    finalize_index(mi, x, y, n_threads=n_threads)
     return mi
 
 
-def finalize_index(mi: MMIndex, x: np.ndarray, y: np.ndarray) -> None:
+def finalize_index(mi: MMIndex, x: np.ndarray, y: np.ndarray,
+                   n_threads: int = 1) -> None:
     """Sort collected minimizers into the CSR layout (index.c:191-243).
     x/y are the planar minimizer columns."""
     if len(x) == 0:
@@ -247,7 +261,7 @@ def finalize_index(mi: MMIndex, x: np.ndarray, y: np.ndarray) -> None:
         from ..native import lib as native_lib
         if native_lib.has_finalize():
             mi.keys, mi.start, mi.cnt, mi.pos = native_lib.finalize_index(
-                x, y)
+                x, y, n_threads)
             return
     except Exception:
         pass

@@ -52,7 +52,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.mm2_sketch.restype = _I64
     if hasattr(lib, "mm2_finalize_index"):
         lib.mm2_finalize_index.argtypes = [_I64, _VP, _VP, _VP, _VP, _VP,
-                                           _VP]
+                                           _VP, _I32]
         lib.mm2_finalize_index.restype = _I64
     if hasattr(lib, "mm2_read_mmi_buckets"):
         lib.mm2_scan_mmi_buckets.argtypes = [
@@ -166,7 +166,7 @@ def has_finalize() -> bool:
     return lib is not None and hasattr(lib, "mm2_finalize_index")
 
 
-def finalize_index(x: np.ndarray, y: np.ndarray):
+def finalize_index(x: np.ndarray, y: np.ndarray, n_threads: int = 1):
     """Native minimizer sort into CSR (index.c:191-243 semantics).
     Returns (keys, start, cnt, pos)."""
     lib = _load()
@@ -178,7 +178,8 @@ def finalize_index(x: np.ndarray, y: np.ndarray):
     start = np.empty(n, np.int64)
     cnt = np.empty(n, np.int32)
     nk = lib.mm2_finalize_index(n, xp, yp, pos.ctypes.data, keys.ctypes.data,
-                                start.ctypes.data, cnt.ctypes.data)
+                                start.ctypes.data, cnt.ctypes.data,
+                                n_threads)
     # views, not copies: this box's memory bandwidth makes 130MB of copies
     # cost seconds; the over-allocation tail is ~20% and freed with the part
     return keys[:nk], start[:nk], cnt[:nk], pos

@@ -13,6 +13,8 @@
 #include <vector>
 #include <algorithm>
 #include <utility>
+#include <thread>
+#include <atomic>
 
 extern "C" {
 
@@ -1216,7 +1218,7 @@ void mm2_ksw_ll(int32_t qlen, const uint8_t *query, int32_t tlen,
 // beats one global comparison sort by several passes (the reference gets
 // the same effect from its per-bucket radix_sort_128x, index.c:201).
 template <class T>
-static void msb_bucket_sort(std::vector<T> &v) {
+static void msb_bucket_sort(std::vector<T> &v, int nthreads = 1) {
     const int BB = 13;
     size_t n = v.size();
     if (n < ((size_t)1 << 16)) {
@@ -1237,8 +1239,24 @@ static void msb_bucket_sort(std::vector<T> &v) {
         std::vector<int64_t> cur(off.begin(), off.end() - 1);
         for (const auto &e : v) tmp[cur[(size_t)(e.first >> shift)]++] = e;
     }
-    for (size_t b = 0; b < nb; ++b)
-        std::sort(tmp.begin() + off[b], tmp.begin() + off[b + 1]);
+    if (nthreads > 1) {
+        std::atomic<size_t> next{0};
+        std::vector<std::thread> ths;
+        for (int t = 0; t < nthreads; ++t)
+            ths.emplace_back([&]() {
+                size_t b0;
+                while ((b0 = next.fetch_add(64)) < nb) {
+                    size_t e = b0 + 64 < nb ? b0 + 64 : nb;
+                    for (size_t b = b0; b < e; ++b)
+                        std::sort(tmp.begin() + off[b],
+                                  tmp.begin() + off[b + 1]);
+                }
+            });
+        for (auto &th : ths) th.join();
+    } else {
+        for (size_t b = 0; b < nb; ++b)
+            std::sort(tmp.begin() + off[b], tmp.begin() + off[b + 1]);
+    }
     v.swap(tmp);
 }
 
@@ -1247,11 +1265,12 @@ extern "C" {
 // ---------------------------------------------------------------------------
 int64_t mm2_finalize_index(int64_t n, const uint64_t *x, const uint64_t *y,
                            uint64_t *pos_out, uint64_t *keys_out,
-                           int64_t *start_out, int32_t *cnt_out) {
+                           int64_t *start_out, int32_t *cnt_out,
+                           int32_t n_threads) {
     if (n <= 0) return 0;
     std::vector<std::pair<uint64_t, uint64_t>> v((size_t)n);
     for (int64_t i = 0; i < n; ++i) v[i] = {x[i] >> 8, y[i]};
-    msb_bucket_sort(v);
+    msb_bucket_sort(v, n_threads > 1 ? n_threads : 1);
     int64_t nk = -1;
     uint64_t prev = 0;
     for (int64_t i = 0; i < n; ++i) {
