@@ -32,11 +32,31 @@ def _ptr(a, dtype):
     return a, a.ctypes.data
 
 
+def _build_once() -> None:
+    """One-shot `make -C native` under an exclusive lock (first use after
+    a clone; concurrent test workers must not race the compiler)."""
+    import subprocess
+    src_dir = _SO.parent
+    if not (src_dir / "Makefile").exists():
+        return
+    try:
+        import fcntl
+        with open(src_dir / ".build.lock", "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if not _SO.exists():
+                subprocess.run(["make", "-C", str(src_dir)], check=True,
+                               capture_output=True, timeout=600)
+    except Exception:
+        pass
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _checked
     if _checked:
         return _lib or None
     _checked = True
+    if not _SO.exists():
+        _build_once()
     if not _SO.exists():
         _lib = None
         return None
