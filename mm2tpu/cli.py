@@ -359,11 +359,14 @@ def index_parts(target: str, io: IdxOptions, n_threads: int = 1):
         return
     it = iter(read_fastx(target))
     pending = None
+    # the reference clamps the mini-batch to the part size (index.c:359),
+    # so small -I values actually split parts
+    mini = min(io.mini_batch_size, io.batch_size)
     while True:
         part, sum_len = [], 0
         while sum_len <= io.batch_size:
             mb, mb_len = [], 0
-            while mb_len < io.mini_batch_size:
+            while mb_len < mini:
                 r = pending if pending is not None else next(it, None)
                 pending = None
                 if r is None:

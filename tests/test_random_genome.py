@@ -297,3 +297,15 @@ def test_random_genome_more_presets(dataset, args):
     else:
         full = args + [str(ref), str(reads)]
     assert my_out(full) == ref_out(full)
+
+
+def test_random_genome_multipart_split(dataset, tmp_path):
+    """-I forced multi-part index + --split-prefix merge on the random
+    genome (rid renumbering, re-select/re-mapq across parts) vs the
+    reference binary."""
+    ref, reads, _ = dataset
+    # -I 200k splits the ~430k-base genome into 3 parts
+    for extra in ([], ["--split-prefix", str(tmp_path / "sp")]):
+        args = (["-x", "map-ont", "-c", "-I", "200k"] + extra
+                + [str(ref), str(reads)])
+        assert my_out(args) == ref_out(args), extra
