@@ -211,6 +211,11 @@ OPTION_SWEEP = [
     ["-x", "map-ont", "-c", "--secondary", "no"],
     ["-x", "map-ont", "-a", "-Y"],          # soft-clip supplementary
     ["-k", "17", "-w", "7", "-c"],          # non-preset k/w
+    ["-x", "map-ont", "-c", "--heap-sort", "yes"],  # heap-merge seeding
+    ["-x", "map-ont", "-c", "--for-only"],
+    ["-x", "map-ont", "-c", "-r", "100"],   # narrow band
+    ["-x", "map-ont", "-a", "-z", "200,100"],  # split zdrop/zdrop_inv
+    ["-x", "map-ont", "-c", "-K", "60k"],   # small mapping mini-batch
 ]
 
 
