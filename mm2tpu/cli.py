@@ -51,11 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", type=int, default=3, help="threads (host-side)")
     p.add_argument("-v", type=int, default=3)
     p.add_argument("-g", dest="max_gap")
-    p.add_argument("-G", dest="max_intron_len")
+    p.add_argument("-G", "--max-intron-len", dest="max_intron_len")
     p.add_argument("-F", dest="max_frag_len")
     p.add_argument("-N", dest="best_n", type=int)
     p.add_argument("-p", dest="pri_ratio", type=float)
-    p.add_argument("-M", dest="mask_level", type=float)
+    p.add_argument("-M", "--mask-level", dest="mask_level", type=float)
     p.add_argument("-c", action="store_true", help="PAF CIGAR")
     p.add_argument("-D", action="store_true", help="--no-self")
     p.add_argument("-P", action="store_true", help="--all-chain")
@@ -66,13 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-L", action="store_true")
     p.add_argument("-y", action="store_true")
     p.add_argument("-T", dest="sdust_thres", type=int)
-    p.add_argument("-n", dest="min_cnt", type=int)
-    p.add_argument("-m", dest="min_chain_score", type=int)
+    p.add_argument("-n", "--min-count", dest="min_cnt", type=int)
+    p.add_argument("-m", "--min-chain-score", dest="min_chain_score", type=int)
     p.add_argument("-A", dest="match_sc", type=int)
     p.add_argument("-B", dest="mismatch", type=int)
-    p.add_argument("-s", dest="min_dp_max", type=int)
+    p.add_argument("-s", "--min-dp-score", dest="min_dp_max", type=int)
     p.add_argument("-I", dest="batch_size")
-    p.add_argument("-K", dest="mb_size")
+    p.add_argument("-K", "--mb-size", dest="mb_size")
     p.add_argument("-R", dest="rg")
     p.add_argument("-2", dest="two_io", action="store_true")
     p.add_argument("-o", dest="output")
@@ -121,6 +121,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--alt-drop", type=float)
     p.add_argument("--mask-len")
     p.add_argument("--print-seeds", action="store_true")
+    p.add_argument("--print-qname", action="store_true")
+    p.add_argument("-C", "--cost-non-gt-ag", dest="noncan", type=int)
+    p.add_argument("--cap-sw-mem", dest="cap_sw_mem")
+    p.add_argument("--no-kalloc", action="store_true",
+                   help="accepted for compatibility (no arena allocator)")
     p.add_argument("--print-aln-seq", action="store_true")
     p.add_argument("--chain-backend", choices=["auto", "tpu", "native", "python"])
     p.add_argument("--router-params", metavar="JSON",
@@ -190,6 +195,12 @@ def apply_args(args, io: IdxOptions, mo: MapOptions) -> None:
         mo.flag |= MM_F_COPY_COMMENT
     if args.sdust_thres is not None:
         mo.sdust_thres = args.sdust_thres
+    if args.noncan is not None:
+        mo.noncan = args.noncan
+    if args.cap_sw_mem is not None:
+        mo.max_sw_mat = _parse_num(args.cap_sw_mem)
+    if args.print_qname:
+        mo.dbg_print_qname = True
     if args.min_cnt is not None:
         mo.min_cnt = args.min_cnt
     if args.min_chain_score is not None:
@@ -487,6 +498,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 def _map_one_frag(mi, mo: MapOptions, frag):
     """Map one fragment (the body of worker_for, map.c:427-467). Pure with
     respect to shared state, so it can run on any pipeline thread."""
+    if mo.dbg_print_qname:  # --print-qname (map.c:434-435)
+        import threading
+        tid = threading.get_ident() % 1000
+        print(f"QR\t{frag[0].name}\t{tid}\t{len(frag[0].seq)}",
+              file=sys.stderr)
     # orient mates per pe_ori before joint chaining (map.c:436-441)
     flip = [len(frag) == 2 and bool((mo.pe_ori >> (1 - j)) & 1)
             for j in range(len(frag))]

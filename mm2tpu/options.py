@@ -123,6 +123,7 @@ class MapOptions:
     align_tpu_min_mat: int = 1 << 20
     # debug channels (mm_dbg_flag, mmpriv.h:12-15)
     dbg_print_aln_seq: bool = False
+    dbg_print_qname: bool = False
     dbg_print_seed: bool = False
 
 

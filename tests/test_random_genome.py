@@ -197,8 +197,10 @@ def test_random_genome_splice(dataset, tmp_path):
     # -G caps the intron length (and with it the unbanded exts2 fill
     # size); real long-intron fills belong on the device kernel, not in
     # the CPU test suite
-    args = ["-x", "splice", "-G", "2k", "-a", str(ref), str(reads)]
-    assert my_out(args) == ref_out(args)
+    for extra in ([], ["-C", "5"], ["-u", "f"]):
+        args = (["-x", "splice", "-G", "2k", "-a"] + extra
+                + [str(ref), str(reads)])
+        assert my_out(args) == ref_out(args), extra
 
 
 OPTION_SWEEP = [
@@ -216,6 +218,15 @@ OPTION_SWEEP = [
     ["-x", "map-ont", "-c", "-r", "100"],   # narrow band
     ["-x", "map-ont", "-a", "-z", "200,100"],  # split zdrop/zdrop_inv
     ["-x", "map-ont", "-c", "-K", "60k"],   # small mapping mini-batch
+    ["-x", "map-ont", "-c", "-T", "20"],    # sdust low-complexity mask
+    ["-x", "map-ont", "-a", "--end-bonus", "10"],
+    ["-x", "map-ont", "-a", "--score-N", "1"],
+    ["-x", "map-ont", "-c", "--no-long-join"],
+    ["-x", "map-ont", "-a", "--sam-hit-only"],
+    ["-x", "map-ont", "-c", "--mask-level", "0.2"],
+    ["-x", "map-ont", "-a", "--no-end-flt"],
+    ["-x", "map-ont", "-c", "--min-occ-floor", "50"],
+    ["-x", "map-ont", "-c", "--mask-level", "0.2"],
 ]
 
 
