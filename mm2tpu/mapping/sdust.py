@@ -129,7 +129,14 @@ def dust_minimizers(mm: np.ndarray, seq, thres: int, offset: int
     span (mm_dust_minier, map.c:38-62). `mm` carries the cumulative
     query-offset in y (added before this call, matching map.c:71-74 —
     including its use of the offset positions for sid>0 segments)."""
-    dreg = sdust_core(encode_nt4(seq), thres, 64)
+    codes = encode_nt4(seq)
+    try:
+        from ..native import lib as native_lib
+        has_native = native_lib.has_sdust()
+    except Exception:
+        has_native = False
+    dreg = (native_lib.sdust(codes, thres, 64) if has_native
+            else sdust_core(codes, thres, 64))
     if not dreg:
         return mm
     nd = len(dreg)

@@ -86,6 +86,9 @@ def _load() -> Optional[ctypes.CDLL]:
         for fn in (lib.mm2_update_stats, lib.mm2_zdrop_scan):
             fn.argtypes = [_VP, _I64, _VP, _VP, _VP, _I32, _I32, _VP]
             fn.restype = None
+    if hasattr(lib, "mm2_sdust"):
+        lib.mm2_sdust.argtypes = [_VP, _I64, _I32, _I32, _VP, _I64]
+        lib.mm2_sdust.restype = _I64
     if hasattr(lib, "mm2_ksw_ll"):
         lib.mm2_ksw_ll.argtypes = [_I32, _VP, _I32, _VP, _VP, _I32, _I32,
                                    _VP]
@@ -267,6 +270,21 @@ def zdrop_scan(cigar: np.ndarray, qseq: np.ndarray, tseq: np.ndarray,
     lib.mm2_zdrop_scan(cp, len(ca), qp, tp, mp, q, e, out.ctypes.data)
     o = out.tolist()
     return o[0], [[o[1], o[2]], [o[3], o[4]]]
+
+
+def has_sdust() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_sdust")
+
+
+def sdust(codes: np.ndarray, T: int, W: int):
+    """Native SDUST; returns [(start, finish), ...]."""
+    lib = _load()
+    ca, cp = _ptr(codes, np.uint8)
+    cap = len(ca) // 2 + 2
+    out = np.empty(2 * cap, np.int64)
+    n = lib.mm2_sdust(cp, len(ca), T, W, out.ctypes.data, cap)
+    return list(zip(out[0:2 * n:2].tolist(), out[1:2 * n:2].tolist()))
 
 
 def has_ksw_ll() -> bool:

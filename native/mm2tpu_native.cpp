@@ -1109,6 +1109,127 @@ int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
 void mm2_free(void *ptr) { free(ptr); }
 
 // ---------------------------------------------------------------------------
+// SDUST low-complexity masking (sdust.c semantics; mirrors
+// mm2tpu/mapping/sdust.py, the tested reference). Emits (start, finish)
+// pairs into out; returns the interval count (no overflow: <= n/2+1 and
+// the caller sizes out accordingly).
+// ---------------------------------------------------------------------------
+int64_t mm2_sdust(const uint8_t *codes, int64_t n, int32_t T, int32_t W,
+                  int64_t *out, int64_t cap) {
+    const int WLEN2 = 3, WTOT2 = 64, WMSK2 = 63;
+    struct PI {
+        int64_t start, finish, r, l;
+    };
+    std::vector<PI> P;
+    std::vector<int> w;  // ring of words
+    size_t whead = 0;
+    int cv[64] = {0}, cw[64] = {0};
+    int64_t rv = 0, rw = 0, L = 0, n_out = 0;
+    auto wsize = [&]() { return w.size() - whead; };
+    auto wat = [&](size_t i) { return w[whead + i]; };
+
+    auto save_masked = [&](int64_t start) {
+        if (P.empty() || P.back().start >= start) return;
+        PI &p = P.back();
+        bool saved = false;
+        if (n_out) {
+            int64_t s = out[2 * (n_out - 1)], f = out[2 * (n_out - 1) + 1];
+            if (p.start <= f) {
+                saved = true;
+                out[2 * (n_out - 1) + 1] = f > p.finish ? f : p.finish;
+                (void)s;
+            }
+        }
+        if (!saved && n_out < cap) {
+            out[2 * n_out] = p.start;
+            out[2 * n_out + 1] = p.finish;
+            ++n_out;
+        }
+        int64_t i = (int64_t)P.size() - 1;
+        while (i >= 0 && P[i].start < start) --i;
+        P.resize(i + 1);
+    };
+    auto shift_window = [&](int t) {
+        if ((int64_t)wsize() >= W - WLEN2 + 1) {
+            int s = wat(0);
+            ++whead;
+            rw -= --cw[s];
+            if (L > (int64_t)wsize()) {
+                --L;
+                rv -= --cv[s];
+            }
+        }
+        if (whead > 4096) {  // compact the ring
+            w.erase(w.begin(), w.begin() + whead);
+            whead = 0;
+        }
+        w.push_back(t);
+        ++L;
+        rw += cw[t]++;
+        rv += cv[t]++;
+        if (cv[t] * 10 > T << 1) {
+            int s;
+            do {
+                s = wat(wsize() - L);
+                rv -= --cv[s];
+                --L;
+            } while (s != t);
+        }
+    };
+    auto find_perfect = [&](int64_t start) {
+        int c[64];
+        memcpy(c, cv, sizeof(c));
+        int64_t r = rv, max_r = 0, max_l = 0;
+        for (int64_t i = (int64_t)wsize() - L - 1; i >= 0; --i) {
+            int t = wat((size_t)i);
+            r += c[t]++;
+            int64_t new_r = r, new_l = (int64_t)wsize() - i - 1;
+            if (new_r * 10 > T * new_l) {
+                size_t j = 0;
+                while (j < P.size() && P[j].start >= i + start) {
+                    PI &p = P[j];
+                    if (max_r == 0 || p.r * max_l > max_r * p.l) {
+                        max_r = p.r;
+                        max_l = p.l;
+                    }
+                    ++j;
+                }
+                if (max_r == 0 || new_r * max_l >= max_r * new_l) {
+                    max_r = new_r;
+                    max_l = new_l;
+                    PI np = {i + start, (int64_t)wsize() + WLEN2 - 1 + start,
+                             new_r, new_l};
+                    P.insert(P.begin() + j, np);
+                }
+            }
+        }
+    };
+
+    int64_t l = 0;
+    unsigned t = 0;
+    for (int64_t i = 0; i <= n; ++i) {
+        int b = i < n ? codes[i] : 4;
+        if (b < 4) {
+            ++l;
+            t = ((t << 2) | (unsigned)b) & WMSK2;
+            if (l >= WLEN2) {
+                int64_t start = (l - W > 0 ? l - W : 0) + (i + 1 - l);
+                save_masked(start);
+                shift_window((int)t);
+                if (rw * 10 > L * T) find_perfect(start);
+            }
+        } else {
+            int64_t start = (l - W + 1 > 0 ? l - W + 1 : 0) + (i + 1 - l);
+            while (!P.empty()) save_masked(start++);
+            l = 0;
+            t = 0;
+        }
+    }
+    (void)WTOT2;
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
 // Striped local SW (ksw_ll_qinit/ksw_ll_i16, ksw2_ll_sse.c) — exact port
 // of the ops/ksw2_ref.ksw_ll oracle including the padded-lane carries and
 // the striped-memory-order qe tie scan. out: [score, qe, te].
