@@ -204,3 +204,26 @@ def test_native_ksw_ll_matches_oracle():
             exp = K.ksw_ll(len(q8), q8, tlen, t8, mat, gapo, gape)
             got = native_lib.ksw_ll(len(q8), q8, tlen, t8, mat, gapo, gape)
             assert exp == got, (rep, gapo, gape, exp, got)
+
+
+def test_native_sdust_matches_python():
+    """Native SDUST vs the Python port on random sequences with injected
+    low-complexity repeats and N breaks, across thresholds."""
+    from mm2tpu.mapping.sdust import sdust_core
+    from mm2tpu.native import lib as native_lib
+    if not native_lib.has_sdust():
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(1)
+    for rep in range(20):
+        n = int(rng.integers(10, 3000))
+        codes = rng.integers(0, 4, n).astype(np.uint8)
+        for _ in range(int(rng.integers(0, 5))):
+            p = int(rng.integers(0, n))
+            ln = int(rng.integers(5, 60))
+            codes[p:p + ln] = np.resize([0, 3], min(ln, n - p))
+        for _ in range(int(rng.integers(0, 3))):
+            p = int(rng.integers(0, n))
+            codes[p:p + int(rng.integers(1, 5))] = 4
+        for T in (20, 15, 30):
+            assert sdust_core(codes, T, 64) == \
+                native_lib.sdust(codes, T, 64), (rep, T)
