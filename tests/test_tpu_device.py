@@ -123,3 +123,36 @@ def test_ksw2_kernel_on_device():
 
 def test_exts2_kernel_on_device():
     assert "EXTS2_DEVICE_OK" in run_snippet(EXTS2_SNIPPET)
+
+
+def _run_cli_device(args: str) -> str:
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    r = subprocess.run([sys.executable, "-m", "mm2tpu.cli"] + args.split(),
+                       cwd=REPO, env=env, capture_output=True, text=True,
+                       timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    return r.stdout
+
+
+def test_cli_chain_backend_tpu_e2e():
+    """Full CLI run with the compiled chaining kernel on the real chip:
+    byte-identical PAF vs the reference golden."""
+    out = _run_cli_device(
+        "--chain-backend tpu -x map-ont -c "
+        "/root/reference/test/MT-orang.fa /root/reference/test/MT-human.fa")
+    golden = (pathlib.Path(REPO) / "tests/golden/mapont_MT_c.paf").read_text()
+    assert out == golden
+
+
+def test_cli_align_backend_tpu_e2e():
+    """Full CLI run routing DP fills to the compiled ksw2 kernel on the
+    real chip: byte-identical SAM vs the reference golden."""
+    out = _run_cli_device(
+        "--align-backend tpu --align-tpu-min-mat 10000 -ax map-ont "
+        "/root/reference/test/MT-orang.fa /root/reference/test/MT-human.fa")
+    strip = "\n".join(l for l in out.splitlines() if not l.startswith("@PG"))
+    golden = (pathlib.Path(REPO) / "tests/golden/mapont_MT_a.sam").read_text()
+    gstrip = "\n".join(l for l in golden.splitlines()
+                       if not l.startswith("@PG"))
+    assert strip == gstrip
