@@ -325,3 +325,26 @@ def test_random_genome_multipart_split(dataset, tmp_path):
         args = (["-x", "map-ont", "-c", "-I", "200k"] + extra
                 + [str(ref), str(reads)])
         assert my_out(args) == ref_out(args), extra
+
+
+def test_random_genome_edge_reads(dataset, tmp_path):
+    """Adversarial inputs (empty record, 1bp, all-N, lowercase, tiny,
+    empty file, --paf-no-hit, CRLF fastq) byte-diffed vs the reference."""
+    ref, _, _ = dataset
+    edge = tmp_path / "edge.fa"
+    edge.write_text(
+        ">empty\n\n>onebp\nA\n>allN\n" + "N" * 48 + "\n"
+        ">lowercase\nacgtacgtacgtnacgtacgtACGTacgtacgtacgtacgtacgtacgt\n"
+        ">short\nACGTACGT\n")
+    for extra in (["-c"], ["-a"], ["-c", "--paf-no-hit"]):
+        args = ["-x", "map-ont"] + extra + [str(ref), str(edge)]
+        assert my_out(args) == ref_out(args), extra
+    empty = tmp_path / "none.fa"
+    empty.write_text("")
+    args = ["-x", "map-ont", "-c", str(ref), str(empty)]
+    assert my_out(args) == ref_out(args)
+    crlf = tmp_path / "crlf.fq"
+    crlf.write_text("@r1 c\r\nACGTACGTACGTACGTACGTACGTACGTACGT\r\n+\r\n"
+                    + "I" * 32 + "\r\n")
+    args = ["-x", "sr", "-c", str(ref), str(crlf)]
+    assert my_out(args) == ref_out(args)
