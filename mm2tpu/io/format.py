@@ -6,7 +6,7 @@ from typing import List, Optional, Sequence
 
 from ..mapping.hit import Region
 from ..options import (MM_F_OUT_CG, MM_F_OUT_CS, MM_F_OUT_MD, MM_F_OUT_CS_LONG,
-                       MM_F_COPY_COMMENT, MM_F_SOFTCLIP)
+                       MM_F_COPY_COMMENT, MM_F_SOFTCLIP, MM_F_NO_QUAL)
 
 CIGAR_STR = "MIDNSHP=XB"
 NT4_UPPER = "ACGTN"
@@ -163,13 +163,48 @@ def _write_md(tseq, qseq, r: Region, write_tag: bool) -> str:
 COMP = str.maketrans("ACGTacgt", "TGCAtgca")
 
 
+_RG_ID = ""  # the reference's global mm_rg_id (format.c:9)
+
+
+def _set_rg_line(rg: str):
+    """sam_write_rg_line (format.c:82-116): validate, unescape, extract the
+    ID field into the module rg-id; on error, print and omit the line."""
+    import sys as _sys
+    global _RG_ID
+    _RG_ID = ""
+    if not rg.startswith("@RG"):
+        print("[ERROR] the read group line is not started with @RG",
+              file=_sys.stderr)
+        return None
+    if "\t" in rg:
+        print("[ERROR] the read group line contained literal <tab> "
+              "characters -- replace with escaped tabs: \\t",
+              file=_sys.stderr)
+        return None
+    line = rg.replace("\\t", "\t").replace("\\n", "\n")
+    i = line.find("\tID:")
+    if i < 0:
+        print("[ERROR] no ID within the read group line", file=_sys.stderr)
+        return None
+    j = i + 4
+    k = j
+    while k < len(line) and line[k] not in "\t\n":
+        k += 1
+    _RG_ID = line[j:k]
+    return line
+
+
 def sam_header(mi, rg: Optional[str], ver: str, cmdline: Optional[str]) -> str:
+    global _RG_ID
+    _RG_ID = ""  # reset: in-process runs must not inherit a previous -R
     lines = []
     if mi is not None:
         for s in mi.seq:
             lines.append(f"@SQ\tSN:{s.name}\tLN:{s.length}")
     if rg:
-        lines.append(rg.replace("\\t", "\t"))
+        rg_line = _set_rg_line(rg)
+        if rg_line:
+            lines.append(rg_line)
     pg = f"@PG\tID:minimap2\tPN:minimap2\tVN:{ver}"
     if cmdline:
         pg += f"\tCL:{cmdline}"
@@ -265,17 +300,19 @@ def write_sam(mi, seq, seg_idx: int, reg_idx: int, n_seg: int,
     else:
         out.append("\t*\t0\t0\t")
 
-    # SEQ and QUAL
+    # SEQ and QUAL (-Q drops quals at read time in the reference,
+    # map.c's mm_bseq_read3 with_qual arg; observably: QUAL becomes *)
+    qual = None if (flag & MM_F_NO_QUAL) else seq.qual
     if r is None:
         out.append(seq.seq)
         out.append("\t")
-        out.append(seq.qual if seq.qual else "*")
+        out.append(qual if qual else "*")
     else:
         if (sam_flag & 0x900) == 0 or (flag & MM_F_SOFTCLIP):
             out.append(_revcomp(seq.seq) if r.rev else seq.seq)
             out.append("\t")
-            if seq.qual:
-                out.append(seq.qual[::-1] if r.rev else seq.qual)
+            if qual:
+                out.append(qual[::-1] if r.rev else qual)
             else:
                 out.append("*")
         elif sam_flag & 0x100:
@@ -284,14 +321,15 @@ def write_sam(mi, seq, seg_idx: int, reg_idx: int, n_seg: int,
             sub = seq.seq[r.qs:r.qe]
             out.append(_revcomp(sub) if r.rev else sub)
             out.append("\t")
-            if seq.qual:
-                qsub = seq.qual[r.qs:r.qe]
+            if qual:
+                qsub = qual[r.qs:r.qe]
                 out.append(qsub[::-1] if r.rev else qsub)
             else:
                 out.append("*")
 
-    if rg_id:
-        out.append(f"\tRG:Z:{rg_id}")
+    rg_eff = rg_id or _RG_ID
+    if rg_eff:
+        out.append(f"\tRG:Z:{rg_eff}")
     if n_seg > 2:
         out.append(f"\tFI:i:{seg_idx}")
     if r is not None:

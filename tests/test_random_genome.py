@@ -343,6 +343,13 @@ def test_random_genome_edge_reads(dataset, tmp_path):
     empty.write_text("")
     args = ["-x", "map-ont", "-c", str(ref), str(empty)]
     assert my_out(args) == ref_out(args)
+    # -Q qual suppression, -R read-group line + per-record RG:Z tags
+    qfq = tmp_path / "q.fq"
+    qfq.write_text("@q1\n" + "ACGT" * 20 + "\n+\n" + "I" * 80 + "\n")
+    for extra in (["-Q"], ["-R", "@RG\\tID:x\\tSM:s"],
+                  ["-Q", "-R", "@RG\\tID:y"]):
+        args = ["-x", "sr", "-a"] + extra + [str(ref), str(qfq)]
+        assert my_out(args) == ref_out(args), extra
     crlf = tmp_path / "crlf.fq"
     crlf.write_text("@r1 c\r\nACGTACGTACGTACGTACGTACGTACGTACGT\r\n+\r\n"
                     + "I" * 32 + "\r\n")
