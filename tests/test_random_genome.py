@@ -227,6 +227,14 @@ OPTION_SWEEP = [
     ["-x", "map-ont", "-a", "--no-end-flt"],
     ["-x", "map-ont", "-c", "--min-occ-floor", "50"],
     ["-x", "map-ont", "-c", "--mask-level", "0.2"],
+    ["-x", "map-ont", "-c", "-D"],
+    ["-x", "map-ont", "-c", "-P"],
+    ["-x", "map-ont", "-c", "--lj-min-ratio", "0.7"],
+    ["-x", "map-ont", "-a", "--end-seed-pen", "10"],
+    ["-x", "map-ont", "-c", "--max-clip-ratio", "0.5"],
+    ["-x", "map-ont", "-a", "-L"],
+    ["-x", "map-ont", "-c", "-g", "2000"],
+    ["-x", "map-ont", "-c", "--max-qlen", "5000"],
 ]
 
 
