@@ -214,34 +214,39 @@ def build_index(names: Sequence[Optional[str]], seqs: Sequence[str],
     except Exception:
         native_sketch = False
 
-    offset = 0
-    all_codes: list = []
-    for rid, (name, s) in enumerate(zip(names, seqs)):
-        mi.seq.append(RefSeq(name=None if (flag & MM_I_NO_NAME) else name,
-                             offset=offset, length=len(s)))
-        codes = encode_nt4(s) if len(s) else None
-        all_codes.append(codes)
-        if codes is not None and mi.S is not None:
-            _pack_seq4(codes, mi.S, offset)
-        offset += len(s)
-
-    def _sk(rid_codes):
-        rid, codes = rid_codes
+    def _sk(rid, codes):
         if native_sketch:  # keep x/y planar: no interleave/deinterleave
             return native_lib.sketch_xy(codes, w, k, rid,
                                         bool(flag & MM_I_HPC))
         mm = sketch_np(codes, w, k, rid, bool(flag & MM_I_HPC))
         return mm[:, 0], mm[:, 1]
 
-    work = [(rid, c) for rid, c in enumerate(all_codes) if c is not None]
-    if n_threads > 1 and native_sketch and len(work) > 1:
-        # kt_for equivalent (index.c:247): the native sketch releases the
-        # GIL, so contigs sketch in parallel on multi-core hosts
+    # kt_for equivalent (index.c:247): the native sketch releases the GIL,
+    # so contigs sketch on a pool on multi-core hosts; codes buffers are
+    # released as each contig completes (not retained for the whole build)
+    ex = None
+    if n_threads > 1 and native_sketch and len(seqs) > 1:
         from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(min(n_threads, len(work))) as ex:
-            results = list(ex.map(_sk, work))
-    else:
-        results = [_sk(wc) for wc in work]
+        ex = ThreadPoolExecutor(min(n_threads, len(seqs)))
+    offset = 0
+    futs = []
+    results = []
+    for rid, (name, s) in enumerate(zip(names, seqs)):
+        mi.seq.append(RefSeq(name=None if (flag & MM_I_NO_NAME) else name,
+                             offset=offset, length=len(s)))
+        if len(s) > 0:
+            codes = encode_nt4(s)
+            if mi.S is not None:
+                _pack_seq4(codes, mi.S, offset)
+            if ex is not None:
+                futs.append(ex.submit(_sk, rid, codes))
+            else:
+                results.append(_sk(rid, codes))
+            del codes
+        offset += len(s)
+    if ex is not None:
+        results = [f.result() for f in futs]
+        ex.shutdown()
     xs = [r[0] for r in results]
     ys = [r[1] for r in results]
 
