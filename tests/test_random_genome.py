@@ -235,6 +235,10 @@ OPTION_SWEEP = [
     ["-x", "map-ont", "-a", "-L"],
     ["-x", "map-ont", "-c", "-g", "2000"],
     ["-x", "map-ont", "-c", "--max-qlen", "5000"],
+    ["-x", "map-ont", "-k", "28", "-w", "20", "-c"],  # max k
+    ["-x", "map-ont", "-A", "2", "-B", "6", "-O", "8,40", "-E", "3,2",
+     "-a"],                                           # custom dual-gap scoring
+    ["-x", "map-ont", "-a", "-O", "20", "-E", "8"],   # single-value -O/-E
 ]
 
 
