@@ -239,6 +239,9 @@ OPTION_SWEEP = [
     ["-x", "map-ont", "-A", "2", "-B", "6", "-O", "8,40", "-E", "3,2",
      "-a"],                                           # custom dual-gap scoring
     ["-x", "map-ont", "-a", "-O", "20", "-E", "8"],   # single-value -O/-E
+    ["-x", "map-pb", "-a"],        # HPC index + mm_adjust_minier path
+    ["-x", "map-pb", "-a", "--eqx"],
+    ["-x", "asm5", "-a"],
 ]
 
 
