@@ -1,0 +1,121 @@
+"""Differential fuzzer: random genomes/reads x presets x flag subsets,
+byte-diffed against the reference binary (/tmp/golden/minimap2-golden).
+
+Usage: python scripts/fuzz_diff.py [n_iters] [base_seed]
+Prints one line per case; FAIL lines reproduce with the printed seed.
+"""
+import io
+import os
+import subprocess
+import sys
+import tempfile
+from contextlib import redirect_stdout
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from mm2tpu.cli import main as cli_main  # noqa: E402
+
+GOLDEN = "/tmp/golden/minimap2-golden"
+RC = str.maketrans("ACGT", "TGCA")
+
+PRESETS = ["map-ont", "map-pb", "asm5", "asm10", "asm20", "sr"]
+FLAG_POOL = [
+    [], ["-c"], ["-a"], ["-c", "--cs"], ["-a", "--eqx"], ["-a", "--MD"],
+    ["-c", "-N", "8"], ["-a", "-Y"], ["-c", "--secondary", "no"],
+    ["-c", "-p", "0.3"], ["-a", "-z", "150"], ["-c", "-r", "200"],
+    ["-c", "-T", "20"], ["-c", "-g", "1500"], ["-a", "--end-bonus", "5"],
+]
+
+
+def gen_case(rng, tmp):
+    bases = np.array(list("ACGT"))
+
+    def rs(n):
+        return "".join(bases[rng.integers(0, 4, n)])
+
+    nctg = int(rng.integers(1, 4))
+    rep = rs(int(rng.integers(500, 3000)))
+    ctgs = {}
+    for c in range(nctg):
+        g = rs(int(rng.integers(20000, 120000)))
+        if rng.random() < 0.5:  # insert repeats
+            p = int(rng.integers(0, len(g)))
+            g = g[:p] + rep + g[p:]
+        ctgs[f"c{c}"] = g
+    ref = os.path.join(tmp, "ref.fa")
+    with open(ref, "w") as f:
+        for n, s in ctgs.items():
+            f.write(f">{n}\n{s}\n")
+    reads = os.path.join(tmp, "reads.fa")
+    names = list(ctgs)
+    err = float(rng.uniform(0.0, 0.15))
+    with open(reads, "w") as f:
+        for i in range(int(rng.integers(5, 30))):
+            g = ctgs[names[int(rng.integers(0, nctg))]]
+            L = int(rng.integers(100, min(len(g), 9000)))
+            st = int(rng.integers(0, len(g) - L + 1))
+            s = list(g[st:st + L])
+            for _ in range(int(err * L)):
+                p = int(rng.integers(0, len(s)))
+                k = rng.integers(0, 3)
+                if k == 0:
+                    s[p] = "ACGT"[rng.integers(0, 4)]
+                elif k == 1:
+                    s[p] = ""
+                else:
+                    s[p] = s[p] + "ACGT"[rng.integers(0, 4)]
+            seq = "".join(s)
+            if rng.integers(0, 2):
+                seq = seq[::-1].translate(RC)
+            f.write(f">r{i}\n{seq}\n")
+    return ref, reads
+
+
+def run_mine(args):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        cli_main(args)
+    return "\n".join(l for l in buf.getvalue().splitlines()
+                     if not l.startswith("@PG"))
+
+
+def run_ref(args):
+    r = subprocess.run([GOLDEN, "-t", "1"] + args, capture_output=True,
+                       text=True, timeout=600)
+    return "\n".join(l for l in r.stdout.splitlines()
+                     if not l.startswith("@PG"))
+
+
+def main():
+    iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    base = int(sys.argv[2]) if len(sys.argv) > 2 else 0
+    fails = 0
+    for it in range(iters):
+        seed = base + it
+        rng = np.random.default_rng(seed)
+        with tempfile.TemporaryDirectory() as tmp:
+            ref, reads = gen_case(rng, tmp)
+            preset = PRESETS[int(rng.integers(0, len(PRESETS)))]
+            flags = list(FLAG_POOL[int(rng.integers(0, len(FLAG_POOL)))])
+            args = ["-x", preset] + flags + [ref, reads]
+            try:
+                mine = run_mine(list(args))
+            except SystemExit:
+                mine = "<exit>"
+            except Exception as e:  # noqa: BLE001
+                mine = f"<exception {type(e).__name__}: {e}>"
+            theirs = run_ref(args)
+            ok = mine == theirs
+            fails += not ok
+            print(f"{'ok  ' if ok else 'FAIL'} seed={seed} -x {preset} "
+                  f"{' '.join(flags)} ({len(mine)}B)")
+            if not ok:
+                open(f"/tmp/fuzz_fail_{seed}_mine.txt", "w").write(mine)
+                open(f"/tmp/fuzz_fail_{seed}_ref.txt", "w").write(theirs)
+    print(f"{iters - fails}/{iters} identical")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
