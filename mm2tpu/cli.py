@@ -459,6 +459,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             cmdline = "minimap2 " + " ".join(argv)
             hdr_mi = mi if last and not mo.split_prefix else None
             print(sam_header(hdr_mi, args.rg, MM_VERSION, cmdline), file=out)
+            from .io import format as _fmt
+            if _fmt._RG_FAILED:  # bad -R: header printed, then exit 1
+                return 1
             if not last and not mo.split_prefix:
                 print("[WARNING] For a multi-part index, no @SQ lines will "
                       "be outputted. Please use --split-prefix.",

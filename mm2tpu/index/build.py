@@ -98,7 +98,10 @@ class MMIndex:
             return z, z.astype(np.int32)
         if nk >= (1 << 16):
             shift, bnd = self._bucket_lut()
-            bkt = (miniers >> np.uint64(shift)).astype(np.int64)
+            # clamp: a query hashing above keys[-1]'s bucket must not
+            # index past the LUT (or past keys below)
+            bkt = np.minimum((miniers >> np.uint64(shift)).astype(np.int64),
+                             (1 << 14) - 1)
             lo = bnd[bkt]
             hi = bnd[bkt + 1]
             # short vectorized binary search within each bucket run
@@ -109,9 +112,11 @@ class MMIndex:
                 lo = np.where(go & less, mid, lo)
                 hi = np.where(go & ~less, mid, hi)
             # lo is the last index with key <= query within the bucket
-            # (or the run start); a direct probe resolves the hit
-            cand = np.minimum(np.where(self.keys[lo] < miniers, lo + 1, lo),
-                              nk - 1)
+            # (or the run start, or nk for an empty tail bucket); a
+            # clamped direct probe resolves the hit
+            lo_c = np.minimum(lo, nk - 1)
+            cand = np.minimum(
+                np.where(self.keys[lo_c] < miniers, lo + 1, lo), nk - 1)
             hit = self.keys[cand] == miniers
         else:
             idx = np.searchsorted(self.keys, miniers)

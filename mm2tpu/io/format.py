@@ -163,15 +163,39 @@ def _write_md(tseq, qseq, r: Region, write_tag: bool) -> str:
 COMP = str.maketrans("ACGTacgt", "TGCAtgca")
 
 
-_RG_ID = ""  # the reference's global mm_rg_id (format.c:9)
+_RG_ID = ""      # the reference's global mm_rg_id (format.c:9)
+_RG_FAILED = False  # sam_write_rg_line returned -1 -> main exits 1
+
+
+def _mm_escape(s: str) -> str:
+    """mm_escape (format.c:68-80): \\t -> tab, \\\\ -> backslash,
+    any other escape pair is dropped."""
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\":
+            i += 1
+            if i < len(s):
+                if s[i] == "t":
+                    out.append("\t")
+                elif s[i] == "\\":
+                    out.append("\\")
+                # other escape pairs are dropped
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
 
 
 def _set_rg_line(rg: str):
     """sam_write_rg_line (format.c:82-116): validate, unescape, extract the
-    ID field into the module rg-id; on error, print and omit the line."""
+    ID field into the module rg-id; on error, print, omit the line and
+    flag failure (the CLI exits 1 after printing the header, main.c:390)."""
     import sys as _sys
-    global _RG_ID
+    global _RG_ID, _RG_FAILED
     _RG_ID = ""
+    _RG_FAILED = True
     if not rg.startswith("@RG"):
         print("[ERROR] the read group line is not started with @RG",
               file=_sys.stderr)
@@ -181,7 +205,7 @@ def _set_rg_line(rg: str):
               "characters -- replace with escaped tabs: \\t",
               file=_sys.stderr)
         return None
-    line = rg.replace("\\t", "\t").replace("\\n", "\n")
+    line = _mm_escape(rg)
     i = line.find("\tID:")
     if i < 0:
         print("[ERROR] no ID within the read group line", file=_sys.stderr)
@@ -190,13 +214,19 @@ def _set_rg_line(rg: str):
     k = j
     while k < len(line) and line[k] not in "\t\n":
         k += 1
+    if k - j + 1 > 256:
+        print("[ERROR] @RG:ID is longer than 255 characters",
+              file=_sys.stderr)
+        return None
     _RG_ID = line[j:k]
+    _RG_FAILED = False
     return line
 
 
 def sam_header(mi, rg: Optional[str], ver: str, cmdline: Optional[str]) -> str:
-    global _RG_ID
+    global _RG_ID, _RG_FAILED
     _RG_ID = ""  # reset: in-process runs must not inherit a previous -R
+    _RG_FAILED = False
     lines = []
     if mi is not None:
         for s in mi.seq:

@@ -123,12 +123,12 @@ def sdust_core(codes: np.ndarray, T: int, W: int) -> List[Tuple[int, int]]:
     return res
 
 
-def dust_minimizers(mm: np.ndarray, seq, thres: int, offset: int
-                    ) -> np.ndarray:
+def dust_minimizers(mm: np.ndarray, seq, thres: int) -> np.ndarray:
     """Drop minimizers overlapping masked regions by more than half their
     span (mm_dust_minier, map.c:38-62). `mm` carries the cumulative
-    query-offset in y (added before this call, matching map.c:71-74 —
-    including its use of the offset positions for sid>0 segments)."""
+    query-offset in y — the reference compares those offset positions
+    against per-segment dust intervals for sid>0 too (map.c:71-74), a
+    quirk reproduced here deliberately: do NOT subtract the offset."""
     codes = encode_nt4(seq)
     try:
         from ..native import lib as native_lib

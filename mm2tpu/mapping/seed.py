@@ -41,7 +41,7 @@ def collect_minimizers(mi: MMIndex, opt: MapOptions, seqs: Sequence[str],
             mm[:, 1] += U64(total << 1)
         if opt.sdust_thres > 0 and len(mm):
             from .sdust import dust_minimizers
-            mm = dust_minimizers(mm, s, opt.sdust_thres, total)
+            mm = dust_minimizers(mm, s, opt.sdust_thres)
         chunks.append(mm)
         total += ql
     return np.concatenate(chunks, axis=0) if chunks else np.zeros((0, 2), U64)

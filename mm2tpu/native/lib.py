@@ -219,10 +219,14 @@ def read_mmi_buckets(data, b: int):
     sizes the outputs so the fill pass writes caller memory directly."""
     lib = _load()
     buf = np.frombuffer(data, np.uint8)
+    bp, bl = buf.ctypes.data, len(buf)
+    del buf  # release the buffer export: the caller may grow `data`
+    # after catching ValueError (a traceback-held view would make the
+    # bytearray resize raise BufferError)
     n_entries = ctypes.c_int64()
     npos = ctypes.c_int64()
     consumed = ctypes.c_int64()
-    if lib.mm2_scan_mmi_buckets(buf.ctypes.data, len(buf), b,
+    if lib.mm2_scan_mmi_buckets(bp, bl, b,
                                 ctypes.byref(n_entries), ctypes.byref(npos),
                                 ctypes.byref(consumed)) != 0:
         raise ValueError("corrupt .mmi bucket region")
@@ -231,7 +235,7 @@ def read_mmi_buckets(data, b: int):
     start = np.empty(nk, np.int64)
     cnt = np.empty(nk, np.int32)
     pos = np.empty(npos.value, np.uint64)
-    if lib.mm2_read_mmi_buckets(buf.ctypes.data, len(buf), b, nk,
+    if lib.mm2_read_mmi_buckets(bp, bl, b, nk,
                                 keys.ctypes.data, start.ctypes.data,
                                 cnt.ctypes.data, pos.ctypes.data) != 0:
         raise ValueError("corrupt .mmi bucket region")
@@ -296,6 +300,8 @@ def ksw_ll(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
            mat: np.ndarray, gapo: int, gape: int):
     """Native striped local SW; same contract (and identical tie behavior)
     as ops/ksw2_ref.ksw_ll. Returns (score, qe, te)."""
+    if qlen <= 0 or tlen <= 0:
+        return 0, -1, -1
     lib = _load()
     out = np.zeros(3, np.int64)
     qa, qp = _ptr(query, np.uint8)

@@ -569,7 +569,11 @@ def ksw_ll(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
            mat: np.ndarray, gapo: int, gape: int):
     """Port of ksw_ll_qinit(size=2) + ksw_ll_i16 (ksw2_ll_sse.c):
     striped local SW in int16 with unsigned-saturating gap subtraction.
-    Returns (score, qe, te) with the reference's exact tie behavior."""
+    Returns (score, qe, te) with the reference's exact tie behavior.
+    Degenerate empty inputs (possible from test_zdrop when the drop
+    interval spans only deletions) return (0, -1, -1)."""
+    if qlen <= 0 or tlen <= 0:
+        return 0, -1, -1
     mat = np.asarray(mat, dtype=np.int32).reshape(5, 5)
     p = 8
     slen = (qlen + p - 1) // p

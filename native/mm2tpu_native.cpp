@@ -1237,6 +1237,11 @@ int64_t mm2_sdust(const uint8_t *codes, int64_t n, int32_t T, int32_t W,
 void mm2_ksw_ll(int32_t qlen, const uint8_t *query, int32_t tlen,
                 const uint8_t *target, const int8_t *mat /*5x5*/,
                 int32_t gapo, int32_t gape, int64_t *out) {
+    if (qlen <= 0 || tlen <= 0) {
+        out[0] = 0;
+        out[1] = out[2] = -1;
+        return;
+    }
     const int p = 8;
     int32_t slen = (qlen + p - 1) / p;
     int64_t gapoe = gapo + gape;

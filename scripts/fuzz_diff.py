@@ -19,7 +19,8 @@ from mm2tpu.cli import main as cli_main  # noqa: E402
 GOLDEN = "/tmp/golden/minimap2-golden"
 RC = str.maketrans("ACGT", "TGCA")
 
-PRESETS = ["map-ont", "map-pb", "asm5", "asm10", "asm20", "sr"]
+PRESETS = ["map-ont", "map-pb", "asm5", "asm10", "asm20", "sr",
+           "splice"]
 FLAG_POOL = [
     [], ["-c"], ["-a"], ["-c", "--cs"], ["-a", "--eqx"], ["-a", "--MD"],
     ["-c", "-N", "8"], ["-a", "-Y"], ["-c", "--secondary", "no"],
@@ -98,6 +99,8 @@ def main():
             ref, reads = gen_case(rng, tmp)
             preset = PRESETS[int(rng.integers(0, len(PRESETS)))]
             flags = list(FLAG_POOL[int(rng.integers(0, len(FLAG_POOL)))])
+            if preset == "splice":
+                flags += ["-G", "2k"]  # cap unbanded exts2 fill sizes
             args = ["-x", preset] + flags + [ref, reads]
             try:
                 mine = run_mine(list(args))
