@@ -95,3 +95,21 @@ def test_multipart_mmi_roundtrip(tmp_path):
     parts = list(read_mmi_parts(str(out)))
     assert [m.seq[0].name for m in parts] == ["a", "b"]
     assert all(len(m.keys) > 0 for m in parts)
+
+
+def test_get_many_query_above_last_bucket():
+    """Regression: the two-level lookup must not index past keys/LUT for
+    queries hashing above the last indexed key (found by fuzzing)."""
+    import numpy as np
+    from mm2tpu.index.build import MMIndex
+    keys = np.sort(np.unique(np.random.default_rng(0).integers(
+        0, 2**29, 80000, dtype=np.uint64)))
+    mi = MMIndex(w=10, k=15, b=14, flag=0)
+    mi.keys = keys
+    mi.start = np.arange(len(keys), dtype=np.int64)
+    mi.cnt = np.ones(len(keys), np.int32)
+    q = np.array([2**30 - 1, int(keys[-1]), int(keys[0]),
+                  2**29 + 12345], np.uint64)
+    start, cnt = mi.get_many(q)
+    assert list(cnt) == [0, 1, 1, 0]
+    assert start[1] == len(keys) - 1 and start[2] == 0
