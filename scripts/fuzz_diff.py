@@ -67,9 +67,14 @@ def gen_case(rng, tmp):
                 else:
                     s[p] = s[p] + "ACGT"[rng.integers(0, 4)]
             seq = "".join(s)
+            if rng.random() < 0.15:  # inject an N run
+                p = int(rng.integers(0, max(1, len(seq) - 10)))
+                seq = seq[:p] + "N" * int(rng.integers(1, 30)) + seq[p:]
             if rng.integers(0, 2):
                 seq = seq[::-1].translate(RC)
             f.write(f">r{i}\n{seq}\n")
+        if rng.random() < 0.3:  # a few degenerate reads
+            f.write(">tiny\nACGTAC\n>nn\n" + "N" * 40 + "\n")
     return ref, reads
 
 
