@@ -93,6 +93,39 @@ def run_ref(args):
                      if not l.startswith("@PG"))
 
 
+def gen_pair(rng, tmp, ref):
+    """Paired-end mate files drawn from the reference."""
+    ctgs = {}
+    name = None
+    for line in open(ref):
+        if line.startswith(">"):
+            name = line[1:].strip()
+            ctgs[name] = []
+        else:
+            ctgs[name].append(line.strip())
+    ctgs = {k: "".join(v) for k, v in ctgs.items()}
+    names = list(ctgs)
+    r1 = os.path.join(tmp, "r1.fq")
+    r2 = os.path.join(tmp, "r2.fq")
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        for i in range(int(rng.integers(10, 60))):
+            g = ctgs[names[int(rng.integers(0, len(names)))]]
+            isz = int(rng.integers(220, 600))
+            if len(g) < isz + 10:
+                continue
+            st = int(rng.integers(0, len(g) - isz))
+            a = list(g[st:st + 100])
+            b = list(g[st + isz - 100:st + isz])
+            for r in (a, b):
+                for _ in range(int(rng.integers(0, 4))):
+                    p = int(rng.integers(0, len(r)))
+                    r[p] = "ACGT"[rng.integers(0, 4)]
+            bseq = "".join(b)[::-1].translate(RC)
+            f1.write(f"@p{i}/1\n{''.join(a)}\n+\n{'I' * len(a)}\n")
+            f2.write(f"@p{i}/2\n{bseq}\n+\n{'I' * len(bseq)}\n")
+    return r1, r2
+
+
 def main():
     iters = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 0
@@ -102,11 +135,26 @@ def main():
         rng = np.random.default_rng(seed)
         with tempfile.TemporaryDirectory() as tmp:
             ref, reads = gen_case(rng, tmp)
-            preset = PRESETS[int(rng.integers(0, len(PRESETS)))]
-            flags = list(FLAG_POOL[int(rng.integers(0, len(FLAG_POOL)))])
-            if preset == "splice":
-                flags += ["-G", "2k"]  # cap unbanded exts2 fill sizes
-            args = ["-x", preset] + flags + [ref, reads]
+            mode = rng.random()
+            if mode < 0.15:  # paired-end sr
+                r1, r2 = gen_pair(rng, tmp, ref)
+                flags = [[], ["-a"], ["-a", "--MD"]][int(rng.integers(0, 3))]
+                args = ["-x", "sr"] + flags + [ref, r1, r2]
+            elif mode < 0.30:  # multi-part index (+ sometimes split-prefix)
+                preset = ["map-ont", "map-pb"][int(rng.integers(0, 2))]
+                flags = ["-c", "-I", f"{int(rng.integers(30, 120))}k"]
+                if rng.random() < 0.5:
+                    flags += ["--split-prefix", os.path.join(tmp, "sp")]
+                args = ["-x", preset] + flags + [ref, reads]
+            elif mode < 0.40:  # HPC sketching
+                flags = [["-c"], ["-a"]][int(rng.integers(0, 2))]
+                args = ["-x", "map-ont", "-H"] + flags + [ref, reads]
+            else:
+                preset = PRESETS[int(rng.integers(0, len(PRESETS)))]
+                flags = list(FLAG_POOL[int(rng.integers(0, len(FLAG_POOL)))])
+                if preset == "splice":
+                    flags += ["-G", "2k"]  # cap unbanded exts2 fill sizes
+                args = ["-x", preset] + flags + [ref, reads]
             try:
                 mine = run_mine(list(args))
             except SystemExit:
