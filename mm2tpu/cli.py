@@ -712,7 +712,10 @@ def _split_merge(query_paths, mo: MapOptions, n_parts: int, rg, out) -> None:
                 hit_mod.set_mapq(regs, mo.min_chain_score, mo.a, rep_len,
                                  bool(mo.flag & MM_F_SR))
                 res.regs.append(regs)
-                res.rep_lens.append(rep_len)
+                # the max-over-parts rep_len feeds mapQ only; the merge
+                # pipeline's s->rep_len stays zero-initialized, so merged
+                # records always print rl:i:0 (map.c:479-505,592-603)
+                res.rep_lens.append(0)
             cursor += len(frag)
             if len(frag) == 2 and mo.pe_ori >= 0 and (mo.flag & MM_F_CIGAR):
                 from .mapping.pe import pair

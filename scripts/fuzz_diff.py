@@ -164,8 +164,10 @@ def main():
             theirs = run_ref(args)
             ok = mine == theirs
             fails += not ok
-            print(f"{'ok  ' if ok else 'FAIL'} seed={seed} -x {preset} "
-                  f"{' '.join(flags)} ({len(mine)}B)")
+            shown = " ".join(a for a in args[:-2]
+                             if not a.startswith(tmp))
+            print(f"{'ok  ' if ok else 'FAIL'} seed={seed} {shown} "
+                  f"({len(mine)}B)")
             if not ok:
                 open(f"/tmp/fuzz_fail_{seed}_mine.txt", "w").write(mine)
                 open(f"/tmp/fuzz_fail_{seed}_ref.txt", "w").write(theirs)
