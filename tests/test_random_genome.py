@@ -335,10 +335,22 @@ def test_random_genome_multipart_split(dataset, tmp_path):
     genome (rid renumbering, re-select/re-mapq across parts) vs the
     reference binary."""
     ref, reads, _ = dataset
-    # -I 200k splits the ~430k-base genome into 3 parts
+    # append a read over ctg1's repeat insert so rep_len > 0 exercises the
+    # merge's rl:i semantics (the reference emits rl:i:0 in merged output)
+    ctg1 = []
+    grab = False
+    for line in open(ref):
+        if line.startswith(">"):
+            grab = line[1:].strip() == "ctg1"
+        elif grab:
+            ctg1.append(line.strip())
+    ctg1 = "".join(ctg1)
+    reads2 = tmp_path / "reads_rep.fa"
+    reads2.write_text(open(reads).read()
+                      + f">rep_read\n{ctg1[58000:66000]}\n")
     for extra in ([], ["--split-prefix", str(tmp_path / "sp")]):
         args = (["-x", "map-ont", "-c", "-I", "200k"] + extra
-                + [str(ref), str(reads)])
+                + [str(ref), str(reads2)])
         assert my_out(args) == ref_out(args), extra
 
 
