@@ -502,7 +502,10 @@ def split_reg(r: Region, n: int, qlen: int, a: np.ndarray) -> Optional[Region]:
     r2.p = None
     r2.split_inv = False
     r2.cnt = r.cnt - n
-    r2.score = int(r.score * (f32(r2.cnt) / f32(r.cnt)) + 0.499)
+    # the C multiply is float32 x float32 (score converted first); numpy's
+    # int-scalar path rounds differently on ~1-ulp cases (hit.c:115)
+    r2.score = int(float(f32(f32(r.score) * (f32(r2.cnt) / f32(r.cnt))))
+                   + 0.499)
     r2.as_ = r.as_ + n
     if r.parent == r.id:
         r2.parent = MM_PARENT_TMP_PRI

@@ -39,7 +39,7 @@ def gen_case(rng, tmp):
     rep = rs(int(rng.integers(500, 3000)))
     ctgs = {}
     for c in range(nctg):
-        g = rs(int(rng.integers(20000, 120000)))
+        g = rs(int(rng.integers(5000, 120000)))
         if rng.random() < 0.5:  # insert repeats
             p = int(rng.integers(0, len(g)))
             g = g[:p] + rep + g[p:]
@@ -50,7 +50,7 @@ def gen_case(rng, tmp):
             f.write(f">{n}\n{s}\n")
     reads = os.path.join(tmp, "reads.fa")
     names = list(ctgs)
-    err = float(rng.uniform(0.0, 0.15))
+    err = float(rng.uniform(0.0, 0.25))
     with open(reads, "w") as f:
         for i in range(int(rng.integers(5, 30))):
             g = ctgs[names[int(rng.integers(0, nctg))]]
