@@ -144,6 +144,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, metavar="N",
                    help="shard batched chaining over an N-device data-"
                         "parallel mesh (implies --map-mode batch)")
+    p.add_argument("--profile", action="store_true",
+                   help="print a per-stage timing table on exit (the "
+                        "MEASURE_* macros' equivalent, chain_hardware.h:39-45)")
+    p.add_argument("--profile-trace", metavar="DIR",
+                   help="additionally capture a jax.profiler trace of the "
+                        "mapping loop into DIR (implies --profile)")
     return p
 
 
@@ -411,6 +417,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from .utils import timing
     timing.verbose = args.v
+    from .utils import profiling
+    if args.profile or args.profile_trace:
+        profiling.enable(args.profile_trace)
 
     io, mo = set_opt(None)
     if args.preset:
@@ -423,7 +432,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     out = open(args.output, "w") if args.output and args.output != "-" else sys.stdout
 
     parts = index_parts(args.target, io, n_threads=args.t)
-    mi = next(parts, None)
+    with profiling.stage("index"):
+        mi = next(parts, None)
     if mi is None:
         print("[ERROR] empty target", file=sys.stderr)
         return 1
@@ -443,7 +453,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                        % (st["distinct_minimizers"], st["singleton_pct"],
                           st["avg_occurrences"], st["avg_spacing"],
                           st["total_length"]))
-        nxt = next(parts, None)
+        with profiling.stage("index"):
+            nxt = next(parts, None)
         first, last = n_parts == 0, nxt is None
         if args.dump_index:
             if args.dump_index.endswith(".npz"):
@@ -494,6 +505,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         _split_merge(args.query, mo, n_parts, args.rg, out)
     if out is not sys.stdout:
         out.close()
+    if profiling.enabled:
+        profiling.report()
     timing.log_trailer(MM_VERSION, "mm2tpu " + " ".join(argv))
     return 0
 
@@ -597,6 +610,8 @@ def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
     import threading
     from concurrent.futures import ThreadPoolExecutor
 
+    from .utils import profiling
+
     dump = None
     if mo.split_prefix:
         dump = dict(k=mi.k, seq=[(s.name, s.length) for s in mi.seq],
@@ -616,19 +631,22 @@ def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
                 dump["reads"].append(
                     (res.regs[j], res.rep_len, res.frag_gap))
         else:
-            emit(mi, mo, frag, res, out)
+            with profiling.stage("emit"):
+                emit(mi, mo, frag, res, out)
 
     if map_mode == "batch":
         mesh = None
         if mesh_n:
             from .parallel.mesh import make_mesh
             mesh = make_mesh(mesh_n)
-        for batch in reader.batches():
-            _map_batch(mi, mo, batch, consume, mesh=mesh)
+        with profiling.trace_if_enabled():
+            for batch in reader.batches():
+                _map_batch(mi, mo, batch, consume, mesh=mesh)
     elif n_threads <= 1:
-        for batch in reader.batches():
-            for frag in batch:
-                consume(frag, _map_one_frag(mi, mo, frag))
+        with profiling.trace_if_enabled():
+            for batch in reader.batches():
+                for frag in batch:
+                    consume(frag, _map_one_frag(mi, mo, frag))
     else:
         batches: queue_mod.Queue = queue_mod.Queue(maxsize=2)
 
@@ -641,7 +659,7 @@ def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
                 batches.put(e)
 
         threading.Thread(target=produce, daemon=True).start()
-        with ThreadPoolExecutor(n_threads) as ex:
+        with profiling.trace_if_enabled(), ThreadPoolExecutor(n_threads) as ex:
             while True:
                 batch = batches.get()
                 if batch is None:

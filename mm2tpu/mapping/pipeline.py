@@ -11,6 +11,7 @@ from ..options import (MapOptions, MM_F_SPLICE, MM_F_SR, MM_F_CIGAR,
                        MM_F_ALL_CHAINS, MM_F_HARD_MLEVEL,
                        MM_SEED_SEG_MASK, MM_MAX_SEG)
 from ..utils.hashing import reg_hash
+from ..utils import profiling
 from . import hit as hit_mod
 from .chain import chain_dp, chain_gaps
 from .esterr import est_err
@@ -55,8 +56,9 @@ def _prepare(mi: MMIndex, seqs: Sequence[str], opt: MapOptions,
             (opt.max_qlen > 0 and qlen_sum > opt.max_qlen):
         return FragResult(regs=[[] for _ in range(max(n_segs, 0))])
     hash_ = reg_hash(qname, qlen_sum, opt.seed)
-    mv = collect_minimizers(mi, opt, seqs, qlens)
-    sr = collect_seed_hits(mi, opt, opt.mid_occ, mv, qname, qlen_sum)
+    with profiling.stage("seed"):
+        mv = collect_minimizers(mi, opt, seqs, qlens)
+        sr = collect_seed_hits(mi, opt, opt.mid_occ, mv, qname, qlen_sum)
     gap_qry, gap_ref = chain_gaps(opt, qlen_sum)
     return _FragCtx(seqs=seqs, qlens=qlens, qlen_sum=qlen_sum, qname=qname,
                     hash_=hash_, is_splice=bool(opt.flag & MM_F_SPLICE),
@@ -65,6 +67,11 @@ def _prepare(mi: MMIndex, seqs: Sequence[str], opt: MapOptions,
 
 
 def _chain_ctx(ctx: _FragCtx, opt: MapOptions, anchors: np.ndarray):
+    with profiling.stage("chain"):
+        return _chain_ctx_inner(ctx, opt, anchors)
+
+
+def _chain_ctx_inner(ctx: _FragCtx, opt: MapOptions, anchors: np.ndarray):
     return chain_dp(ctx.gap_ref, ctx.gap_qry, opt.bw, opt.max_chain_skip,
                     opt.max_chain_iter, opt.min_cnt, opt.min_chain_score,
                     opt.chain_gap_scale, ctx.is_splice, ctx.n_segs,
@@ -141,10 +148,11 @@ def _post_chain(mi: MMIndex, ctx: _FragCtx, opt: MapOptions,
             for i in range(r.as_, r.as_ + r.cnt):
                 _dump_anchor(("CN", j), mi, a, i, i == r.as_)
 
-    regs0 = hit_mod.chain_post(regs0, opt, max_chain_gap_ref, mi, qlen_sum,
-                               n_segs, qlens, a)
-    if not is_sr:
-        est_err(mi, qlen_sum, regs0, a, sr.mini_pos)
+    with profiling.stage("post"):
+        regs0 = hit_mod.chain_post(regs0, opt, max_chain_gap_ref, mi,
+                                   qlen_sum, n_segs, qlens, a)
+        if not is_sr:
+            est_err(mi, qlen_sum, regs0, a, sr.mini_pos)
 
     if n_segs == 1:
         regs0 = _align_regs(mi, opt, qlens[0], seqs[0], regs0, a)
@@ -252,25 +260,27 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
                 tasks = [ctxs[i].sr.anchors for i in chunk] + \
                     [empty] * (B - len(chunk))
                 pb = pack_tasks(tasks, list(range(B)), N)
-                if mesh is not None:
-                    step = _sharded_step(mesh, key, interpret)
-                    f, p = step(pb.hi, pb.lo, pb.qi, pb.span, pb.sid,
-                                pb.n, pb.avg)
-                else:
-                    f, p = chain_scores_device_v2(
-                        pb.hi, pb.lo, pb.qi, pb.span, pb.sid, pb.n, pb.avg,
-                        max_dist_x=mdx, max_dist_y=mdy, bw=bw,
-                        iter_cap=iter_cap, gap_scale=gs, is_cdna=is_cdna,
-                        n_segs=n_segs, interpret=interpret)
-                f = np.asarray(f).astype(np.int32)
-                p = np.asarray(p).astype(np.int64)
-                v = v_carry_host(f, p)
-                for row, i in enumerate(chunk):
-                    anchors = ctxs[i].sr.anchors
-                    n = len(anchors)
-                    outs[i] = chain_ref.chain_backtrack(
-                        n, f[row, :n], p[row, :n], v[row, :n], anchors,
-                        opt.min_cnt, opt.min_chain_score)
+                with profiling.stage("chain.device"):
+                    if mesh is not None:
+                        step = _sharded_step(mesh, key, interpret)
+                        f, p = step(pb.hi, pb.lo, pb.qi, pb.span, pb.sid,
+                                    pb.n, pb.avg)
+                    else:
+                        f, p = chain_scores_device_v2(
+                            pb.hi, pb.lo, pb.qi, pb.span, pb.sid, pb.n,
+                            pb.avg, max_dist_x=mdx, max_dist_y=mdy, bw=bw,
+                            iter_cap=iter_cap, gap_scale=gs, is_cdna=is_cdna,
+                            n_segs=n_segs, interpret=interpret)
+                    f = np.asarray(f).astype(np.int32)
+                    p = np.asarray(p).astype(np.int64)
+                with profiling.stage("chain.backtrack"):
+                    v = v_carry_host(f, p)
+                    for row, i in enumerate(chunk):
+                        anchors = ctxs[i].sr.anchors
+                        n = len(anchors)
+                        outs[i] = chain_ref.chain_backtrack(
+                            n, f[row, :n], p[row, :n], v[row, :n], anchors,
+                            opt.min_cnt, opt.min_chain_score)
         return outs
 
     outs = run_round(pending)
@@ -296,7 +306,8 @@ def _align_regs(mi: MMIndex, opt: MapOptions, qlen: int, seq: str,
     if not (opt.flag & MM_F_CIGAR):
         return regs
     from .align import align_skeleton
-    regs = align_skeleton(mi, opt, qlen, seq, regs, a)
+    with profiling.stage("align"):
+        regs = align_skeleton(mi, opt, qlen, seq, regs, a)
     if not (opt.flag & MM_F_ALL_CHAINS):
         hit_mod.set_parent(regs, opt.mask_level, opt.mask_len,
                            opt.a * 2 + opt.b,
