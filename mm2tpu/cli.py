@@ -374,6 +374,14 @@ def index_parts(target: str, io: IdxOptions, n_threads: int = 1):
         from .index.mmi import read_mmi_parts
         yield from read_mmi_parts(target)
         return
+    if magic == b"MMX1" or (magic == b"PK\x03\x04" and
+                            target.endswith(".npz")):
+        # native device-ready index (the .mmi analogue for the TPU build,
+        # SURVEY §5 checkpoint/resume: 'serialized device-ready index
+        # arrays'); single-part by construction
+        from .index.build import load_index
+        yield load_index(target)
+        return
     it = iter(read_fastx(target))
     pending = None
     # the reference clamps the mini-batch to the part size (index.c:359),
@@ -417,6 +425,8 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from .utils import timing
     timing.verbose = args.v
+    from .utils import jaxcache
+    jaxcache.enable()
     from .utils import profiling
     if args.profile or args.profile_trace:
         profiling.enable(args.profile_trace)
@@ -457,7 +467,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             nxt = next(parts, None)
         first, last = n_parts == 0, nxt is None
         if args.dump_index:
-            if args.dump_index.endswith(".npz"):
+            if args.dump_index.endswith((".npz", ".mmx")):
                 save_index(mi, args.dump_index)
             else:
                 write_mmi(mi, args.dump_index, append=not first)

@@ -287,22 +287,87 @@ def finalize_index(mi: MMIndex, x: np.ndarray, y: np.ndarray,
 
 
 # ---- serialization (device-ready; .mmi interop lives in mmi.py) ----
+#
+# Format MMX1: a tiny JSON header + 64-byte-aligned raw array blocks,
+# loaded zero-copy with mmap (pages fault in lazily during mapping).
+# This is SURVEY §5's 'serialized device-ready index arrays' — the .mmi
+# checkpoint role (index.c:440-534) without the parse/copy cost: loading
+# a ~50 Mb-genome index is ~ms instead of the seconds np.savez needs.
+
+_MMX_MAGIC = b"MMX1"
+
 
 def save_index(mi: MMIndex, path: str) -> None:
-    np.savez_compressed(
-        path,
-        header=np.array([mi.w, mi.k, mi.b, mi.flag, mi.n_seq, mi.index], np.int64),
-        names=np.array([s.name or "" for s in mi.seq]),
+    import json
+    arrays = dict(
         lens=np.array([s.length for s in mi.seq], np.int64),
         offsets=np.array([s.offset for s in mi.seq], np.int64),
         is_alt=np.array([s.is_alt for s in mi.seq], bool),
         keys=mi.keys, start=mi.start, cnt=mi.cnt, pos=mi.pos,
         S=mi.S if mi.S is not None else np.zeros(0, np.uint32),
-        has_S=np.array([mi.S is not None]),
     )
+    meta = dict(w=mi.w, k=mi.k, b=mi.b, flag=mi.flag, index=mi.index,
+                has_S=mi.S is not None,
+                names=[s.name or "" for s in mi.seq], arrays={})
+    order = list(arrays)
+    off = 0  # array offsets are RELATIVE to the 64-aligned data base
+    for nm in order:
+        a = np.ascontiguousarray(arrays[nm])
+        arrays[nm] = a
+        off = (off + 63) & ~63
+        meta["arrays"][nm] = dict(dtype=a.dtype.str, shape=list(a.shape),
+                                  offset=off)
+        off += a.nbytes
+    hdr = json.dumps(meta).encode()
+    base = (len(_MMX_MAGIC) + 8 + len(hdr) + 63) & ~63
+    with open(path, "wb") as f:
+        f.write(_MMX_MAGIC)
+        f.write(np.int64(len(hdr)).tobytes())
+        f.write(hdr)
+        f.write(b"\0" * (base - len(_MMX_MAGIC) - 8 - len(hdr)))
+        for nm in order:
+            pos = f.tell() - base
+            f.write(b"\0" * (meta["arrays"][nm]["offset"] - pos))
+            f.write(arrays[nm].tobytes())
 
 
 def load_index(path: str) -> MMIndex:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic.startswith(b"PK"):
+        return _load_index_npz(path)
+    if magic != _MMX_MAGIC:
+        raise ValueError("%s: not an mm2tpu index" % path)
+    import json
+    import mmap as mmap_mod
+    f = open(path, "rb")
+    mm = mmap_mod.mmap(f.fileno(), 0, access=mmap_mod.ACCESS_READ)
+    hlen = int(np.frombuffer(mm, np.int64, 1, 4)[0])
+    meta = json.loads(mm[12:12 + hlen].decode())
+    base = (12 + hlen + 63) & ~63
+    arrs = {}
+    for nm, d in meta["arrays"].items():
+        dt = np.dtype(d["dtype"])
+        n = int(np.prod(d["shape"])) if d["shape"] else 1
+        arrs[nm] = np.frombuffer(mm, dt, n,
+                                 base + d["offset"]).reshape(d["shape"])
+    mi = MMIndex(w=meta["w"], k=meta["k"], b=meta["b"], flag=meta["flag"],
+                 index=meta["index"])
+    for i, nm in enumerate(meta["names"]):
+        mi.seq.append(RefSeq(name=nm or None,
+                             offset=int(arrs["offsets"][i]),
+                             length=int(arrs["lens"][i]),
+                             is_alt=bool(arrs["is_alt"][i])))
+    mi.keys, mi.start = arrs["keys"], arrs["start"]
+    mi.cnt, mi.pos = arrs["cnt"], arrs["pos"]
+    mi.S = arrs["S"] if meta["has_S"] else None
+    mi.n_alt = int(np.sum(arrs["is_alt"]))
+    mi._mmap = mm  # keep the mapping alive for the arrays' lifetime
+    return mi
+
+
+def _load_index_npz(path: str) -> MMIndex:
+    """Round-1 .npz format (np.savez_compressed), kept loadable."""
     z = np.load(path, allow_pickle=False)
     w, k, b, flag, n_seq, part = [int(v) for v in z["header"]]
     mi = MMIndex(w=w, k=k, b=b, flag=flag, index=part)

@@ -113,3 +113,45 @@ def test_get_many_query_above_last_bucket():
     start, cnt = mi.get_many(q)
     assert list(cnt) == [0, 1, 1, 0]
     assert start[1] == len(keys) - 1 and start[2] == 0
+
+
+def test_mmx_cli_roundtrip(golden_dir, ref_test_dir, tmp_path):
+    """-d foo.mmx writes the mmap-native MMX1 format; mapping from it is
+    byte-identical to mapping from the FASTA (device-ready index
+    checkpoint, SURVEY §5)."""
+    import io as _io
+    from contextlib import redirect_stdout
+    from mm2tpu.cli import main as cli_main
+    idx = tmp_path / "idx.mmx"
+    rc = cli_main(["-x", "map-ont", "-d", str(idx),
+                   str(ref_test_dir / "MT-orang.fa")])
+    assert rc == 0
+    assert open(idx, "rb").read(4) == b"MMX1"
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(["-x", "map-ont", "-c", str(idx),
+                       str(ref_test_dir / "MT-human.fa")])
+    assert rc == 0
+    assert buf.getvalue() == (golden_dir / "mapont_MT_c.paf").read_text()
+
+
+def test_legacy_npz_still_loads(golden_dir, tmp_path):
+    """Round-1 .npz indices (np.savez_compressed) remain loadable."""
+    import numpy as np
+    from mm2tpu.index.mmi import read_mmi
+    mi = read_mmi(str(golden_dir / "mapont_MTorang.mmi"))
+    p = str(tmp_path / "legacy.npz")
+    np.savez_compressed(
+        p,
+        header=np.array([mi.w, mi.k, mi.b, mi.flag, mi.n_seq, mi.index],
+                        np.int64),
+        names=np.array([s.name or "" for s in mi.seq]),
+        lens=np.array([s.length for s in mi.seq], np.int64),
+        offsets=np.array([s.offset for s in mi.seq], np.int64),
+        is_alt=np.array([s.is_alt for s in mi.seq], bool),
+        keys=mi.keys, start=mi.start, cnt=mi.cnt, pos=mi.pos,
+        S=mi.S if mi.S is not None else np.zeros(0, np.uint32),
+        has_S=np.array([mi.S is not None]))
+    rt = load_index(p)
+    np.testing.assert_array_equal(mi.keys, rt.keys)
+    np.testing.assert_array_equal(mi.pos, rt.pos)
