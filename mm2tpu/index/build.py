@@ -90,12 +90,37 @@ class MMIndex:
             self._lut = (shift, bnd)
         return self._lut
 
+    _nlut: Optional[Tuple[int, int, np.ndarray]] = None
+
+    def _native_lut(self) -> Tuple[int, int, np.ndarray]:
+        """Finer (up to 22-bit) LUT for the native probe: average bucket
+        run ~1-2 keys, so the per-query binary search is ~1 probe. Built
+        O(n) with bincount (not n·log n searchsorted)."""
+        if self._nlut is None:
+            bits = min(22, max(1, int(len(self.keys)).bit_length()))
+            shift = max(0, int(self.keys[-1]).bit_length() - bits)
+            bkt = (self.keys >> np.uint64(shift)).astype(np.int64)
+            counts = np.bincount(bkt, minlength=1 << bits)
+            lut = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+            self._nlut = (bits, shift, lut)
+        return self._nlut
+
     def get_many(self, miniers: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         """Vectorized lookup: returns (start, cnt) per query; cnt==0 if absent."""
         nk = len(self.keys)
         if nk == 0 or len(miniers) == 0:
             z = np.zeros(len(miniers), np.int64)
             return z, z.astype(np.int32)
+        if nk >= 512:
+            try:
+                from ..native import lib as native_lib
+                if native_lib.has_lookup():
+                    bits, shift, lut = self._native_lut()
+                    return native_lib.lookup_many(
+                        miniers, self.keys, self.start, self.cnt,
+                        bits, shift, lut)
+            except Exception:
+                pass
         if nk >= (1 << 16):
             shift, bnd = self._bucket_lut()
             # clamp: a query hashing above keys[-1]'s bucket must not
@@ -309,6 +334,12 @@ def save_index(mi: MMIndex, path: str) -> None:
     meta = dict(w=mi.w, k=mi.k, b=mi.b, flag=mi.flag, index=mi.index,
                 has_S=mi.S is not None,
                 names=[s.name or "" for s in mi.seq], arrays={})
+    if len(mi.keys):
+        # persist the probe LUT: derived data, but ~1 s to rebuild at
+        # load time on a big index vs free via mmap
+        bits, shift, lut = mi._native_lut()
+        arrays["lut"] = lut
+        meta["lut_bits"], meta["lut_shift"] = bits, shift
     order = list(arrays)
     off = 0  # array offsets are RELATIVE to the 64-aligned data base
     for nm in order:
@@ -361,6 +392,8 @@ def load_index(path: str) -> MMIndex:
     mi.keys, mi.start = arrs["keys"], arrs["start"]
     mi.cnt, mi.pos = arrs["cnt"], arrs["pos"]
     mi.S = arrs["S"] if meta["has_S"] else None
+    if "lut" in arrs:
+        mi._nlut = (meta["lut_bits"], meta["lut_shift"], arrs["lut"])
     mi.n_alt = int(np.sum(arrs["is_alt"]))
     mi._mmap = mm  # keep the mapping alive for the arrays' lifetime
     return mi

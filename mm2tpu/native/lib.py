@@ -89,6 +89,10 @@ def _load() -> Optional[ctypes.CDLL]:
     if hasattr(lib, "mm2_sdust"):
         lib.mm2_sdust.argtypes = [_VP, _I64, _I32, _I32, _VP, _I64]
         lib.mm2_sdust.restype = _I64
+    if hasattr(lib, "mm2_lookup_many"):
+        lib.mm2_lookup_many.argtypes = [
+            _I64, _VP, _I64, _VP, _VP, _VP, _I32, _I32, _VP, _VP, _VP]
+        lib.mm2_lookup_many.restype = None
     if hasattr(lib, "mm2_ksw_ll"):
         lib.mm2_ksw_ll.argtypes = [_I32, _VP, _I32, _VP, _VP, _I32, _I32,
                                    _VP]
@@ -289,6 +293,31 @@ def sdust(codes: np.ndarray, T: int, W: int):
     out = np.empty(2 * cap, np.int64)
     n = lib.mm2_sdust(cp, len(ca), T, W, out.ctypes.data, cap)
     return list(zip(out[0:2 * n:2].tolist(), out[1:2 * n:2].tolist()))
+
+
+def has_lookup() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_lookup_many")
+
+
+def lookup_many(q: np.ndarray, keys: np.ndarray, start: np.ndarray,
+                cnt: np.ndarray, lut_bits: int, shift: int,
+                lut: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched CSR index probe (mm_idx_get, index.c:81-98): LUT + short
+    binary search with interleaved prefetch; same contract as
+    MMIndex.get_many."""
+    lib = _load()
+    nq = len(q)
+    out_start = np.empty(nq, np.int64)
+    out_cnt = np.empty(nq, np.int32)
+    qa, qp = _ptr(q, np.uint64)
+    ka, kp = _ptr(keys, np.uint64)
+    sa, sp = _ptr(start, np.int64)
+    ca, cp = _ptr(cnt, np.int32)
+    la, lp = _ptr(lut, np.int64)
+    lib.mm2_lookup_many(nq, qp, len(ka), kp, sp, cp, lut_bits, shift, lp,
+                        out_start.ctypes.data, out_cnt.ctypes.data)
+    return out_start, out_cnt
 
 
 def has_ksw_ll() -> bool:

@@ -1670,4 +1670,58 @@ void mm2_zdrop_scan(const uint32_t *cigar, int64_t n_cigar,
     out[4] = zj1;
 }
 
+int mm2_has_lookup() { return 1; }
+
+// Batched CSR index probe (mm_idx_get over many minimizers,
+// index.c:81-98). The khash probe becomes: high-bits LUT -> short binary
+// search over the sorted key array. Queries are processed in interleaved
+// flights of 16 with software prefetch so the (latency-bound) random key
+// reads overlap instead of serializing.
+void mm2_lookup_many(int64_t nq, const uint64_t *q, int64_t nk,
+                     const uint64_t *keys, const int64_t *start,
+                     const int32_t *cnt, int32_t lut_bits, int32_t shift,
+                     const int64_t *lut, int64_t *out_start,
+                     int32_t *out_cnt) {
+    const int64_t nbkt = (int64_t)1 << lut_bits;
+    const int F = 16;
+    int64_t lo[F], hi[F];
+    for (int64_t base = 0; base < nq; base += F) {
+        const int m = (int)((nq - base < F) ? (nq - base) : F);
+        for (int t = 0; t < m; ++t) {
+            int64_t b = (int64_t)(q[base + t] >> shift);
+            if (b >= nbkt) b = nbkt - 1;
+            lo[t] = lut[b];
+            hi[t] = lut[b + 1];
+            if (hi[t] - lo[t] > 1)
+                __builtin_prefetch(&keys[(lo[t] + hi[t]) >> 1], 0, 1);
+        }
+        bool again = true;
+        while (again) {
+            again = false;
+            for (int t = 0; t < m; ++t) {
+                if (hi[t] - lo[t] <= 1) continue;
+                int64_t mid = (lo[t] + hi[t]) >> 1;
+                if (keys[mid] <= q[base + t]) lo[t] = mid;
+                else hi[t] = mid;
+                if (hi[t] - lo[t] > 1) {
+                    __builtin_prefetch(&keys[(lo[t] + hi[t]) >> 1], 0, 1);
+                    again = true;
+                }
+            }
+        }
+        for (int t = 0; t < m; ++t) {
+            int64_t i = lo[t];
+            // lo converged to the last index with key <= q inside the
+            // bucket run (or the run start when the run is empty/all >q)
+            if (i < nk && keys[i] == q[base + t]) {
+                out_start[base + t] = start[i];
+                out_cnt[base + t] = cnt[i];
+            } else {
+                out_start[base + t] = 0;
+                out_cnt[base + t] = 0;
+            }
+        }
+    }
+}
+
 }  // extern "C"
