@@ -100,14 +100,38 @@ def fit_cost_model(rows: Sequence[Sequence[float]]) -> CostModel:
 
 _DEFAULT_MODEL: Optional[CostModel] = None
 _DEFAULT_QUEUE = DeviceQueue()
+_AUTOLOAD_TRIED = False
 
 
 def set_default_model(model: Optional[CostModel]) -> None:
-    global _DEFAULT_MODEL
+    global _DEFAULT_MODEL, _AUTOLOAD_TRIED
     _DEFAULT_MODEL = model
+    _AUTOLOAD_TRIED = True
 
 
 def get_default_model() -> Optional[CostModel]:
+    """Explicitly-set model, else the in-tree trained constants
+    (mm2tpu/data/router_params_v5e.json — the analogue of the constants
+    the reference ships in chain_hardware.h:18-30). Auto-load only
+    applies when JAX is already initialized on a real TPU: the constants
+    describe device dispatch on that hardware, and importing/initializing
+    jax from here would be a side effect."""
+    global _DEFAULT_MODEL, _AUTOLOAD_TRIED
+    if _DEFAULT_MODEL is None and not _AUTOLOAD_TRIED:
+        import sys
+        jax = sys.modules.get("jax")
+        if jax is None:
+            return None  # keep trying until jax appears
+        _AUTOLOAD_TRIED = True
+        try:
+            if jax.default_backend() == "tpu":
+                import pathlib
+                p = (pathlib.Path(__file__).resolve().parent.parent /
+                     "data" / "router_params_v5e.json")
+                if p.exists():
+                    _DEFAULT_MODEL = CostModel.load(str(p))
+        except Exception:
+            pass
     return _DEFAULT_MODEL
 
 

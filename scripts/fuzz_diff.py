@@ -78,6 +78,43 @@ def gen_case(rng, tmp):
     return ref, reads
 
 
+def gen_dense_case(rng, tmp):
+    """Anchor-dense case: a genome of moderately-duplicated segments (each
+    unit copied a few times stays under mid_occ) and long reads spanning
+    many units, so single chaining tasks exceed the 8192-anchor routing
+    threshold — the regime the static router sends to the bounded-lookback
+    device kernel (chain.c:66-68). Run with --chain-backend native to pin
+    the exact-DP semantics differentially at high n."""
+    bases = np.array(list("ACGT"))
+
+    def rs(n):
+        return "".join(bases[rng.integers(0, 4, n)])
+
+    units = [rs(int(rng.integers(150, 400))) for _ in range(30)]
+    copies = []
+    for u in units:
+        copies += [u] * int(rng.integers(3, 7))
+    rng.shuffle(copies)
+    g = rs(2000) + "".join(copies) + rs(2000)
+    ref = os.path.join(tmp, "ref.fa")
+    with open(ref, "w") as f:
+        f.write(">dense\n%s\n" % g)
+    reads = os.path.join(tmp, "reads.fa")
+    with open(reads, "w") as f:
+        for i in range(int(rng.integers(2, 5))):
+            L = int(rng.integers(15000, min(len(g), 40000)))
+            st = int(rng.integers(0, len(g) - L + 1))
+            s = list(g[st:st + L])
+            for _ in range(int(0.05 * L)):
+                p = int(rng.integers(0, len(s)))
+                s[p] = "ACGT"[rng.integers(0, 4)]
+            seq = "".join(s)
+            if rng.integers(0, 2):
+                seq = seq[::-1].translate(RC)
+            f.write(">d%d\n%s\n" % (i, seq))
+    return ref, reads
+
+
 def run_mine(args):
     buf = io.StringIO()
     with redirect_stdout(buf):
@@ -134,8 +171,29 @@ def main():
         seed = base + it
         rng = np.random.default_rng(seed)
         with tempfile.TemporaryDirectory() as tmp:
-            ref, reads = gen_case(rng, tmp)
             mode = rng.random()
+            if mode >= 0.92:  # anchor-dense, >8192 anchors per task
+                ref, reads = gen_dense_case(rng, tmp)
+                flags = [["-c"], ["-a"], []][int(rng.integers(0, 3))]
+                args = (["-x", "map-ont", "--chain-backend", "native"] +
+                        flags + [ref, reads])
+                try:
+                    mine = run_mine(list(args))
+                except SystemExit:
+                    mine = "<exit>"
+                except Exception as e:  # noqa: BLE001
+                    mine = f"<exception {type(e).__name__}: {e}>"
+                theirs = run_ref([a for a in args
+                                  if a not in ("--chain-backend", "native")])
+                ok = mine == theirs
+                fails += not ok
+                print(f"{'ok  ' if ok else 'FAIL'} seed={seed} dense "
+                      f"({len(mine)}B)")
+                if not ok:
+                    open(f"/tmp/fuzz_fail_{seed}_mine.txt", "w").write(mine)
+                    open(f"/tmp/fuzz_fail_{seed}_ref.txt", "w").write(theirs)
+                continue
+            ref, reads = gen_case(rng, tmp)
             if mode < 0.15:  # paired-end sr
                 r1, r2 = gen_pair(rng, tmp, ref)
                 flags = [[], ["-a"], ["-a", "--MD"]][int(rng.integers(0, 3))]

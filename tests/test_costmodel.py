@@ -121,3 +121,28 @@ def test_router_threshold_without_model():
     r.cost_model = None
     assert r.pick(2000) == "tpu"
     assert r.pick(10) == "native"
+
+
+def test_shipped_router_constants_load():
+    """The in-tree trained constants (data/router_params_v5e.json, the
+    chain_hardware.h:18-30 analogue) parse and order sanely: a tiny task
+    must predict host-faster (c_dev dispatch floor dominates)."""
+    import pathlib
+    p = (pathlib.Path(__file__).resolve().parent.parent / "mm2tpu" /
+         "data" / "router_params_v5e.json")
+    m = CostModel.load(str(p))
+    assert m.c_dev > 0
+    assert m.predict_dev(512, 512) > m.predict_host(512 * 64)
+
+
+def test_default_model_not_autoloaded_on_cpu():
+    """Auto-load is TPU-only: on the CPU test backend the default model
+    stays None (interpret-mode timings would be meaningless)."""
+    import mm2tpu.mapping.costmodel as cm
+    saved = (cm._DEFAULT_MODEL, cm._AUTOLOAD_TRIED)
+    cm._DEFAULT_MODEL, cm._AUTOLOAD_TRIED = None, False
+    try:
+        import jax  # noqa: F401  (ensures jax is in sys.modules)
+        assert cm.get_default_model() is None
+    finally:
+        cm._DEFAULT_MODEL, cm._AUTOLOAD_TRIED = saved

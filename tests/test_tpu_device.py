@@ -40,7 +40,10 @@ assert jax.default_backend() == "tpu", jax.default_backend()
 from mm2tpu.ops.chain_pallas_v2 import chain_scores_tpu_v2
 from mm2tpu.ops import chain_ref
 rng = np.random.default_rng(42)
-for n, density in [(1024, 0.2), (4096, 1.0), (3000, 0.5)]:
+for n, density in [(1024, 0.2), (4096, 1.0), (3000, 0.5), (12288, 4.0)]:
+    # the last case crosses the 8192-anchor routing threshold with dense
+    # saturated windows: the bounded-lookback regime the static router
+    # sends to the device (chain.c:66-68's documented HW divergence)
     lo = np.sort(rng.integers(0, int(n/density), n)).astype(np.uint64)
     qi = np.clip(lo.astype(np.int64)+rng.integers(-400,400,n),0,None).astype(np.uint64)
     a = np.zeros((n,2), np.uint64); a[:,0] = lo
