@@ -144,6 +144,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh", type=int, metavar="N",
                    help="shard batched chaining over an N-device data-"
                         "parallel mesh (implies --map-mode batch)")
+    p.add_argument("--hosts", type=int, metavar="N",
+                   help="multi-host data parallelism: total number of "
+                        "host processes (jax.distributed runtime)")
+    p.add_argument("--host-id", type=int, default=0, metavar="I",
+                   help="this process's host rank in [0, N)")
+    p.add_argument("--coordinator", metavar="ADDR:PORT",
+                   help="jax.distributed coordinator address "
+                        "(host 0's address)")
     p.add_argument("--profile", action="store_true",
                    help="print a per-stage timing table on exit (the "
                         "MEASURE_* macros' equivalent, chain_hardware.h:39-45)")
@@ -439,7 +447,32 @@ def main(argv: Optional[List[str]] = None) -> int:
         io.flag |= MM_I_NO_SEQ
     check_opt(io, mo)
 
-    out = open(args.output, "w") if args.output and args.output != "-" else sys.stdout
+    from .parallel.multihost import HostConfig, init_distributed
+    hostcfg = HostConfig(args.hosts or 1, args.host_id, args.coordinator)
+    if hostcfg.active:
+        if not (0 <= hostcfg.host_id < hostcfg.n_hosts) or \
+                not hostcfg.coordinator:
+            print("[ERROR] --hosts needs --coordinator and a valid "
+                  "--host-id", file=sys.stderr)
+            return 1
+        if not args.output or args.output == "-":
+            print("[ERROR] --hosts requires -o OUTPUT (host 0 merges the "
+                  "per-host stripes there)", file=sys.stderr)
+            return 1
+        if mo.split_prefix:
+            print("[ERROR] --hosts with --split-prefix is not supported",
+                  file=sys.stderr)
+            return 1
+        init_distributed(hostcfg)
+
+    write_out = (not hostcfg.active) or hostcfg.host_id == 0
+    if args.output and args.output != "-" and write_out:
+        out = open(args.output, "w")
+    elif write_out:
+        out = sys.stdout
+    else:
+        import io as _io_mod
+        out = _io_mod.StringIO()  # non-0 hosts never emit directly
 
     parts = index_parts(args.target, io, n_threads=args.t)
     with profiling.stage("index"):
@@ -501,12 +534,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                         n_alt += 1
             mi.n_alt = n_alt
         if args.query:
+            if hostcfg.active and not last:
+                print("[ERROR] --hosts with a multi-part index is not "
+                      "supported (use a single-part index per host)",
+                      file=sys.stderr)
+                return 1
             mapopt_update(mo, mi)
             n_mapped = _map_all(
                 args.query, mi, mo, out, part_idx=n_parts,
                 n_threads=max(1, args.t),
                 map_mode="batch" if args.mesh else args.map_mode,
-                mesh_n=args.mesh)
+                mesh_n=args.mesh, hostcfg=hostcfg,
+                out_path=args.output)
             timing.log("worker_pipeline", "mapped %d sequences" % n_mapped)
         n_parts += 1
         mi = nxt
@@ -604,7 +643,8 @@ def _map_batch(mi, mo: MapOptions, batch, consume, mesh=None) -> None:
 
 def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
              n_threads: int = 1, map_mode: str = "stream",
-             mesh_n: Optional[int] = None) -> int:
+             mesh_n: Optional[int] = None, hostcfg=None,
+             out_path: Optional[str] = None) -> int:
     """Map all query files against one index part; emit or (with
     --split-prefix) dump raw hits to the part's temp file
     (map.c:571-585, mm_split_init).
@@ -633,6 +673,12 @@ def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
 
     n_mapped = 0
 
+    multihost = hostcfg is not None and hostcfg.active
+    part_writer = None
+    if multihost:
+        from .parallel import multihost as mh
+        part_writer = mh.PartWriter(out_path, hostcfg.host_id)
+
     def consume(frag, res):
         nonlocal n_mapped
         n_mapped += len(frag)
@@ -640,9 +686,32 @@ def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
             for j in range(len(frag)):
                 dump["reads"].append(
                     (res.regs[j], res.rep_len, res.frag_gap))
+        elif part_writer is not None:
+            # per-fragment record for the cross-host ordered merge; an
+            # unmapped fragment still writes an (empty) record to keep
+            # the round-robin interleave aligned
+            import io as _io_mod
+            buf = _io_mod.StringIO()
+            with profiling.stage("emit"):
+                emit(mi, mo, frag, res, buf)
+            part_writer.write(buf.getvalue())
         else:
             with profiling.stage("emit"):
                 emit(mi, mo, frag, res, out)
+
+    def batches():
+        """Mini-batches, striped round-robin by fragment index across
+        hosts in multi-host mode (per-host input sharding)."""
+        if not multihost:
+            yield from reader.batches()
+            return
+        idx = 0
+        for batch in reader.batches():
+            mine = [frag for j, frag in enumerate(batch)
+                    if (idx + j) % hostcfg.n_hosts == hostcfg.host_id]
+            idx += len(batch)
+            if mine:
+                yield mine
 
     if map_mode == "batch":
         mesh = None
@@ -650,19 +719,20 @@ def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
             from .parallel.mesh import make_mesh
             mesh = make_mesh(mesh_n)
         with profiling.trace_if_enabled():
-            for batch in reader.batches():
+            for batch in batches():
                 _map_batch(mi, mo, batch, consume, mesh=mesh)
     elif n_threads <= 1:
         with profiling.trace_if_enabled():
-            for batch in reader.batches():
+            for batch in batches():
                 for frag in batch:
                     consume(frag, _map_one_frag(mi, mo, frag))
     else:
+        batches_in = batches
         batches: queue_mod.Queue = queue_mod.Queue(maxsize=2)
 
         def produce():
             try:
-                for batch in reader.batches():
+                for batch in batches_in():
                     batches.put(batch)
                 batches.put(None)
             except BaseException as e:  # surface reader errors in step 2
@@ -682,6 +752,17 @@ def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
     if dump is not None:
         with open(f"{mo.split_prefix}.{part_idx:04d}.tmp", "wb") as f:
             pickle.dump(dump, f)
+    if multihost:
+        from .parallel import multihost as mh
+        part_writer.close()
+        mh.barrier("map_done")
+        if hostcfg.host_id == 0:
+            with profiling.stage("merge"):
+                mh.merge_parts(out_path, hostcfg.n_hosts, out)
+            out.flush()
+        mh.barrier("merge_done")
+        if hostcfg.host_id == 0:
+            mh.cleanup_parts(out_path, hostcfg.n_hosts)
     return n_mapped
 
 

@@ -20,21 +20,35 @@ BASES = np.frombuffer(b"ACGT", np.uint8)
 RC = dict(zip(b"ACGT", b"TGCA"))
 
 
-def gen_genome(rng, total_bp: int, n_ctg: int):
-    """Contigs with embedded repeat families (repeats are what make
-    seeding/rep_len realistic; a pure-random genome has none)."""
+def gen_genome(rng, total_bp: int, n_ctg: int, repeat_frac: float = 0.35,
+               repeat_div: float = 0.04):
+    """Contigs with embedded DIVERGED repeat families: each inserted copy
+    mutates the family consensus at `repeat_div` — like real genomes
+    (hg38 is ~50% repeats), this multiplies seed hits and chaining work
+    without tripping the mid_occ filter the way exact copies do. A pure
+    random genome makes chaining ~5% of minimap2's runtime; with
+    repeat_frac=0.35/div=0.04 it is ~30-50%, matching the fork's 'top
+    hotspot' premise (reference README.md:3)."""
     lens = rng.dirichlet(np.ones(n_ctg)) * total_bp
     lens = np.maximum(lens.astype(np.int64), 10000)
-    rep = BASES[rng.integers(0, 4, 8000)]
+    fams = [BASES[rng.integers(0, 4, int(rng.integers(1000, 8000)))]
+            for _ in range(8)]
     ctgs = []
     for i, L in enumerate(lens):
         g = BASES[rng.integers(0, 4, int(L))]
-        # sprinkle ~1% of the contig with copies of the repeat family
-        n_rep = max(1, int(L * 0.01 / len(rep)))
-        for _ in range(n_rep):
-            p = int(rng.integers(0, max(1, len(g) - len(rep))))
-            rl = int(rng.integers(2000, len(rep)))
-            g[p:p + rl] = rep[:rl]
+        target = int(L * repeat_frac)
+        placed = 0
+        while placed < target:
+            fam = fams[int(rng.integers(0, len(fams)))]
+            rl = int(rng.integers(len(fam) // 2, len(fam)))
+            copy = fam[:rl].copy()
+            # diverge the copy: iid substitutions at repeat_div
+            m = rng.random(rl) < repeat_div
+            copy[m] = BASES[(np.searchsorted(BASES, copy[m]) +
+                             rng.integers(1, 4, int(m.sum()))) % 4]
+            p = int(rng.integers(0, max(1, len(g) - rl)))
+            g[p:p + rl] = copy
+            placed += rl
         ctgs.append(g)
     return ctgs
 
@@ -66,9 +80,11 @@ def write_fasta(path, names, seqs, width=0):
 
 
 def make(out_dir: str, genome_mb: float, n_reads: int, seed: int = 0,
-         err: float = 0.10, mean_len: int = 10000) -> tuple:
+         err: float = 0.10, mean_len: int = 10000,
+         repeat_frac: float = 0.35, repeat_div: float = 0.04) -> tuple:
     os.makedirs(out_dir, exist_ok=True)
-    tag = "g%gm_r%d_s%d_e%g_l%d" % (genome_mb, n_reads, seed, err, mean_len)
+    tag = "g%gm_r%d_s%d_e%g_l%d_rf%g_rd%g" % (
+        genome_mb, n_reads, seed, err, mean_len, repeat_frac, repeat_div)
     ref = os.path.join(out_dir, "ref_%s.fa" % tag)
     reads = os.path.join(out_dir, "reads_%s.fa" % tag)
     if os.path.exists(ref) and os.path.exists(reads):
@@ -76,7 +92,7 @@ def make(out_dir: str, genome_mb: float, n_reads: int, seed: int = 0,
     rng = np.random.default_rng(seed)
     total = int(genome_mb * 1e6)
     n_ctg = max(1, int(round(total / 8e6)))
-    ctgs = gen_genome(rng, total, n_ctg)
+    ctgs = gen_genome(rng, total, n_ctg, repeat_frac, repeat_div)
     write_fasta(ref, ["ctg%d" % i for i in range(len(ctgs))], ctgs)
 
     lens = np.clip(rng.lognormal(np.log(mean_len), 0.5, n_reads),
@@ -106,10 +122,13 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--err", type=float, default=0.10)
     ap.add_argument("--mean-len", type=int, default=10000)
+    ap.add_argument("--repeat-frac", type=float, default=0.35)
+    ap.add_argument("--repeat-div", type=float, default=0.04)
     ap.add_argument("--out-dir", default="/tmp/mm2tpu_bench")
     args = ap.parse_args()
     ref, reads = make(args.out_dir, args.genome_mb, args.reads, args.seed,
-                      args.err, args.mean_len)
+                      args.err, args.mean_len, args.repeat_frac,
+                      args.repeat_div)
     print(ref)
     print(reads)
     return 0
