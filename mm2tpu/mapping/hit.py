@@ -137,6 +137,31 @@ def gen_regs(hash_: int, qlen: int, u: np.ndarray, a: np.ndarray) -> List[Region
     n_u = len(u)
     if n_u == 0:
         return []
+    try:
+        from ..native import lib as native_lib
+        native = native_lib.has_backtrack()
+    except ImportError:
+        native = False
+    if native:
+        (score, hash_out, cnt, as_, rev, rid, rs, re, qs, qe, mlen,
+         blen) = native_lib.gen_regs_arrays(u, a, hash_, qlen)
+        regs = []
+        for i in range(n_u):
+            r = Region()
+            r.id = i
+            r.parent = MM_PARENT_UNSET
+            r.score = r.score0 = int(score[i])
+            r.hash = int(hash_out[i])
+            r.cnt = int(cnt[i])
+            r.as_ = int(as_[i])
+            r.div = -1.0
+            r.rev = bool(rev[i])
+            r.rid = int(rid[i])
+            r.rs, r.re = int(rs[i]), int(re[i])
+            r.qs, r.qe = int(qs[i]), int(qe[i])
+            r.mlen, r.blen = int(mlen[i]), int(blen[i])
+            regs.append(r)
+        return regs
     z = np.empty((n_u, 2), dtype=np.uint64)
     k = 0
     for i in range(n_u):

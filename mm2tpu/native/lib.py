@@ -93,6 +93,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mm2_lookup_many.argtypes = [
             _I64, _VP, _I64, _VP, _VP, _VP, _I32, _I32, _VP, _VP, _VP]
         lib.mm2_lookup_many.restype = None
+    if hasattr(lib, "mm2_chain_backtrack"):
+        lib.mm2_chain_backtrack.argtypes = [
+            _I64, _VP, _VP, _VP, _VP, _I32, _I32, _VP, _VP,
+            ctypes.POINTER(_I64)]
+        lib.mm2_chain_backtrack.restype = _I64
+        lib.mm2_gen_regs.argtypes = [_I64, _VP, _VP, ctypes.c_uint64,
+                                     _I32] + [_VP] * 12
+        lib.mm2_gen_regs.restype = None
     if hasattr(lib, "mm2_ksw_ll"):
         lib.mm2_ksw_ll.argtypes = [_I32, _VP, _I32, _VP, _VP, _I32, _I32,
                                    _VP]
@@ -318,6 +326,57 @@ def lookup_many(q: np.ndarray, keys: np.ndarray, start: np.ndarray,
     lib.mm2_lookup_many(nq, qp, len(ka), kp, sp, cp, lut_bits, shift, lp,
                         out_start.ctypes.data, out_cnt.ctypes.data)
     return out_start, out_cnt
+
+
+def has_backtrack() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_chain_backtrack")
+
+
+def chain_backtrack(n: int, f: np.ndarray, p: np.ndarray, v: np.ndarray,
+                    a: np.ndarray, min_cnt: int, min_sc: int
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Native chain.c:348-422; same contract as chain_ref.chain_backtrack."""
+    lib = _load()
+    fa, fp = _ptr(f, np.int32)
+    pa, pp = _ptr(p, np.int64)
+    va, vp = _ptr(v, np.int32)
+    aa, ap = _ptr(a, np.uint64)
+    idx = np.empty(n, np.int64)
+    u_out = np.empty(n, np.uint64)
+    n_u = _I64(0)
+    n_v = lib.mm2_chain_backtrack(n, fp, pp, vp, ap, min_cnt, min_sc,
+                                  idx.ctypes.data, u_out.ctypes.data,
+                                  ctypes.byref(n_u))
+    if n_v == 0:
+        return np.zeros((0, 2), np.uint64), np.zeros(0, np.uint64)
+    return a[idx[:n_v]], u_out[:n_u.value].copy()
+
+
+def gen_regs_arrays(u: np.ndarray, a: np.ndarray, hash_: int, qlen: int):
+    """Native mm_gen_regs core; returns the per-region field arrays in
+    final (descending tie-broken score) order."""
+    lib = _load()
+    n_u = len(u)
+    ua, up = _ptr(u, np.uint64)
+    aa, ap = _ptr(a, np.uint64)
+    score = np.empty(n_u, np.int32)
+    hash_out = np.empty(n_u, np.uint32)
+    cnt = np.empty(n_u, np.int32)
+    as_ = np.empty(n_u, np.int64)
+    rev = np.empty(n_u, np.uint8)
+    rid = np.empty(n_u, np.int32)
+    rs = np.empty(n_u, np.int32)
+    re = np.empty(n_u, np.int32)
+    qs = np.empty(n_u, np.int32)
+    qe = np.empty(n_u, np.int32)
+    mlen = np.empty(n_u, np.int32)
+    blen = np.empty(n_u, np.int32)
+    lib.mm2_gen_regs(n_u, up, ap, ctypes.c_uint64(hash_), qlen,
+                     *[x.ctypes.data for x in
+                       (score, hash_out, cnt, as_, rev, rid, rs, re, qs,
+                        qe, mlen, blen)])
+    return score, hash_out, cnt, as_, rev, rid, rs, re, qs, qe, mlen, blen
 
 
 def has_ksw_ll() -> bool:

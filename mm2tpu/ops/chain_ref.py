@@ -248,6 +248,13 @@ def chain_backtrack(n: int, f: np.ndarray, p: np.ndarray, v: np.ndarray,
     score<<32 | cnt per chain, ordered by chain start position."""
     if n == 0:
         return np.zeros((0, 2), np.uint64), np.zeros(0, np.uint64)
+    try:
+        from ..native import lib as native_lib
+        if native_lib.has_backtrack():
+            return native_lib.chain_backtrack(n, f, p, v, a, min_cnt,
+                                              min_sc)
+    except ImportError:
+        pass
     t = np.zeros(n, dtype=np.int64)
     used = p[p >= 0]
     t[used] = 1

@@ -1672,6 +1672,145 @@ void mm2_zdrop_scan(const uint32_t *cigar, int64_t n_cigar,
 
 int mm2_has_lookup() { return 1; }
 
+// Chain-end detection, peak backtrack, compaction order (chain.c:348-422).
+// Writes the compacted anchor-index order into idx_out (caller gathers
+// a[idx]) and per-chain score<<32|cnt into u_out, chains ordered by first
+// anchor position (stable). Returns total anchors across chains; n_u via
+// pointer. f/v int32, p int64 (device-path parents are 64-bit).
+int64_t mm2_chain_backtrack(int64_t n, const int32_t *f, const int64_t *p,
+                            const int32_t *v, const uint64_t *a,
+                            int32_t min_cnt, int32_t min_sc,
+                            int64_t *idx_out, uint64_t *u_out,
+                            int64_t *n_u_out) {
+    *n_u_out = 0;
+    if (n <= 0) return 0;
+    std::vector<uint8_t> t(n, 0);
+    for (int64_t i = 0; i < n; ++i)
+        if (p[i] >= 0) t[p[i]] = 1;
+    std::vector<uint64_t> u;
+    for (int64_t i = 0; i < n; ++i) {
+        if (t[i] || v[i] < min_sc) continue;
+        int64_t j = i;
+        while (j >= 0 && f[j] < v[j]) j = p[j];
+        if (j < 0) j = i;
+        u.push_back(((uint64_t)(uint32_t)f[j] << 32) | (uint64_t)j);
+    }
+    if (u.empty()) return 0;
+    std::sort(u.begin(), u.end(), std::greater<uint64_t>());
+    std::fill(t.begin(), t.end(), 0);
+    struct Chain { int64_t sc, start, len; };
+    std::vector<Chain> chains;
+    std::vector<int64_t> paths;  // concatenated reversed-walk indices
+    for (uint64_t ui : u) {
+        int64_t j = (int64_t)(ui & 0xFFFFFFFFu);
+        int64_t start = (int64_t)paths.size();
+        int64_t last;
+        for (;;) {
+            paths.push_back(j);
+            t[j] = 1;
+            last = j;
+            j = p[j];
+            if (j < 0 || t[j]) break;
+        }
+        (void)last;
+        int64_t len = (int64_t)paths.size() - start;
+        int64_t sc_end = (int64_t)(ui >> 32);
+        bool keep = false;
+        int64_t net = sc_end;
+        if (j < 0) {
+            keep = len >= min_cnt;
+        } else if (sc_end - f[j] >= min_sc) {
+            net = sc_end - f[j];
+            keep = len >= min_cnt;
+        }
+        if (keep) chains.push_back({net, start, len});
+        else paths.resize(start);
+    }
+    if (chains.empty()) return 0;
+    // order chains by first-anchor x (the path walk collects indices
+    // descending, so the chain's first anchor is the walk's last entry)
+    std::stable_sort(chains.begin(), chains.end(),
+                     [&](const Chain &x, const Chain &y) {
+                         return a[2 * paths[x.start + x.len - 1]] <
+                                a[2 * paths[y.start + y.len - 1]];
+                     });
+    int64_t pos = 0, ci = 0;
+    for (const Chain &c : chains) {
+        for (int64_t k = c.len - 1; k >= 0; --k)
+            idx_out[pos++] = paths[c.start + k];
+        u_out[ci++] = ((uint64_t)c.sc << 32) | (uint64_t)c.len;
+    }
+    *n_u_out = ci;
+    return pos;
+}
+
+// mm_gen_regs scalar core (hit.c:8-88): tie-broken score ordering plus
+// per-region coordinates and fuzzy mlen/blen. Output arrays are in final
+// (descending z) region order; the Python layer builds Region objects.
+void mm2_gen_regs(int64_t n_u, const uint64_t *u, const uint64_t *a,
+                  uint64_t hash_, int32_t qlen, int32_t *score,
+                  uint32_t *hash_out, int32_t *cnt_out, int64_t *as_out,
+                  uint8_t *rev, int32_t *rid, int32_t *rs, int32_t *re,
+                  int32_t *qs, int32_t *qe, int32_t *mlen, int32_t *blen) {
+    const uint64_t M = ~0ULL;
+    std::vector<std::pair<uint64_t, int64_t> > z(n_u);  // (z0, i)
+    std::vector<int64_t> koff(n_u);
+    int64_t k = 0;
+    for (int64_t i = 0; i < n_u; ++i) {
+        uint64_t h = hash64((hash64(a[2 * k], M) + hash64(a[2 * k + 1], M))
+                            ^ hash_, M) & 0xFFFFFFFFu;
+        z[i] = {u[i] ^ h, i};
+        koff[i] = k;
+        k += (int64_t)(u[i] & 0xFFFFFFFFu);
+    }
+    std::stable_sort(z.begin(), z.end(),
+                     [](const std::pair<uint64_t, int64_t> &x,
+                        const std::pair<uint64_t, int64_t> &y) {
+                         return x.first < y.first;
+                     });
+    for (int64_t oi = 0; oi < n_u; ++oi) {
+        const auto &zz = z[n_u - 1 - oi];  // descending
+        int64_t i = zz.second;
+        int64_t as = koff[i];
+        int32_t cnt = (int32_t)(u[i] & 0xFFFFFFFFu);
+        score[oi] = (int32_t)(zz.first >> 32);
+        hash_out[oi] = (uint32_t)(zz.first & 0xFFFFFFFFu);
+        cnt_out[oi] = cnt;
+        as_out[oi] = as;
+        uint64_t ax = a[2 * as], ay = a[2 * as + 1];
+        int32_t span = (int32_t)((ay >> 32) & 0xFF);
+        rev[oi] = (uint8_t)(ax >> 63);
+        rid[oi] = (int32_t)((ax << 1) >> 33);
+        int32_t axl = (int32_t)(uint32_t)ax;
+        rs[oi] = axl + 1 > span ? axl + 1 - span : 0;
+        re[oi] = (int32_t)(uint32_t)a[2 * (as + cnt - 1)] + 1;
+        int32_t ayl = (int32_t)(uint32_t)ay;
+        int32_t byl = (int32_t)(uint32_t)a[2 * (as + cnt - 1) + 1];
+        if (!rev[oi]) {
+            qs[oi] = ayl + 1 - span;
+            qe[oi] = byl + 1;
+        } else {
+            qs[oi] = qlen - (byl + 1);
+            qe[oi] = qlen - (ayl + 1 - span);
+        }
+        // fuzzy mlen/blen (hit.c:8-21)
+        int32_t ml = span, bl = span;
+        uint64_t px = ax, py = ay;
+        for (int64_t j = as + 1; j < as + cnt; ++j) {
+            uint64_t bx = a[2 * j], by = a[2 * j + 1];
+            int32_t sp = (int32_t)((by >> 32) & 0xFF);
+            int32_t tl = (int32_t)(uint32_t)bx - (int32_t)(uint32_t)px;
+            int32_t ql = (int32_t)(uint32_t)by - (int32_t)(uint32_t)py;
+            bl += tl > ql ? tl : ql;
+            ml += (tl > sp && ql > sp) ? sp : (tl < ql ? tl : ql);
+            px = bx;
+            py = by;
+        }
+        mlen[oi] = ml;
+        blen[oi] = bl;
+    }
+}
+
 // Batched CSR index probe (mm_idx_get over many minimizers,
 // index.c:81-98). The khash probe becomes: high-bits LUT -> short binary
 // search over the sorted key array. Queries are processed in interleaved
