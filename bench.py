@@ -1,46 +1,144 @@
-"""Benchmark: anchor-chaining throughput on the TPU chip (device compute).
+"""Benchmark: end-to-end mapping throughput on one TPU chip + kernel rates.
 
-Methodology: K kernel invocations chained inside one jit (each consuming a
-checksum of the previous results, so XLA cannot reorder or elide them),
-tiny scalar readback; per-invocation time = (T(K) - T(1)) / (K - 1). This
-isolates device compute from the host<->device transport, which in this
-environment is a high-latency tunnel.
+Prints ONE JSON line:
+  metric/value/unit : end-to-end reads/s/chip, map-ont PAF, batched device
+                      chaining path (--map-mode batch), steady state
+                      (second in-process run: XLA programs loaded, index
+                      hot; the first run's one-time compile/load cost is
+                      reported separately in extra.e2e_cold_s).
+  vs_baseline       : value / an AWS F1 end-to-end ESTIMATE for the same
+                      workload (see F1 model below).
+  extra             : host-path reads/s (PAF and SAM, single core),
+                      chaining kernel anchors/s (dense + sparse regimes),
+                      ksw2 cells/s, parity checks, F1-estimate parts.
 
-Prints one JSON line. Baseline: the reference fork's trained AWS F1 FPGA
-time model for ONT chaining (chain_hardware.h:19-21):
-    t_hw[ms] = 2.992e-4*n + 1.215e-5*total_subparts + 0.3194
-With 8 subparts/anchor (dense windows, the regime benchmarked here) the
-FPGA rate is 1e3 / (2.992e-4 + 8*1.215e-5) ~= 2.52e6 anchors/s per F1 card.
+Workload: deterministic 48 Mb genome with diverged repeat families
+(repeat_frac=0.35, div=0.04 — chaining is ~38% of the reference binary's
+single-core PAF runtime on it, matching the fork's 'chaining is the top
+hotspot' design center; a pure random genome makes chaining ~6% and
+under-weights the accelerated stage) x 1000 ONT-like reads (10% error,
+~10 kb). scripts/make_workload.py regenerates it bit-identically.
+
+F1 end-to-end estimate (the reference fork publishes no e2e numbers):
+  t_F1 = t_nonchain_ref / 8  +  sum_task t_hw(task)
+where t_nonchain_ref is the reference binary's measured single-core
+non-chaining time on THIS host for this exact workload (measured with a
+mm_chain_dp timing shim around /root/reference/chain.c — see
+docs/STATUS.md; PAF: total 5.54 s of which chaining 2.10 s), divided by
+the f1.2xlarge's 8 vCPUs (perfect host scaling, favorable to F1), plus
+the fork's own trained FPGA time model (chain_hardware.h:19-21,
+t_hw[ms] = 2.992e-4*n + 1.215e-5*subparts + 0.3194) summed over this
+workload's actual chaining tasks (single FPGA kernel => serial). Tasks
+where the fork's SW model predicts the CPU is faster are charged
+min(t_hw, t_sw)/8 instead (its scheduler would keep them on a host
+thread, chain.c:80-111).
 """
+import io as _io
 import json
 import os
 import sys
 import time
+from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-F1_ANCHORS_PER_S = 1e3 / (2.992e-4 + 8 * 1.215e-5)  # ms -> ~2.52M anchors/s
+# reference binary, single core, THIS host, this workload (1000 reads;
+# prebuilt .mmi; measurement recipe in the module docstring)
+REF_PAF_S = 5.54
+REF_PAF_CHAIN_S = 2.10
+REF_SAM_S = 10.12
+REF_SAM_CHAIN_S = 1.98
+F1_HOST_CORES = 8
+# fork's trained F1 models, ONT (chain_hardware.h:19-23), milliseconds
+F1_K1_HW, F1_K2_HW, F1_C_HW = 2.992e-4, 1.215e-5, 0.3194
+F1_K_SW, F1_C_SW = 5.234e-6, -1.0015
+
+WORK = dict(genome_mb=48, n_reads=1000, seed=0, err=0.10, mean_len=10000,
+            repeat_frac=0.35, repeat_div=0.04)
+OUT_DIR = os.environ.get("MM2TPU_BENCH_DIR", "/tmp/mm2tpu_bench")
 
 
-def main():
+def log(msg):
+    print("[bench] %s" % msg, file=sys.stderr, flush=True)
+
+
+def run_cli(args):
+    from mm2tpu.cli import main as cli_main
+    t0 = time.time()
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        rc = cli_main(args)
+    assert rc == 0, args
+    return time.time() - t0, buf.getvalue()
+
+
+def f1_estimate(ref, reads):
+    """Chaining-task features -> fork cost models -> e2e estimate."""
+    from mm2tpu.cli import mapopt_update
+    from mm2tpu.index.build import load_index
+    from mm2tpu.io.bseq import read_fastx
+    from mm2tpu.mapping.chain import chain_gaps
+    from mm2tpu.mapping.seed import collect_minimizers, collect_seed_hits
+    from mm2tpu.ops.chain_ref import num_subparts
+    from mm2tpu.options import set_opt
+
+    mi = load_index(os.path.join(OUT_DIR, "bench.mmx"))
+    _, mo = set_opt("map-ont")
+    mapopt_update(mo, mi)
+    rs = list(read_fastx(reads))
+    sample = rs[:: max(1, len(rs) // 200)][:200]
+    hw_ms = sw_ms = placed_hw_ms = placed_sw_ms = 0.0
+    total_anchors = 0
+    for r in sample:
+        mv = collect_minimizers(mi, mo, [r.seq], [len(r.seq)])
+        sr = collect_seed_hits(mi, mo, mo.mid_occ, mv, r.name, len(r.seq))
+        n = len(sr.anchors)
+        if n == 0:
+            continue
+        gap_qry, gap_ref = chain_gaps(mo, len(r.seq))
+        _, sub, trip = num_subparts(sr.anchors, gap_ref)
+        t_hw = F1_K1_HW * n + F1_K2_HW * sub + F1_C_HW
+        t_sw = max(F1_K_SW * trip + F1_C_SW, 0.01)
+        hw_ms += t_hw
+        sw_ms += t_sw
+        if t_hw < t_sw:
+            placed_hw_ms += t_hw
+        else:
+            placed_sw_ms += t_sw
+        total_anchors += n
+    scale = len(rs) / max(1, len(sample))
+    fpga_s = placed_hw_ms * scale / 1e3
+    cpu_chain_s = placed_sw_ms * scale / 1e3 / F1_HOST_CORES
+    t_f1 = (REF_PAF_S - REF_PAF_CHAIN_S) / F1_HOST_CORES + fpga_s + \
+        cpu_chain_s
+    return dict(f1_e2e_s=round(t_f1, 3),
+                f1_reads_per_s=round(len(rs) / t_f1, 1),
+                f1_fpga_chain_s=round(fpga_s, 3),
+                f1_host_s=round((REF_PAF_S - REF_PAF_CHAIN_S) /
+                                F1_HOST_CORES, 3),
+                sample_anchors_per_read=int(total_anchors /
+                                            max(1, len(sample))))
+
+
+def chain_kernel_bench(dense: bool):
+    """Device-compute chaining anchors/s via chained-jit timing (transport
+    excluded; K invocations serialized inside one jit)."""
     import jax
     import jax.numpy as jnp
     from mm2tpu.ops.chain_pallas_v2 import chain_scores_device_v2
 
-    B, N = 32, 8192  # 32 ONT-like chaining tasks of 8k anchors
+    B, N = 32, 8192
     rng = np.random.default_rng(0)
-    # dense anchor geometry: windows saturate the 1024 lookback cap,
-    # matching the FPGA's full-subpart regime
-    lo = np.sort(rng.integers(0, 4 * N, (B, N)), axis=1).astype(np.int32)
+    span_scale = 4 * N if dense else 64 * N
+    lo = np.sort(rng.integers(0, span_scale, (B, N)), axis=1).astype(np.int32)
     qi = np.clip(lo + rng.integers(-400, 400, (B, N)), 0, None).astype(np.int32)
     hi = np.zeros((B, N), np.int32)
     span = np.full((B, N), 15, np.int32)
     sid = np.zeros((B, N), np.int32)
     n = np.full((B, 1), N, np.int32)
     avg = np.full((B, 1), 0.15, np.float32)
-
     kwargs = dict(max_dist_x=5000, max_dist_y=5000, bw=500, iter_cap=1024,
                   gap_scale=1.0, is_cdna=False, n_segs=1,
                   interpret=jax.default_backend() != "tpu")
@@ -53,7 +151,7 @@ def main():
                 f, p = chain_scores_device_v2(hi, x, qi, span, sid, n, avg,
                                               **kwargs)
                 acc = acc + f[0, 0] + p[-1, -1] + f[B // 2, N // 2]
-                x = x + (acc & 1)  # serialize invocations
+                x = x + (acc & 1)
             return acc
         return run
 
@@ -61,28 +159,144 @@ def main():
     r1, rk = harness(1), harness(K)
     float(r1(lo))
     float(rk(lo))
-    reps = 5
 
-    def best(run):
+    def best(run, reps=5):
         ts = []
         for _ in range(reps):
             t0 = time.time()
             float(run(lo))
             ts.append(time.time() - t0)
-        return min(ts)  # min-of-reps: robust to host/tunnel jitter
+        return min(ts)
 
-    t1 = best(r1)
-    tk = best(rk)
+    per_inv = (best(rk) - best(r1)) / (K - 1)
+    return B * N / per_inv
 
-    per_invocation = (tk - t1) / (K - 1)
-    rate = B * N / per_invocation
+
+def ksw2_kernel_bench():
+    """extd2 wavefront kernel cells/s (chained-jit, banded w=400)."""
+    import jax
+    import jax.numpy as jnp
+    from mm2tpu.ops.ksw2_pallas import extd2_device, _sf_image
+
+    rng = np.random.default_rng(0)
+    B, L, w = 8, 1024, 400
+    Tpad = -(-(L + 16) // 128) * 128
+    Rmax = 2 * L - 1
+    lens = np.tile(np.array([[L, L]], np.int32), (B, 1))
+    tsf = np.zeros((B, Tpad), np.int32)
+    qcol = np.zeros((B, -(-Rmax // 128) * 128), np.int32)
+    for b in range(B):
+        q8 = rng.integers(0, 4, L).astype(np.int32)
+        t8 = rng.integers(0, 4, L).astype(np.int32)
+        qr = np.zeros((L + 15) // 16 * 16 + 16, np.int32)
+        qr[:L] = q8[::-1]
+        tsf[b] = _sf_image(t8, Tpad, qr)
+        qcol[b, :L] = q8
+    try:
+        kw = dict(q=4, e=2, q2=24, e2=1, zdrop=-1, sc_mch=2, sc_mis=-4,
+                  sc_N=-1, w=w, right=False, approx=True, approx_drop=True,
+                  Rmax=Rmax, interpret=jax.default_backend() != "tpu")
+
+        def harness(reps):
+            @jax.jit
+            def run(qq):
+                acc = jnp.int32(0)
+                for _ in range(reps):
+                    d, ez = extd2_device(lens, tsf, qq, **kw)
+                    acc = acc + jnp.sum(ez[:, :4]).astype(jnp.int32)
+                    qq = qq + (acc & 1)
+                return acc
+            return run
+
+        r1, r3 = harness(1), harness(3)
+        float(r1(qcol))
+        float(r3(qcol))
+        t1 = min(_t(lambda: float(r1(qcol))) for _ in range(3))
+        t3 = min(_t(lambda: float(r3(qcol))) for _ in range(3))
+        cells = B * min(2 * w + 1, L) * L
+        return cells / ((t3 - t1) / 2)
+    except Exception as e:  # kernel API drift must not sink the bench
+        log("ksw2 bench skipped: %r" % e)
+        return None
+
+
+def _t(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
+def main():
+    t_start = time.time()
+    from mm2tpu.utils import jaxcache
+    jaxcache.enable()
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "scripts"))
+    from make_workload import make
+
+    log("workload...")
+    ref, reads = make(OUT_DIR, WORK["genome_mb"], WORK["n_reads"],
+                      WORK["seed"], WORK["err"], WORK["mean_len"],
+                      WORK["repeat_frac"], WORK["repeat_div"])
+    n_reads = WORK["n_reads"]
+    idx = os.path.join(OUT_DIR, "bench.mmx")
+    extra = {}
+    if not os.path.exists(idx):
+        log("index build...")
+        t_idx, _ = run_cli(["-x", "map-ont", "-d", idx, ref])
+        extra["index_build_s"] = round(t_idx, 2)
+
+    # host path, single core (the fallback path; also the parity anchor)
+    log("host PAF...")
+    t_host, out_host = run_cli(["-x", "map-ont", "-t", "1", idx, reads])
+    extra["host_paf_reads_per_s"] = round(n_reads / t_host, 1)
+    extra["ref_binary_paf_reads_per_s"] = round(n_reads / REF_PAF_S, 1)
+
+    # batched device-chaining path: cold (compile/load) then steady-state
+    log("device batch PAF cold...")
+    t_cold, out_dev = run_cli(["-x", "map-ont", "--map-mode", "batch",
+                               idx, reads])
+    log("device batch PAF steady...")
+    t_steady, out_dev2 = run_cli(["-x", "map-ont", "--map-mode", "batch",
+                                  idx, reads])
+    parity = (out_dev == out_host) and (out_dev2 == out_dev)
+    extra["e2e_cold_s"] = round(t_cold, 2)
+    extra["e2e_steady_s"] = round(t_steady, 2)
+    extra["parity_batch_vs_host"] = parity
+    reads_per_s = n_reads / t_steady
+
+    # host SAM (the -a mode; reference comparison single core)
+    log("host SAM...")
+    t_sam, _ = run_cli(["-ax", "map-ont", "-t", "1", idx, reads])
+    extra["host_sam_reads_per_s"] = round(n_reads / t_sam, 1)
+    extra["ref_binary_sam_reads_per_s"] = round(n_reads / REF_SAM_S, 1)
+
+    log("F1 estimate...")
+    f1 = f1_estimate(ref, reads)
+    extra.update(f1)
+
+    log("chain kernel dense...")
+    extra["chain_dense_anchors_per_s"] = round(chain_kernel_bench(True), 0)
+    log("chain kernel sparse...")
+    extra["chain_sparse_anchors_per_s"] = round(chain_kernel_bench(False), 0)
+    f1_dense_rate = 1e3 / (F1_K1_HW + 8 * F1_K2_HW)
+    extra["chain_dense_vs_f1_model"] = round(
+        extra["chain_dense_anchors_per_s"] / f1_dense_rate, 2)
+    log("ksw2 kernel...")
+    kc = ksw2_kernel_bench()
+    if kc:
+        extra["ksw2_cells_per_s"] = round(kc, 0)
+    extra["bench_total_s"] = round(time.time() - t_start, 1)
+
     print(json.dumps({
-        "metric": "chaining_anchors_per_s",
-        "value": round(rate, 1),
-        "unit": "anchors/s",
-        "vs_baseline": round(rate / F1_ANCHORS_PER_S, 4),
+        "metric": "e2e_reads_per_s_chip",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s (map-ont PAF, 48Mb repeat-rich genome, steady)",
+        "vs_baseline": round(reads_per_s / f1["f1_reads_per_s"], 4),
+        "extra": extra,
     }))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

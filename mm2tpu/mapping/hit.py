@@ -185,6 +185,56 @@ def gen_regs(hash_: int, qlen: int, u: np.ndarray, a: np.ndarray) -> List[Region
     return regs
 
 
+def gen_regs_chain_post_fast(hash_: int, qlen: int, u: np.ndarray,
+                             a: np.ndarray, opt, min_diff: int):
+    """Fused native gen_regs + pre-align set_parent/select_sub/sync:
+    Region objects are built only for the ~best_n survivors (the 500+
+    repeat-dense candidate regions never materialize in Python).
+    Caller guarantees: single segment, no ALT contigs, not ALL_CHAINS,
+    regions carry no alignment Extra yet. Returns a reg list or None when
+    the native runtime is unavailable."""
+    try:
+        from ..native import lib as native_lib
+        if not native_lib.has_set_parent():
+            return None
+    except ImportError:
+        return None
+    n_u = len(u)
+    if n_u == 0:
+        return []
+    (score, hash_out, cnt, as_, rev, rid, rs, re, qs, qe, mlen,
+     blen) = native_lib.gen_regs_arrays(u, a, hash_, qlen)
+    keep, parent, n_sub, subsc, sam_pri = native_lib.set_parent_select(
+        score, qs, qe, cnt, rid, rs, re, float(opt.mask_level),
+        opt.mask_len, opt.a * 2 + opt.b,
+        bool(opt.flag & MM_F_HARD_MLEVEL), float(opt.pri_ratio),
+        min_diff, opt.best_n)
+    shrunk = len(keep) != n_u
+    regs = []
+    for o in range(len(keep)):
+        i = int(keep[o])
+        r = Region()
+        r.id = o
+        r.parent = int(parent[o])
+        r.score = r.score0 = int(score[i])
+        r.hash = int(hash_out[i])
+        r.cnt = int(cnt[i])
+        r.as_ = int(as_[i])
+        r.div = -1.0
+        r.rev = bool(rev[i])
+        r.rid = int(rid[i])
+        r.rs, r.re = int(rs[i]), int(re[i])
+        r.qs, r.qe = int(qs[i]), int(qe[i])
+        r.mlen, r.blen = int(mlen[i]), int(blen[i])
+        r.n_sub = int(n_sub[o])
+        r.subsc = int(subsc[o])
+        # the Python path only assigns sam_pri via sync_regs, which runs
+        # only when select_sub dropped something
+        r.sam_pri = bool(sam_pri[o]) if shrunk else False
+        regs.append(r)
+    return regs
+
+
 def mark_alt(mi, regs: List[Region]) -> None:
     if mi.n_alt == 0:
         return
@@ -448,6 +498,15 @@ def chain_post(regs: List[Region], opt: MapOptions, max_chain_gap_ref: int,
                                     n_segs, qlens)
         if not (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_NO_LJOIN)):
             regs = join_long(regs, opt, qlen, a)
+    return regs
+
+
+def chain_post_tail(regs: List[Region], opt: MapOptions, qlen: int,
+                    a: np.ndarray) -> List[Region]:
+    """The long-join tail of chain_post (map.c:256-257), for callers that
+    did set_parent/select_sub through the native fast path."""
+    if not (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_NO_LJOIN)):
+        regs = join_long(regs, opt, qlen, a)
     return regs
 
 

@@ -139,20 +139,33 @@ def _post_chain(mi: MMIndex, ctx: _FragCtx, opt: MapOptions,
     res.rep_len = sr.rep_len
     res.frag_gap = max_chain_gap_ref
 
-    regs0 = hit_mod.gen_regs(hash_, qlen_sum, u, a)
-    if mi.n_alt:
-        hit_mod.mark_alt(mi, regs0)
-        regs0 = hit_mod.hit_sort(regs0, opt.alt_drop)
-    if opt.dbg_print_seed:
-        for j, r in enumerate(regs0):
-            for i in range(r.as_, r.as_ + r.cnt):
-                _dump_anchor(("CN", j), mi, a, i, i == r.as_)
+    from ..options import MM_F_ALL_CHAINS as _ALL
+    fast = None
+    if (not mi.n_alt and n_segs == 1 and not opt.dbg_print_seed and
+            not (opt.flag & _ALL)):
+        with profiling.stage("post"):
+            fast = hit_mod.gen_regs_chain_post_fast(
+                hash_, qlen_sum, u, a, opt, mi.k * 2)
+    if fast is not None:
+        with profiling.stage("post"):
+            regs0 = hit_mod.chain_post_tail(fast, opt, qlen_sum, a)
+            if not is_sr:
+                est_err(mi, qlen_sum, regs0, a, sr.mini_pos)
+    else:
+        regs0 = hit_mod.gen_regs(hash_, qlen_sum, u, a)
+        if mi.n_alt:
+            hit_mod.mark_alt(mi, regs0)
+            regs0 = hit_mod.hit_sort(regs0, opt.alt_drop)
+        if opt.dbg_print_seed:
+            for j, r in enumerate(regs0):
+                for i in range(r.as_, r.as_ + r.cnt):
+                    _dump_anchor(("CN", j), mi, a, i, i == r.as_)
 
-    with profiling.stage("post"):
-        regs0 = hit_mod.chain_post(regs0, opt, max_chain_gap_ref, mi,
-                                   qlen_sum, n_segs, qlens, a)
-        if not is_sr:
-            est_err(mi, qlen_sum, regs0, a, sr.mini_pos)
+        with profiling.stage("post"):
+            regs0 = hit_mod.chain_post(regs0, opt, max_chain_gap_ref, mi,
+                                       qlen_sum, n_segs, qlens, a)
+            if not is_sr:
+                est_err(mi, qlen_sum, regs0, a, sr.mini_pos)
 
     if n_segs == 1:
         regs0 = _align_regs(mi, opt, qlens[0], seqs[0], regs0, a)
@@ -272,14 +285,23 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
                             iter_cap=iter_cap, gap_scale=gs, is_cdna=is_cdna,
                             n_segs=n_segs, interpret=interpret)
                     f = np.asarray(f).astype(np.int32)
-                    p = np.asarray(p).astype(np.int64)
+                    p = np.asarray(p).astype(np.int32)
                 with profiling.stage("chain.backtrack"):
-                    v = v_carry_host(f, p)
+                    try:
+                        from ..native import lib as native_lib
+                        native_v = native_lib.available()
+                    except ImportError:
+                        native_v = False
+                    v_all = None if native_v else v_carry_host(f, p)
                     for row, i in enumerate(chunk):
                         anchors = ctxs[i].sr.anchors
                         n = len(anchors)
+                        if native_v:
+                            v = native_lib.v_carry(f[row, :n], p[row, :n])
+                        else:
+                            v = v_all[row, :n]
                         outs[i] = chain_ref.chain_backtrack(
-                            n, f[row, :n], p[row, :n], v[row, :n], anchors,
+                            n, f[row, :n], p[row, :n], v, anchors,
                             opt.min_cnt, opt.min_chain_score)
         return outs
 

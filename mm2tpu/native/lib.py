@@ -17,7 +17,11 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-_SO = pathlib.Path(__file__).resolve().parent.parent.parent / "native" / "libmm2tpu.so"
+import os as _os
+
+_SO = pathlib.Path(_os.environ.get("MM2TPU_SO") or
+                   (pathlib.Path(__file__).resolve().parent.parent.parent /
+                    "native" / "libmm2tpu.so"))
 _lib: Optional[ctypes.CDLL] = None
 _checked = False
 
@@ -93,6 +97,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mm2_lookup_many.argtypes = [
             _I64, _VP, _I64, _VP, _VP, _VP, _I32, _I32, _VP, _VP, _VP]
         lib.mm2_lookup_many.restype = None
+    if hasattr(lib, "mm2_set_parent_select"):
+        lib.mm2_set_parent_select.argtypes = [
+            _I64] + [_VP] * 7 + [ctypes.c_float, _I32, _I32, _I32,
+                                 ctypes.c_float, _I32, _I32] + [_VP] * 5
+        lib.mm2_set_parent_select.restype = _I64
     if hasattr(lib, "mm2_chain_backtrack"):
         lib.mm2_chain_backtrack.argtypes = [
             _I64, _VP, _VP, _VP, _VP, _I32, _I32, _VP, _VP,
@@ -351,6 +360,33 @@ def chain_backtrack(n: int, f: np.ndarray, p: np.ndarray, v: np.ndarray,
     if n_v == 0:
         return np.zeros((0, 2), np.uint64), np.zeros(0, np.uint64)
     return a[idx[:n_v]], u_out[:n_u.value].copy()
+
+
+def has_set_parent() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_set_parent_select")
+
+
+def set_parent_select(score, qs, qe, cnt, rid, rs, re, mask_level: float,
+                      mask_len: int, sub_diff: int, hard_mask: bool,
+                      pri_ratio: float, min_diff: int, best_n: int):
+    """Native pre-align set_parent+select_sub+sync over gen_regs arrays.
+    Returns (keep_idx, parent, n_sub, subsc, sam_pri)."""
+    lib = _load()
+    n = len(score)
+    keep = np.empty(n, np.int64)
+    parent = np.empty(n, np.int32)
+    n_sub = np.empty(n, np.int32)
+    subsc = np.empty(n, np.int32)
+    sam_pri = np.empty(n, np.uint8)
+    ptrs = [_ptr(x, np.int32) for x in (score, qs, qe, cnt, rid, rs, re)]
+    n_keep = lib.mm2_set_parent_select(
+        n, *[p for _, p in ptrs], ctypes.c_float(mask_level), mask_len,
+        sub_diff, 1 if hard_mask else 0, ctypes.c_float(pri_ratio),
+        min_diff, best_n, keep.ctypes.data, parent.ctypes.data,
+        n_sub.ctypes.data, subsc.ctypes.data, sam_pri.ctypes.data)
+    k = int(n_keep)
+    return keep[:k], parent[:k], n_sub[:k], subsc[:k], sam_pri[:k]
 
 
 def gen_regs_arrays(u: np.ndarray, a: np.ndarray, hash_: int, qlen: int):

@@ -498,6 +498,38 @@ static uint32_t *backtrack(const uint8_t *p, const int64_t *poff,
 
 // ez_out layout: [max, zdropped, max_q, max_t, mqe, mqe_t, mte, mte_q,
 // score, reach_end]. Returns 0, or -1 on allocation failure.
+// Thread-local grow-only scratch arena for the DP buffers: the reference
+// reuses per-thread kalloc arenas across fills (kalloc.c, mm_tbuf_t) for
+// the same reason — malloc/free dominates small banded fills (a ~60us
+// floor per call on this host). Peak size is bounded by the largest fill.
+struct KswArena {
+    uint8_t *buf = nullptr;
+    size_t cap = 0;
+    size_t used = 0;
+    // reserve() must cover every carve() of the call: growing mid-call
+    // would realloc and invalidate already-carved pointers.
+    bool reserve(size_t total) {
+        used = 0;
+        total = (total + 4095) & ~(size_t)4095;
+        if (total <= cap) return true;
+        size_t ncap = cap ? cap : (size_t)1 << 20;
+        while (ncap < total) ncap <<= 1;
+        uint8_t *nb = (uint8_t *)realloc(buf, ncap);
+        if (!nb) return false;
+        buf = nb;
+        cap = ncap;
+        return true;
+    }
+    void *carve(size_t n) {
+        n = (n + 63) & ~(size_t)63;
+        if (used + n > cap) return nullptr;  // reserve() was too small
+        void *p_ = buf + used;
+        used += n;
+        return p_;
+    }
+};
+static thread_local KswArena g_ksw_arena;
+
 int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
                   const uint8_t *target, const int8_t *mat /*5x5*/,
                   int32_t q, int32_t e, int32_t q2, int32_t e2, int32_t w,
@@ -559,39 +591,51 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
     int32_t tpad = tlen_ * 16;
     int32_t R = qlen + tlen - 1;
     int32_t width_cap = n_col_ * 16;
-    int32_t *u = (int32_t *)malloc(sizeof(int32_t) * (size_t)tpad * 6);
-    int32_t *v = u + tpad, *x = v + tpad, *y = x + tpad;
-    int32_t *x2 = y + tpad, *y2 = x2 + tpad;
-    int32_t *s = (int32_t *)calloc(tpad + 16, sizeof(int32_t));
+    KswArena &ar = g_ksw_arena;
+    {
+        size_t rb_sz = (size_t)(width_cap + 16) * 6 * sizeof(int32_t);
+        size_t total = sizeof(int32_t) * (size_t)tpad * 6 +
+                       sizeof(int32_t) * (tpad + 16) +
+                       sizeof(int64_t) * (size_t)tpad +
+                       sizeof(int32_t) * (qlen_ * 16 + 16) +
+                       sizeof(int32_t) * ((size_t)tpad + qlen_ * 16 + 16) +
+                       sizeof(int32_t) * (size_t)R * 2 +
+                       sizeof(int64_t) * (size_t)R +
+                       (with_cigar ? (size_t)R * width_cap : 0) +
+                       rb_sz + 64 * 10;
+        if (!ar.reserve(total)) {
+            finish();
+            return -1;
+        }
+    }
+    int32_t *u = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)tpad * 6);
+    int32_t *v = u ? u + tpad : nullptr, *x = u ? v + tpad : nullptr;
+    int32_t *y = u ? x + tpad : nullptr;
+    int32_t *x2 = u ? y + tpad : nullptr, *y2 = u ? x2 + tpad : nullptr;
+    int32_t *s = (int32_t *)ar.carve(sizeof(int32_t) * (tpad + 16));
     int64_t *H = approx_max ? nullptr
-                            : (int64_t *)malloc(sizeof(int64_t) * tpad);
-    int32_t *qr = (int32_t *)calloc(qlen_ * 16 + 16, sizeof(int32_t));
-    int32_t *sf = (int32_t *)calloc((size_t)tpad + qlen_ * 16 + 16,
-                                    sizeof(int32_t));
-    int32_t *off = (int32_t *)malloc(sizeof(int32_t) * (size_t)R * 2);
-    int32_t *off_end = off + R;
+                            : (int64_t *)ar.carve(sizeof(int64_t) * tpad);
+    int32_t *qr = (int32_t *)ar.carve(sizeof(int32_t) * (qlen_ * 16 + 16));
+    int32_t *sf = (int32_t *)ar.carve(
+        sizeof(int32_t) * ((size_t)tpad + qlen_ * 16 + 16));
+    int32_t *off = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)R * 2);
+    int32_t *off_end = off ? off + R : nullptr;
     int64_t *poff = nullptr;
     uint8_t *p = nullptr;
     if (with_cigar) {
-        poff = (int64_t *)malloc(sizeof(int64_t) * R);
-        p = (uint8_t *)malloc((size_t)R * width_cap);
+        poff = (int64_t *)ar.carve(sizeof(int64_t) * R);
+        p = (uint8_t *)ar.carve((size_t)R * width_cap);
     }
     int32_t rb = width_cap + 16;
-    int32_t *rowbuf = (int32_t *)malloc(sizeof(int32_t) * (size_t)rb * 6);
+    int32_t *rowbuf = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)rb * 6);
     if (!u || !s || (!approx_max && !H) || !qr || !sf || !off || !rowbuf ||
         (with_cigar && (!poff || !p))) {
-        free(u);
-        free(s);
-        free(H);
-        free(qr);
-        free(sf);
-        free(off);
-        free(poff);
-        free(p);
-        free(rowbuf);
         finish();
         return -1;
     }
+    memset(s, 0, sizeof(int32_t) * (tpad + 16));
+    memset(qr, 0, sizeof(int32_t) * (qlen_ * 16 + 16));
+    memset(sf, 0, sizeof(int32_t) * ((size_t)tpad + qlen_ * 16 + 16));
     int32_t *xs_ = rowbuf, *vs_ = rowbuf + rb, *x2s_ = rowbuf + 2 * rb;
     int32_t *uo_ = rowbuf + 3 * rb, *yo_ = rowbuf + 4 * rb;
     int32_t *y2o_ = rowbuf + 5 * rb;
@@ -647,14 +691,21 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
         }
         int32_t qoff = qlen - 1 - r;
         if (!(flag & EZ_GENERIC_SC)) {
-            for (int32_t t0 = st0; t0 <= en0; t0 += 16)
-                for (int32_t t = t0; t < t0 + 16; ++t) {
-                    int32_t sq = sf[t];
-                    int32_t stq = qoff + t >= 0 ? qr[qoff + t] : 0;
-                    s[t] = (sq == m - 1 || stq == m - 1)
-                               ? sc_N
-                               : (sq == stq ? sc_mch : sc_mis);
-                }
+            // branchless so the compiler vectorizes (this profile loop was
+            // most of the per-row cost on narrow bands). qoff+t >= 0 holds
+            // for every iterated t: t >= st0 >= r-qlen+1 gives qoff+t >= 0,
+            // tail lanes only move t upward, and the upper bound
+            // qoff+en0+15 <= qlen+14 stays inside qr's padded extent.
+            const int32_t *qrq = qr + qoff;
+            int32_t en16 = (en0 - st0) / 16 * 16 + st0 + 15;
+            for (int32_t t = st0; t <= en16; ++t) {
+                int32_t sq = sf[t];
+                int32_t stq = qrq[t];
+                int32_t isn = -(int32_t)((sq == m - 1) | (stq == m - 1));
+                int32_t eq = -(int32_t)(sq == stq);
+                s[t] = (isn & sc_N) |
+                       (~isn & ((eq & sc_mch) | (~eq & sc_mis)));
+            }
         } else {
             for (int32_t t = st0; t <= en0; ++t)
                 s[t] = mat[sf[t] * m + (qoff + t >= 0 ? qr[qoff + t] : 0)];
@@ -766,15 +817,6 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
                                    ez.max_q, rev_cigar, n_cigar_out);
         }
     }
-    free(u);
-    free(s);
-    free(H);
-    free(qr);
-    free(sf);
-    free(off);
-    free(poff);
-    free(p);
-    free(rowbuf);
     finish();
     return 0;
 }
@@ -895,41 +937,52 @@ int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
     int32_t R = qlen + tlen - 1;
     int32_t n_col_ = qlen < tlen ? qlen : tlen;
     int32_t width_cap = (n_col_ + 30 + 15) / 16 * 16;
-    int32_t *u = (int32_t *)malloc(sizeof(int32_t) * (size_t)tpad * 5);
+    KswArena &ar = g_ksw_arena;
+    {
+        size_t rb_sz = (size_t)(width_cap + 16) * 5 * sizeof(int32_t);
+        size_t total = sizeof(int32_t) * (size_t)tpad * 5 +
+                       sizeof(int32_t) * (tpad + 16) +
+                       sizeof(int64_t) * (size_t)tpad +
+                       sizeof(int32_t) * (qlen_ * 16 + 16) +
+                       sizeof(int32_t) * ((size_t)tpad + qlen_ * 16 + 16) +
+                       sizeof(int32_t) * (size_t)tpad * 2 +
+                       sizeof(int32_t) * (size_t)R * 2 +
+                       sizeof(int64_t) * (size_t)R +
+                       (with_cigar ? (size_t)R * width_cap : 0) +
+                       rb_sz + 64 * 11;
+        if (!ar.reserve(total)) {
+            finish();
+            return -1;
+        }
+    }
+    int32_t *u = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)tpad * 5);
     int32_t *v = u ? u + tpad : nullptr, *x = u ? v + tpad : nullptr;
     int32_t *y = u ? x + tpad : nullptr, *x2 = u ? y + tpad : nullptr;
-    int32_t *s = (int32_t *)calloc(tpad + 16, sizeof(int32_t));
+    int32_t *s = (int32_t *)ar.carve(sizeof(int32_t) * (tpad + 16));
     int64_t *H = approx_max ? nullptr
-                            : (int64_t *)malloc(sizeof(int64_t) * tpad);
-    int32_t *qr = (int32_t *)calloc(qlen_ * 16 + 16, sizeof(int32_t));
-    int32_t *sf = (int32_t *)calloc((size_t)tpad + qlen_ * 16 + 16,
-                                    sizeof(int32_t));
-    int32_t *sites = (int32_t *)malloc(sizeof(int32_t) * (size_t)tpad * 2);
-    int32_t *off = (int32_t *)malloc(sizeof(int32_t) * (size_t)R * 2);
+                            : (int64_t *)ar.carve(sizeof(int64_t) * tpad);
+    int32_t *qr = (int32_t *)ar.carve(sizeof(int32_t) * (qlen_ * 16 + 16));
+    int32_t *sf = (int32_t *)ar.carve(
+        sizeof(int32_t) * ((size_t)tpad + qlen_ * 16 + 16));
+    int32_t *sites = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)tpad * 2);
+    int32_t *off = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)R * 2);
     int32_t *off_end = off ? off + R : nullptr;
     int32_t rb = width_cap + 16;
-    int32_t *rowbuf = (int32_t *)malloc(sizeof(int32_t) * (size_t)rb * 5);
+    int32_t *rowbuf = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)rb * 5);
     int64_t *poff = nullptr;
     uint8_t *p = nullptr;
     if (with_cigar) {
-        poff = (int64_t *)malloc(sizeof(int64_t) * R);
-        p = (uint8_t *)malloc((size_t)R * width_cap);
+        poff = (int64_t *)ar.carve(sizeof(int64_t) * R);
+        p = (uint8_t *)ar.carve((size_t)R * width_cap);
     }
     if (!u || !s || (!approx_max && !H) || !qr || !sf || !sites || !off ||
         !rowbuf || (with_cigar && (!poff || !p))) {
-        free(u);
-        free(s);
-        free(H);
-        free(qr);
-        free(sf);
-        free(sites);
-        free(off);
-        free(rowbuf);
-        free(poff);
-        free(p);
         finish();
         return -1;
     }
+    memset(s, 0, sizeof(int32_t) * (tpad + 16));
+    memset(qr, 0, sizeof(int32_t) * (qlen_ * 16 + 16));
+    memset(sf, 0, sizeof(int32_t) * ((size_t)tpad + qlen_ * 16 + 16));
     int32_t *donor = sites, *acceptor = sites + tpad;
     int32_t *xs_ = rowbuf, *vs_ = rowbuf + rb, *x2s_ = rowbuf + 2 * rb;
     int32_t *uo_ = rowbuf + 3 * rb, *yo_ = rowbuf + 4 * rb;
@@ -979,14 +1032,21 @@ int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
         }
         int32_t qoff = qlen - 1 - r;
         if (!(flag & EZ_GENERIC_SC)) {
-            for (int32_t t0 = st0; t0 <= en0; t0 += 16)
-                for (int32_t t = t0; t < t0 + 16; ++t) {
-                    int32_t sq = sf[t];
-                    int32_t stq = qoff + t >= 0 ? qr[qoff + t] : 0;
-                    s[t] = (sq == m - 1 || stq == m - 1)
-                               ? sc_N
-                               : (sq == stq ? sc_mch : sc_mis);
-                }
+            // branchless so the compiler vectorizes (this profile loop was
+            // most of the per-row cost on narrow bands). qoff+t >= 0 holds
+            // for every iterated t: t >= st0 >= r-qlen+1 gives qoff+t >= 0,
+            // tail lanes only move t upward, and the upper bound
+            // qoff+en0+15 <= qlen+14 stays inside qr's padded extent.
+            const int32_t *qrq = qr + qoff;
+            int32_t en16 = (en0 - st0) / 16 * 16 + st0 + 15;
+            for (int32_t t = st0; t <= en16; ++t) {
+                int32_t sq = sf[t];
+                int32_t stq = qrq[t];
+                int32_t isn = -(int32_t)((sq == m - 1) | (stq == m - 1));
+                int32_t eq = -(int32_t)(sq == stq);
+                s[t] = (isn & sc_N) |
+                       (~isn & ((eq & sc_mch) | (~eq & sc_mis)));
+            }
         } else {
             for (int32_t t = st0; t <= en0; ++t)
                 s[t] = mat[sf[t] * m + (qoff + t >= 0 ? qr[qoff + t] : 0)];
@@ -1092,16 +1152,6 @@ int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
                                    long_thres);
         }
     }
-    free(u);
-    free(s);
-    free(H);
-    free(qr);
-    free(sf);
-    free(sites);
-    free(off);
-    free(rowbuf);
-    free(poff);
-    free(p);
     finish();
     return 0;
 }
@@ -1742,6 +1792,129 @@ int64_t mm2_chain_backtrack(int64_t n, const int32_t *f, const int64_t *p,
     }
     *n_u_out = ci;
     return pos;
+}
+
+// Pre-align mm_set_parent + mm_select_sub + mm_sync_regs over the
+// gen_regs field arrays (hit.c:125-186, 255-272, 231-253) — the fast
+// path for the single-segment no-ALT case where no region carries
+// alignment Extra state. Region objects are then built only for the
+// ~best_n survivors. Returns n_kept; keep_out holds indices into the
+// input order, parent_out positions within the kept set.
+int64_t mm2_set_parent_select(
+    int64_t n, const int32_t *score, const int32_t *qs, const int32_t *qe,
+    const int32_t *cnt, const int32_t *rid, const int32_t *rs,
+    const int32_t *re, float mask_level, int32_t mask_len, int32_t sub_diff,
+    int32_t hard_mask, float pri_ratio, int32_t min_diff, int32_t best_n,
+    int64_t *keep_out, int32_t *parent_out, int32_t *n_sub_out,
+    int32_t *subsc_out, uint8_t *sam_pri_out) {
+    (void)sub_diff;  // only consulted via Extra (absent pre-align)
+    if (n <= 0) return 0;
+    std::vector<int32_t> parent(n, -1), n_sub(n, 0), subsc(n, 0);
+    std::vector<int64_t> w;
+    w.reserve(64);
+    parent[0] = 0;
+    w.push_back(0);
+    std::vector<uint64_t> cov;
+    for (int64_t i = 1; i < n; ++i) {
+        int32_t si = qs[i], ei = qe[i];
+        int64_t uncov_len = 0;
+        if (!hard_mask) {
+            cov.clear();
+            for (size_t j = 0; j < w.size(); ++j) {
+                int32_t sj = qs[w[j]], ej = qe[w[j]];
+                if (ej <= si || sj >= ei) continue;
+                int32_t cs = sj > si ? sj : si, ce = ej < ei ? ej : ei;
+                cov.push_back(((uint64_t)(uint32_t)cs << 32) |
+                              (uint32_t)ce);
+            }
+            if (!cov.empty()) {
+                std::sort(cov.begin(), cov.end());
+                int64_t x = si;
+                for (uint64_t cj : cov) {
+                    int64_t cs = (int64_t)(cj >> 32);
+                    int64_t ce = (int64_t)(cj & 0xFFFFFFFFu);
+                    if (cs > x) uncov_len += cs - x;
+                    if (ce > x) x = ce;
+                }
+                if (ei > x) uncov_len += ei - x;
+            } else {
+                w.push_back(i);
+                parent[i] = (int32_t)i;
+                n_sub[i] = 0;
+                continue;
+            }
+        }
+        bool found = false;
+        for (size_t j = 0; j < w.size(); ++j) {
+            int64_t pj = w[j];
+            int32_t sj = qs[pj], ej = qe[pj];
+            if (ej <= si || sj >= ei) continue;
+            int32_t lj = ej - sj, li = ei - si;
+            int32_t mn = lj < li ? lj : li, mx = lj > li ? lj : li;
+            int32_t ol;
+            if (si < sj)
+                ol = ei < sj ? 0 : (ei < ej ? ei - sj : ej - sj);
+            else
+                ol = ej < si ? 0 : (ej < ei ? ej - si : ei - si);
+            if ((float)ol / (float)mn -
+                    (float)uncov_len / (float)mx > mask_level &&
+                uncov_len <= mask_len) {
+                parent[i] = parent[pj];
+                if (score[i] > subsc[pj]) subsc[pj] = score[i];
+                if (cnt[i] >= cnt[pj]) ++n_sub[pj];
+                found = true;
+                break;
+            }
+        }
+        if (!found) {
+            w.push_back(i);
+            parent[i] = (int32_t)i;
+            n_sub[i] = 0;
+        }
+    }
+    // mm_select_sub + sync
+    std::vector<int64_t> keep;
+    keep.reserve(n);
+    if (pri_ratio > 0.0f) {
+        int32_t n_2nd = 0;
+        for (int64_t i = 0; i < n; ++i) {
+            int32_t p_ = parent[i];
+            if (p_ == (int32_t)i) {
+                keep.push_back(i);
+            } else if (((float)score[i] >=
+                            (float)score[p_] * pri_ratio ||
+                        score[i] + min_diff >= score[p_]) &&
+                       n_2nd < best_n) {
+                if (!(qs[i] == qs[p_] && qe[i] == qe[p_] &&
+                      rid[i] == rid[p_] && rs[i] == rs[p_] &&
+                      re[i] == re[p_])) {
+                    keep.push_back(i);
+                    ++n_2nd;
+                }
+            }
+        }
+    } else {
+        for (int64_t i = 0; i < n; ++i) keep.push_back(i);
+    }
+    std::vector<int32_t> newpos(n, -1);
+    for (size_t o = 0; o < keep.size(); ++o) newpos[keep[o]] = (int32_t)o;
+    int32_t n_pri = 0;
+    for (size_t o = 0; o < keep.size(); ++o) {
+        int64_t i = keep[o];
+        keep_out[o] = i;
+        int32_t p_ = parent[i];
+        int32_t np = (p_ >= 0 && newpos[p_] >= 0) ? newpos[p_] : -1;
+        parent_out[o] = np;
+        n_sub_out[o] = n_sub[i];
+        subsc_out[o] = subsc[i];
+        if (np == (int32_t)o) {
+            ++n_pri;
+            sam_pri_out[o] = n_pri == 1;
+        } else {
+            sam_pri_out[o] = 0;
+        }
+    }
+    return (int64_t)keep.size();
 }
 
 // mm_gen_regs scalar core (hit.c:8-88): tie-broken score ordering plus
