@@ -379,6 +379,16 @@ def align_pair(opt: MapOptions, qseq, tseq, junc, mat, w: int,
         from ..ops.ksw2_splice_ref import ksw_exts2
         return ksw_exts2(qlen, qseq, tlen, tseq, mat, opt.q, opt.e, opt.q2,
                          opt.noncan, zdrop, opt.junc_bonus, flag, junc)
+    from . import extbatch
+    _bat = extbatch.current()
+    if _bat is not None and qlen * tlen >= _bat.min_cells:
+        # cross-read batched device dispatch (extbatch.ExtBatcher): this
+        # thread parks until the dispatcher flushes a full bucket — many
+        # reads' fills amortize one Pallas launch, the per-call analogue
+        # of the reference's DMA batching (chain_hardware.cpp:104-189)
+        return _bat.submit(qseq, tseq, np.asarray(mat, np.int8), opt.q,
+                           opt.e, opt.q2, opt.e2, w, zdrop, end_bonus,
+                           flag)
     if opt.align_backend == "tpu" and \
             qlen * tlen >= opt.align_tpu_min_mat:
         # large fills go to the Pallas wavefront kernel (bit-exact vs the

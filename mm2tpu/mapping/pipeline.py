@@ -316,9 +316,30 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
             rechain.append(i)
     if rechain:
         outs.update(run_round(rechain))
-    for i in pending:
-        a, u = outs[i]
-        results[i] = _post_chain(mi, ctxs[i], opt, a, u)
+    from ..options import MM_F_CIGAR as _CIG
+    if opt.align_backend == "tpu" and (opt.flag & _CIG) and len(pending) > 1:
+        # cross-read batched device extension: align many reads on a
+        # thread pool; their align_pair fills coalesce in an ExtBatcher
+        # (see mapping/extbatch.py). Output is order-preserved by index.
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .extbatch import ExtBatcher, worker_scope
+        batcher = ExtBatcher(max_batch=64,
+                             min_cells=opt.align_tpu_min_mat,
+                             interpret=interpret)
+
+        def post_one(i):
+            with worker_scope(batcher):
+                a, u = outs[i]
+                return _post_chain(mi, ctxs[i], opt, a, u)
+
+        with ThreadPoolExecutor(min(32, len(pending))) as ex:
+            for i, res in zip(pending, ex.map(post_one, pending)):
+                results[i] = res
+    else:
+        for i in pending:
+            a, u = outs[i]
+            results[i] = _post_chain(mi, ctxs[i], opt, a, u)
     return results
 
 
