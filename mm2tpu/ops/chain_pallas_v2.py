@@ -140,23 +140,21 @@ def _pair_key(dr, dq, same, hi_ok, span_i, f_j, d, avg,
 
 
 def _chain_kernel_v2(max_dist_x: int, max_dist_y: int, bw: int, iter_cap: int,
-                     gap_scale: float, is_cdna: bool, n_segs: int,
+                     gap_scale: float, is_cdna: bool, n_segs: int, R: int,
                      n_ref, avg_ref, hi_ref, lo_ref, qi_ref, span_ref, sid_ref,
                      f_out, p_out,
                      hi_s, lo_s, qi_s, sid_s, f_s, d_s, fo_s, po_s):
     b = pl.program_id(0)
     t = pl.program_id(1)
-    n = n_ref[b, 0]
-    avg = avg_ref[b, 0]
 
     @pl.when(t == 0)
     def _init():
-        hi_s[:] = jnp.full((C, TILE), -0x7FFFFFFF, jnp.int32)
-        lo_s[:] = jnp.zeros((C, TILE), jnp.int32)
-        qi_s[:] = jnp.zeros((C, TILE), jnp.int32)
-        sid_s[:] = jnp.zeros((C, TILE), jnp.int32)
-        f_s[:] = jnp.zeros((C, TILE), jnp.int32)
-        d_s[:] = jnp.full((C, TILE), 4 * WINDOW, jnp.int32)
+        hi_s[:] = jnp.full((R * C, TILE), -0x7FFFFFFF, jnp.int32)
+        lo_s[:] = jnp.zeros((R * C, TILE), jnp.int32)
+        qi_s[:] = jnp.zeros((R * C, TILE), jnp.int32)
+        sid_s[:] = jnp.zeros((R * C, TILE), jnp.int32)
+        f_s[:] = jnp.zeros((R * C, TILE), jnp.int32)
+        d_s[:] = jnp.full((R * C, TILE), 4 * WINDOW, jnp.int32)
 
     srow = jax.lax.broadcasted_iota(jnp.int32, (C, TILE), 0)
     scol = jax.lax.broadcasted_iota(jnp.int32, (C, TILE), 1)
@@ -164,7 +162,13 @@ def _chain_kernel_v2(max_dist_x: int, max_dist_y: int, bw: int, iter_cap: int,
     neg_tile = jnp.full((C, TILE), NEG, jnp.int32)
     uniseg = n_segs == 1 and not is_cdna
 
-    def chunk(cc, _):
+    def chunk(r, avg, cc, _):
+        # r selects this program's interleaved batch row (R independent DP
+        # chains per program instance: their bodies have no data deps, so
+        # the scheduler overlaps them — the latency-bound chunk chain is
+        # hidden behind its neighbors' work)
+        o = r * WINDOW   # offset of row r's data in the fused stream block
+        s0 = r * C       # offset of row r's rows in the fused scratches
         i0 = t * WINDOW + cc * C
         # No validity branch: padded anchors carry a sentinel hi that fails
         # every gate, so computing them is harmless — and a per-chunk
@@ -175,12 +179,12 @@ def _chain_kernel_v2(max_dist_x: int, max_dist_y: int, bw: int, iter_cap: int,
             # one SMEM read per scalar, shared by the layout builds and
             # the phase-A broadcasts (the scalar core is on the critical
             # path of this loop)
-            sc_hi = [hi_ref[cc * C + c] for c in range(C)]
-            sc_lo = [lo_ref[cc * C + c] for c in range(C)]
-            sc_qi = [qi_ref[cc * C + c] for c in range(C)]
-            sc_span = [span_ref[cc * C + c] for c in range(C)]
+            sc_hi = [hi_ref[o + cc * C + c] for c in range(C)]
+            sc_lo = [lo_ref[o + cc * C + c] for c in range(C)]
+            sc_qi = [qi_ref[o + cc * C + c] for c in range(C)]
+            sc_span = [span_ref[o + cc * C + c] for c in range(C)]
             sc_sid = (None if uniseg
-                      else [sid_ref[cc * C + c] for c in range(C)])
+                      else [sid_ref[o + cc * C + c] for c in range(C)])
             col_fields = (sc_hi, sc_lo, sc_qi, sc_span) + \
                 (() if uniseg else (sc_sid,))
             row_fields = (sc_hi, sc_lo, sc_qi) + \
@@ -207,12 +211,12 @@ def _chain_kernel_v2(max_dist_x: int, max_dist_y: int, bw: int, iter_cap: int,
                 hi_r, lo_r, qi_r, sid_r = rows
 
             # ---- phase A: ring candidates, reductions deferred ----
-            ring_hi = hi_s[:]
-            ring_lo = lo_s[:]
-            ring_qi = qi_s[:]
-            ring_sid = sid_s[:]
-            ring_f = f_s[:]
-            ring_d = d_s[:]
+            ring_hi = hi_s[s0:s0 + C, :]
+            ring_lo = lo_s[s0:s0 + C, :]
+            ring_qi = qi_s[s0:s0 + C, :]
+            ring_sid = sid_s[s0:s0 + C, :]
+            ring_f = f_s[s0:s0 + C, :]
+            ring_d = d_s[s0:s0 + C, :]
             key_acc = neg_tile
             for c in range(C):
                 same_a = True if uniseg else (ring_sid == sc_sid[c])
@@ -269,31 +273,37 @@ def _chain_kernel_v2(max_dist_x: int, max_dist_y: int, bw: int, iter_cap: int,
 
             # ---- ring + output updates (single column selects) ----
             at = scol == cc
-            hi_s[:] = jnp.where(at, hi_c[:, 0:1], hi_s[:])
-            lo_s[:] = jnp.where(at, lo_c[:, 0:1], lo_s[:])
-            qi_s[:] = jnp.where(at, qi_c[:, 0:1], qi_s[:])
+            sl = slice(s0, s0 + C)
+            hi_s[sl, :] = jnp.where(at, hi_c[:, 0:1], ring_hi)
+            lo_s[sl, :] = jnp.where(at, lo_c[:, 0:1], ring_lo)
+            qi_s[sl, :] = jnp.where(at, qi_c[:, 0:1], ring_qi)
             if not uniseg:
-                sid_s[:] = jnp.where(at, sid_c[:, 0:1], sid_s[:])
-            f_s[:] = jnp.where(at, f_final, f_s[:])
-            d_s[:] = jnp.where(at, C - row_iota[:, 0:1], d_s[:] + C)
-            fo_s[:] = jnp.where(at, f_final, fo_s[:])
-            po_s[:] = jnp.where(at, p_col, po_s[:])
+                sid_s[sl, :] = jnp.where(at, sid_c[:, 0:1], ring_sid)
+            f_s[sl, :] = jnp.where(at, f_final, ring_f)
+            d_s[sl, :] = jnp.where(at, C - row_iota[:, 0:1], ring_d + C)
+            fo_s[sl, :] = jnp.where(at, f_final, fo_s[sl, :])
+            po_s[sl, :] = jnp.where(at, p_col, po_s[sl, :])
 
         return 0
 
     # 4-way unrolled chunk loop: the per-iteration loop/scalar overhead is
     # a significant fraction of the ~600-op chunk body (measured on v5e:
-    # 16M -> 22M anchors/s going 1x -> 4x; 8x regresses on icache)
+    # 16M -> 22M anchors/s going 1x -> 4x; 8x regresses on icache).
+    # With R > 1 the unroll body interleaves R independent rows' chunks.
+    avgs = [avg_ref[b * R + r, 0] for r in range(R)]
+
     def chunk4(cc4, _):
         for u_ in range(4):
-            chunk(4 * cc4 + u_, 0)
+            for r in range(R):
+                chunk(r, avgs[r], 4 * cc4 + u_, 0)
         return 0
 
     jax.lax.fori_loop(0, TILE // 4, chunk4, 0)
     # flush outputs in ring (column) layout; host/XLA unpermutes
-    for r in range(C):
-        f_out[pl.ds(r * TILE, TILE)] = fo_s[r, :]
-        p_out[pl.ds(r * TILE, TILE)] = po_s[r, :]
+    for r in range(R):
+        for c in range(C):
+            f_out[pl.ds(r * WINDOW + c * TILE, TILE)] = fo_s[r * C + c, :]
+            p_out[pl.ds(r * WINDOW + c * TILE, TILE)] = po_s[r * C + c, :]
 
 
 def _unpermute(x, B, N):
@@ -318,32 +328,50 @@ def v_carry_host(f: np.ndarray, p: np.ndarray) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=(
     "max_dist_x", "max_dist_y", "bw", "iter_cap", "gap_scale", "is_cdna",
-    "n_segs", "interpret"))
+    "n_segs", "interpret", "rows_per_program"))
 def chain_scores_device_v2(hi, lo, qi, span, sid, n, avg, *, max_dist_x: int,
                            max_dist_y: int, bw: int, iter_cap: int,
                            gap_scale: float, is_cdna: bool, n_segs: int,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           rows_per_program: int = 1):
     """Batched bounded-lookback chaining scores, v2 kernel. Returns (f, p);
-    compute v with v_carry_host (or the native runtime) on the host."""
+    compute v with v_carry_host (or the native runtime) on the host.
+    rows_per_program > 1 interleaves that many batch rows' (independent)
+    DP chains per program instance to hide the chunk latency; B must be
+    divisible by it."""
     B, N = hi.shape
-    assert N % WINDOW == 0
+    R = rows_per_program
+    assert N % WINDOW == 0 and B % R == 0
     kern = functools.partial(_chain_kernel_v2, max_dist_x, max_dist_y, bw,
-                             iter_cap, gap_scale, is_cdna, n_segs)
+                             iter_cap, gap_scale, is_cdna, n_segs, R)
     nt = N // WINDOW
     per_read_scalar = pl.BlockSpec((B, 1), lambda b, t: (0, 0), memory_space=pltpu.SMEM)
-    stream = pl.BlockSpec((WINDOW,), lambda b, t: (b * nt + t,), memory_space=pltpu.SMEM)
-    out_tile = pl.BlockSpec((WINDOW,), lambda b, t: (b * nt + t,), memory_space=pltpu.VMEM)
-    flat = [x.reshape(B * N) for x in (hi, lo, qi, span, sid)]
+    stream = pl.BlockSpec((R * WINDOW,), lambda b, t: (b * nt + t,), memory_space=pltpu.SMEM)
+    out_tile = pl.BlockSpec((R * WINDOW,), lambda b, t: (b * nt + t,), memory_space=pltpu.VMEM)
+
+    def pack(x):
+        if R == 1:
+            return x.reshape(B * N)
+        return (x.reshape(B // R, R, nt, WINDOW).swapaxes(1, 2)
+                .reshape(B * N))
+
+    def unpack(x):
+        if R == 1:
+            return x
+        return (x.reshape(B // R, nt, R, WINDOW).swapaxes(1, 2)
+                .reshape(B, N).reshape(B * N))
+
+    flat = [pack(x) for x in (hi, lo, qi, span, sid)]
     f, p = pl.pallas_call(
         kern,
-        grid=(B, nt),
+        grid=(B // R, nt),
         in_specs=[per_read_scalar, per_read_scalar] + [stream] * 5,
         out_specs=[out_tile, out_tile],
         out_shape=[jax.ShapeDtypeStruct((B * N,), jnp.int32)] * 2,
-        scratch_shapes=[pltpu.VMEM((C, TILE), jnp.int32)] * 8,
+        scratch_shapes=[pltpu.VMEM((R * C, TILE), jnp.int32)] * 8,
         interpret=interpret,
     )(n, avg, *flat)
-    return _unpermute(f, B, N), _unpermute(p, B, N)
+    return _unpermute(unpack(f), B, N), _unpermute(unpack(p), B, N)
 
 
 def chain_scores_tpu_v2(a: np.ndarray, max_dist_x: int, max_dist_y: int,

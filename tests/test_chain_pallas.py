@@ -81,3 +81,27 @@ def test_kernel_v2_cdna():
     f2, p2, v2 = chain_scores_tpu_v2(a, *args, interpret=True)
     np.testing.assert_array_equal(f1, f2)
     np.testing.assert_array_equal(p1, p2)
+
+
+def test_kernel_v2_rows_per_program_identical():
+    """R-interleaved variant (latency hiding, docs/ROOFLINE.md) is
+    bit-identical to the R=1 kernel."""
+    import numpy as np
+    from mm2tpu.ops.chain_pallas_v2 import chain_scores_device_v2
+    from mm2tpu.ops.chain_pallas import pack_anchors
+    rng = np.random.default_rng(11)
+    B, N = 4, 1024
+    tiles = []
+    for b in range(B):
+        a = synth_anchors(N, seed=100 + b, scale=3, rev_frac=0.2)
+        tiles.append(pack_anchors(a, N))
+    stack = [np.stack([t[i] for t in tiles]) for i in range(5)]
+    n = np.full((B, 1), N, np.int32)
+    avg = np.full((B, 1), 0.15, np.float32)
+    kw = dict(max_dist_x=5000, max_dist_y=5000, bw=500, iter_cap=1024,
+              gap_scale=1.0, is_cdna=False, n_segs=1, interpret=True)
+    f1, p1 = chain_scores_device_v2(*stack, n, avg, **kw)
+    f2, p2 = chain_scores_device_v2(*stack, n, avg, rows_per_program=2,
+                                    **kw)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
