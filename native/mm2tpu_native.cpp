@@ -220,7 +220,43 @@ struct Ez {
 
 // The SIMD exact-max update over one anti-diagonal, including the SSE
 // build's 4-lane tie-breaking (extd2 l.326-358; shared with exts2).
-static void exact_max_scan(int64_t *H, const int32_t *u, const int32_t *v,
+// (exact_max_scan moved below: templated over the row element type)
+
+
+static bool apply_zdrop(Ez &ez, int64_t H, int32_t r, int32_t t,
+                        int32_t zdrop, int32_t e) {
+    if (H > ez.max_) {
+        ez.max_ = H;
+        ez.max_t = t;
+        ez.max_q = r - t;
+    } else if (t >= ez.max_t && r - t >= ez.max_q) {
+        int32_t tl = t - ez.max_t, ql = (r - t) - ez.max_q;
+        int32_t l = tl > ql ? tl - ql : ql - tl;
+        if (zdrop >= 0 && ez.max_ - H > zdrop + (int64_t)l * e) {
+            ez.zdropped = 1;
+            return true;
+        }
+    }
+    return false;
+}
+
+static void push_cigar(uint32_t *&cig, int32_t &n, int32_t &cap,
+                       int32_t op, int32_t len) {
+    if (n == 0 || op != (int32_t)(cig[n - 1] & 0xF)) {
+        if (n == cap) {
+            cap = cap ? cap << 1 : 64;
+            cig = (uint32_t *)realloc(cig, cap * sizeof(uint32_t));
+        }
+        cig[n++] = (uint32_t)len << 4 | op;
+    } else {
+        cig[n - 1] += (uint32_t)len << 4;
+    }
+}
+
+}  // extern "C" (template below needs C++ linkage)
+
+template <typename T>
+static void exact_max_scan(int64_t *H, const T *u, const T *v,
                            int32_t st0, int32_t en0, int64_t *out_H,
                            int32_t *out_t) {
     if (en0 > 0)
@@ -266,62 +302,35 @@ static void exact_max_scan(int64_t *H, const int32_t *u, const int32_t *v,
     *out_t = max_t;
 }
 
-static bool apply_zdrop(Ez &ez, int64_t H, int32_t r, int32_t t,
-                        int32_t zdrop, int32_t e) {
-    if (H > ez.max_) {
-        ez.max_ = H;
-        ez.max_t = t;
-        ez.max_q = r - t;
-    } else if (t >= ez.max_t && r - t >= ez.max_q) {
-        int32_t tl = t - ez.max_t, ql = (r - t) - ez.max_q;
-        int32_t l = tl > ql ? tl - ql : ql - tl;
-        if (zdrop >= 0 && ez.max_ - H > zdrop + (int64_t)l * e) {
-            ez.zdropped = 1;
-            return true;
-        }
-    }
-    return false;
-}
-
-static void push_cigar(uint32_t *&cig, int32_t &n, int32_t &cap,
-                       int32_t op, int32_t len) {
-    if (n == 0 || op != (int32_t)(cig[n - 1] & 0xF)) {
-        if (n == cap) {
-            cap = cap ? cap << 1 : 64;
-            cig = (uint32_t *)realloc(cig, cap * sizeof(uint32_t));
-        }
-        cig[n++] = (uint32_t)len << 4 | op;
-    } else {
-        cig[n - 1] += (uint32_t)len << 4;
-    }
-}
-
-}  // extern "C" (template below needs C++ linkage)
-
 // One anti-diagonal of the extd2 difference DP, elementwise over the band.
 // Old-row values arrive via scratch copies (xs/vs/x2s are shifted by one:
 // index i holds the t-1 slot, with the band-edge boundary in slot 0), so
 // in-place writes to u/v/x/y/x2/y2 keep the exact stale-lane semantics of
 // the 16-lane SSE build. The loop body is branch-free; with __restrict
 // the compiler vectorizes it (AVX-512: 16 cells/iteration).
-template <bool WITH_CIGAR, bool RIGHT>
-static void extd2_row(int32_t W, const int32_t *__restrict sr,
-                      const int32_t *__restrict xs,
-                      const int32_t *__restrict vs,
-                      const int32_t *__restrict x2s,
-                      const int32_t *__restrict uo,
-                      const int32_t *__restrict yo,
-                      const int32_t *__restrict y2o,
-                      int32_t *__restrict un, int32_t *__restrict vn,
-                      int32_t *__restrict xn, int32_t *__restrict yn,
-                      int32_t *__restrict x2n, int32_t *__restrict y2n,
-                      uint8_t *__restrict pr, int32_t sc_mch, int32_t q,
-                      int32_t e, int32_t q2, int32_t e2) {
+template <bool WITH_CIGAR, bool RIGHT, typename T = int32_t>
+static void extd2_row(int32_t W, const T *__restrict sr,
+                      const T *__restrict xs,
+                      const T *__restrict vs,
+                      const T *__restrict x2s,
+                      const T *__restrict uo,
+                      const T *__restrict yo,
+                      const T *__restrict y2o,
+                      T *__restrict un, T *__restrict vn,
+                      T *__restrict xn, T *__restrict yn,
+                      T *__restrict x2n, T *__restrict y2n,
+                      uint8_t *__restrict pr, T sc_mch, T q,
+                      T e, T q2, T e2) {
+    // all arithmetic stays in T: with T=int8_t the compiler emits byte
+    // vectors (4x the lane width of int32). The int8 variant is only
+    // selected when the scoring parameters bound every value/sum away
+    // from the int8 limits (see ksw_extd2_impl's dispatch), so wrapping
+    // -vs- the SSE build's saturating ops can never be observed.
     for (int32_t i = 0; i < W; ++i) {
-        int32_t z = sr[i];
-        int32_t a = xs[i] + vs[i], b = yo[i] + uo[i];
-        int32_t a2 = x2s[i] + vs[i], b2 = y2o[i] + uo[i];
-        int32_t d = 0;
+        T z = sr[i];
+        T a = (T)(xs[i] + vs[i]), b = (T)(yo[i] + uo[i]);
+        T a2 = (T)(x2s[i] + vs[i]), b2 = (T)(y2o[i] + uo[i]);
+        T d = 0;
         if (WITH_CIGAR) {
             if (!RIGHT) {
                 d = a > z ? 1 : 0;
@@ -349,13 +358,13 @@ static void extd2_row(int32_t W, const int32_t *__restrict sr,
             z = b2 > z ? b2 : z;
         }
         z = z < sc_mch ? z : sc_mch;
-        un[i] = z - vs[i];
-        vn[i] = z - uo[i];
-        int32_t t1 = z - q, t2 = z - q2;
-        a -= t1;
-        b -= t1;
-        a2 -= t2;
-        b2 -= t2;
+        un[i] = (T)(z - vs[i]);
+        vn[i] = (T)(z - uo[i]);
+        T t1 = (T)(z - q), t2 = (T)(z - q2);
+        a = (T)(a - t1);
+        b = (T)(b - t1);
+        a2 = (T)(a2 - t2);
+        b2 = (T)(b2 - t2);
         bool ga, gb, ga2, gb2;
         if (!RIGHT) {
             ga = a > 0;
@@ -368,10 +377,10 @@ static void extd2_row(int32_t W, const int32_t *__restrict sr,
             ga2 = a2 >= 0;
             gb2 = b2 >= 0;
         }
-        xn[i] = (ga ? a : 0) - (q + e);
-        yn[i] = (gb ? b : 0) - (q + e);
-        x2n[i] = (ga2 ? a2 : 0) - (q2 + e2);
-        y2n[i] = (gb2 ? b2 : 0) - (q2 + e2);
+        xn[i] = (T)((ga ? a : 0) - (q + e));
+        yn[i] = (T)((gb ? b : 0) - (q + e));
+        x2n[i] = (T)((ga2 ? a2 : 0) - (q2 + e2));
+        y2n[i] = (T)((gb2 ? b2 : 0) - (q2 + e2));
         if (WITH_CIGAR)
             pr[i] = (uint8_t)(d | (ga ? 0x08 : 0) | (gb ? 0x10 : 0) |
                               (ga2 ? 0x20 : 0) | (gb2 ? 0x40 : 0));
@@ -530,7 +539,10 @@ struct KswArena {
 };
 static thread_local KswArena g_ksw_arena;
 
-int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
+}  // close extern "C": the templated impl needs C++ linkage
+
+template <typename T>
+static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
                   const uint8_t *target, const int8_t *mat /*5x5*/,
                   int32_t q, int32_t e, int32_t q2, int32_t e2, int32_t w,
                   int32_t zdrop, int32_t end_bonus, int32_t flag,
@@ -593,12 +605,12 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
     int32_t width_cap = n_col_ * 16;
     KswArena &ar = g_ksw_arena;
     {
-        size_t rb_sz = (size_t)(width_cap + 16) * 6 * sizeof(int32_t);
-        size_t total = sizeof(int32_t) * (size_t)tpad * 6 +
-                       sizeof(int32_t) * (tpad + 16) +
+        size_t rb_sz = (size_t)(width_cap + 16) * 6 * sizeof(T);
+        size_t total = sizeof(T) * (size_t)tpad * 6 +
+                       sizeof(T) * (tpad + 16) +
                        sizeof(int64_t) * (size_t)tpad +
-                       sizeof(int32_t) * (qlen_ * 16 + 16) +
-                       sizeof(int32_t) * ((size_t)tpad + qlen_ * 16 + 16) +
+                       sizeof(T) * (qlen_ * 16 + 16) +
+                       sizeof(T) * ((size_t)tpad + qlen_ * 16 + 16) +
                        sizeof(int32_t) * (size_t)R * 2 +
                        sizeof(int64_t) * (size_t)R +
                        (with_cigar ? (size_t)R * width_cap : 0) +
@@ -608,16 +620,16 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
             return -1;
         }
     }
-    int32_t *u = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)tpad * 6);
-    int32_t *v = u ? u + tpad : nullptr, *x = u ? v + tpad : nullptr;
-    int32_t *y = u ? x + tpad : nullptr;
-    int32_t *x2 = u ? y + tpad : nullptr, *y2 = u ? x2 + tpad : nullptr;
-    int32_t *s = (int32_t *)ar.carve(sizeof(int32_t) * (tpad + 16));
+    T *u = (T *)ar.carve(sizeof(T) * (size_t)tpad * 6);
+    T *v = u ? u + tpad : nullptr, *x = u ? v + tpad : nullptr;
+    T *y = u ? x + tpad : nullptr;
+    T *x2 = u ? y + tpad : nullptr, *y2 = u ? x2 + tpad : nullptr;
+    T *s = (T *)ar.carve(sizeof(T) * (tpad + 16));
     int64_t *H = approx_max ? nullptr
                             : (int64_t *)ar.carve(sizeof(int64_t) * tpad);
-    int32_t *qr = (int32_t *)ar.carve(sizeof(int32_t) * (qlen_ * 16 + 16));
-    int32_t *sf = (int32_t *)ar.carve(
-        sizeof(int32_t) * ((size_t)tpad + qlen_ * 16 + 16));
+    T *qr = (T *)ar.carve(sizeof(T) * (qlen_ * 16 + 16));
+    T *sf = (T *)ar.carve(
+        sizeof(T) * ((size_t)tpad + qlen_ * 16 + 16));
     int32_t *off = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)R * 2);
     int32_t *off_end = off ? off + R : nullptr;
     int64_t *poff = nullptr;
@@ -627,18 +639,18 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
         p = (uint8_t *)ar.carve((size_t)R * width_cap);
     }
     int32_t rb = width_cap + 16;
-    int32_t *rowbuf = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)rb * 6);
+    T *rowbuf = (T *)ar.carve(sizeof(T) * (size_t)rb * 6);
     if (!u || !s || (!approx_max && !H) || !qr || !sf || !off || !rowbuf ||
         (with_cigar && (!poff || !p))) {
         finish();
         return -1;
     }
-    memset(s, 0, sizeof(int32_t) * (tpad + 16));
-    memset(qr, 0, sizeof(int32_t) * (qlen_ * 16 + 16));
-    memset(sf, 0, sizeof(int32_t) * ((size_t)tpad + qlen_ * 16 + 16));
-    int32_t *xs_ = rowbuf, *vs_ = rowbuf + rb, *x2s_ = rowbuf + 2 * rb;
-    int32_t *uo_ = rowbuf + 3 * rb, *yo_ = rowbuf + 4 * rb;
-    int32_t *y2o_ = rowbuf + 5 * rb;
+    memset(s, 0, sizeof(T) * (tpad + 16));
+    memset(qr, 0, sizeof(T) * (qlen_ * 16 + 16));
+    memset(sf, 0, sizeof(T) * ((size_t)tpad + qlen_ * 16 + 16));
+    T *xs_ = rowbuf, *vs_ = rowbuf + rb, *x2s_ = rowbuf + 2 * rb;
+    T *uo_ = rowbuf + 3 * rb, *yo_ = rowbuf + 4 * rb;
+    T *y2o_ = rowbuf + 5 * rb;
     for (int32_t t = 0; t < tpad; ++t) {
         u[t] = v[t] = x[t] = y[t] = -q - e;
         x2[t] = y2[t] = -q2 - e2;
@@ -696,7 +708,7 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
             // for every iterated t: t >= st0 >= r-qlen+1 gives qoff+t >= 0,
             // tail lanes only move t upward, and the upper bound
             // qoff+en0+15 <= qlen+14 stays inside qr's padded extent.
-            const int32_t *qrq = qr + qoff;
+            const T *qrq = qr + qoff;
             int32_t en16 = (en0 - st0) / 16 * 16 + st0 + 15;
             for (int32_t t = st0; t <= en16; ++t) {
                 int32_t sq = sf[t];
@@ -721,35 +733,38 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
             int32_t W = en - st + 1;
             // snapshot the old row (shifted reads get the band-edge
             // boundary in slot 0) so the vector row can write in place
-            xs_[0] = x1;
-            vs_[0] = v1;
-            x2s_[0] = x21;
-            memcpy(xs_ + 1, x + st, (size_t)(W - 1) * sizeof(int32_t));
-            memcpy(vs_ + 1, v + st, (size_t)(W - 1) * sizeof(int32_t));
-            memcpy(x2s_ + 1, x2 + st, (size_t)(W - 1) * sizeof(int32_t));
-            memcpy(uo_, u + st, (size_t)W * sizeof(int32_t));
-            memcpy(yo_, y + st, (size_t)W * sizeof(int32_t));
-            memcpy(y2o_, y2 + st, (size_t)W * sizeof(int32_t));
+            xs_[0] = (T)x1;
+            vs_[0] = (T)v1;
+            x2s_[0] = (T)x21;
+            // inline copy loops: six memcpy CALLS per row cost more than
+            // the row kernel itself on narrow bands; these vectorize to
+            // a handful of inline loads/stores
+            for (int32_t i_ = 0; i_ < W - 1; ++i_) xs_[i_ + 1] = x[st + i_];
+            for (int32_t i_ = 0; i_ < W - 1; ++i_) vs_[i_ + 1] = v[st + i_];
+            for (int32_t i_ = 0; i_ < W - 1; ++i_) x2s_[i_ + 1] = x2[st + i_];
+            for (int32_t i_ = 0; i_ < W; ++i_) uo_[i_] = u[st + i_];
+            for (int32_t i_ = 0; i_ < W; ++i_) yo_[i_] = y[st + i_];
+            for (int32_t i_ = 0; i_ < W; ++i_) y2o_[i_] = y2[st + i_];
             if (with_cigar && !right)
-                extd2_row<true, false>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                extd2_row<true, false, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
                                        y2o_, u + st, v + st, x + st, y + st,
-                                       x2 + st, y2 + st, pr, sc_mch, q, e,
-                                       q2, e2);
+                                       x2 + st, y2 + st, pr, (T)sc_mch, (T)q, (T)e,
+                                       (T)q2, (T)e2);
             else if (with_cigar)
-                extd2_row<true, true>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                extd2_row<true, true, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
                                       y2o_, u + st, v + st, x + st, y + st,
-                                      x2 + st, y2 + st, pr, sc_mch, q, e,
-                                      q2, e2);
+                                      x2 + st, y2 + st, pr, (T)sc_mch, (T)q, (T)e,
+                                      (T)q2, (T)e2);
             else if (!right)
-                extd2_row<false, false>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                extd2_row<false, false, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
                                         y2o_, u + st, v + st, x + st, y + st,
-                                        x2 + st, y2 + st, nullptr, sc_mch, q,
-                                        e, q2, e2);
+                                        x2 + st, y2 + st, nullptr, (T)sc_mch, (T)q,
+                                        (T)e, (T)q2, (T)e2);
             else
-                extd2_row<false, true>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                extd2_row<false, true, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
                                        y2o_, u + st, v + st, x + st, y + st,
-                                       x2 + st, y2 + st, nullptr, sc_mch, q,
-                                       e, q2, e2);
+                                       x2 + st, y2 + st, nullptr, (T)sc_mch, (T)q,
+                                       (T)e, (T)q2, (T)e2);
         }
         if (!approx_max) {
             int64_t max_H;
@@ -820,6 +835,35 @@ int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
     finish();
     return 0;
 }
+
+extern "C" {
+
+
+int mm2_ksw_extd2(int32_t qlen, const uint8_t *query, int32_t tlen,
+                  const uint8_t *target, const int8_t *mat /*5x5*/,
+                  int32_t q, int32_t e, int32_t q2, int32_t e2, int32_t w,
+                  int32_t zdrop, int32_t end_bonus, int32_t flag,
+                  int64_t *ez_out, uint32_t **cigar_out,
+                  int32_t *n_cigar_out) {
+    // int8 rows (4x vector lanes) when the scoring envelope provably
+    // keeps every stored difference and intermediate sum inside int8 —
+    // then wrapping arithmetic equals the SSE build's saturating ops
+    // bit-for-bit. Otherwise (asm5-class penalties) the int32 rows run.
+    int32_t mx = 0;
+    for (int i = 0; i < 25; ++i) {
+        int32_t v = mat[i] < 0 ? -mat[i] : mat[i];
+        if (v > mx) mx = v;
+    }
+    int32_t hi_q = q > q2 ? q : q2, hi_e = e > e2 ? e : e2;
+    if ((q2 + e2) + (q + e) + (hi_q + hi_e) + 2 * mx + 4 <= 124)
+        return ksw_extd2_impl<int8_t>(qlen, query, tlen, target, mat, q, e,
+                                      q2, e2, w, zdrop, end_bonus, flag,
+                                      ez_out, cigar_out, n_cigar_out);
+    return ksw_extd2_impl<int32_t>(qlen, query, tlen, target, mat, q, e,
+                                   q2, e2, w, zdrop, end_bonus, flag,
+                                   ez_out, cigar_out, n_cigar_out);
+}
+
 
 // Donor/acceptor site score arrays (ksw2_exts2_sse.c:119-171 semantics,
 // mirrored from ops/ksw2_splice_ref.py::_site_arrays).
