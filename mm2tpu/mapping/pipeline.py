@@ -231,7 +231,12 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
     from ..ops.chain_pallas_v2 import chain_scores_device_v2, v_carry_host
     from ..parallel.batching import bucket_for, pack_tasks
 
-    interpret = jax.default_backend() != "tpu"
+    if mesh is not None:
+        # the mesh's platform governs (a virtual CPU mesh can coexist
+        # with a TPU default backend, e.g. the multichip dryrun)
+        interpret = mesh.devices.flat[0].platform != "tpu"
+    else:
+        interpret = jax.default_backend() != "tpu"
     results: List[Optional[FragResult]] = [None] * len(frag_seqs)
     ctxs: dict = {}
     pending: List[int] = []
