@@ -134,6 +134,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--align-backend", choices=["host", "tpu"],
                    help="send large DP fills to the Pallas ksw2 kernels "
                         "(bit-exact)")
+    p.add_argument("--seed-backend", choices=["host", "tpu"],
+                   help="tpu = probe the index, build and sort anchors on "
+                        "device, fused with chaining (batch mode only)")
     p.add_argument("--align-tpu-min-mat", type=int,
                    help="matrix-size threshold (cells) for the tpu align "
                         "backend [1M]")
@@ -345,6 +348,8 @@ def apply_args(args, io: IdxOptions, mo: MapOptions) -> None:
         mo.chain_backend = args.chain_backend
     if args.align_backend:
         mo.align_backend = args.align_backend
+    if args.seed_backend:
+        mo.seed_backend = args.seed_backend
     if args.align_tpu_min_mat is not None:
         mo.align_tpu_min_mat = args.align_tpu_min_mat
     if args.print_seeds:  # forces -t 1 like main.c:194

@@ -46,9 +46,11 @@ class _FragCtx:
 
 
 def _prepare(mi: MMIndex, seqs: Sequence[str], opt: MapOptions,
-             qname: Optional[str]):
+             qname: Optional[str], seed_hits: bool = True):
     """Seeding stage of mm_map_frag (map.c:272-316). Returns a _FragCtx,
-    or a final FragResult for degenerate inputs."""
+    or a final FragResult for degenerate inputs. With seed_hits=False
+    only the minimizers are collected (ctx.sr stays None — the batched
+    device-seeding path fills it from the chip)."""
     n_segs = len(seqs)
     qlens = [len(s) for s in seqs]
     qlen_sum = sum(qlens)
@@ -58,7 +60,8 @@ def _prepare(mi: MMIndex, seqs: Sequence[str], opt: MapOptions,
     hash_ = reg_hash(qname, qlen_sum, opt.seed)
     with profiling.stage("seed"):
         mv = collect_minimizers(mi, opt, seqs, qlens)
-        sr = collect_seed_hits(mi, opt, opt.mid_occ, mv, qname, qlen_sum)
+        sr = (collect_seed_hits(mi, opt, opt.mid_occ, mv, qname, qlen_sum)
+              if seed_hits else None)
     gap_qry, gap_ref = chain_gaps(opt, qlen_sum)
     return _FragCtx(seqs=seqs, qlens=qlens, qlen_sum=qlen_sum, qname=qname,
                     hash_=hash_, is_splice=bool(opt.flag & MM_F_SPLICE),
@@ -190,6 +193,170 @@ def _post_chain(mi: MMIndex, ctx: _FragCtx, opt: MapOptions,
     return res
 
 
+def _seed_device_eligible(opt: MapOptions, ctx: "_FragCtx") -> bool:
+    from ..options import (MM_F_FOR_ONLY, MM_F_NO_DIAG, MM_F_NO_DUAL,
+                           MM_F_REV_ONLY)
+    return (ctx.n_segs == 1 and not ctx.is_splice and
+            not (opt.flag & (MM_F_NO_DIAG | MM_F_NO_DUAL | MM_F_FOR_ONLY |
+                             MM_F_REV_ONLY)) and
+            0 < opt.mid_occ < 4096 and len(ctx.mv) > 0)
+
+
+def _seed_device_round(mi: MMIndex, opt: MapOptions, ctxs: dict,
+                       idxs: List[int], interpret: bool) -> dict:
+    """Device-side seeding + chaining for eligible fragments
+    (ops/seed_device.py): host sketches, the chip probes the replicated
+    index, builds/sorts anchors and chains them in one dispatch per
+    bucket. Fills ctx.sr and returns {i: (a, u)} backtrack results.
+    Fragments whose anchor totals exceed the largest bucket fall back to
+    host seeding (caller handles ctx.sr is None)."""
+    import jax  # noqa: F401  (jit dispatch below)
+
+    from ..native import lib as native_lib
+    from ..ops import chain_ref
+    from ..ops import seed_device as sd
+    from ..parallel.batching import bucket_for
+    from .seed import SeedResult
+
+    dev = sd.prepare_index_device(mi)
+    mid_occ = int(opt.mid_occ)
+    PAD_QHI = np.int32(0x7FFFFFFF)  # > any real key hi: guaranteed miss
+    B_CH = 32
+
+    prep = {}
+    for i in idxs:
+        prep[i] = sd.split_query_minimizers(ctxs[i].mv)
+
+    def m_bucket(m):
+        for b in (512, 2048, 8192):
+            if m <= b:
+                return b
+        return -(-m // 8192) * 8192
+
+    # ---- phase 1: occurrence counts (per M bucket) ----
+    cnts = {}
+    groups: dict = {}
+    for i in idxs:
+        groups.setdefault(m_bucket(len(ctxs[i].mv)), []).append(i)
+    with profiling.stage("seed.device_probe"):
+        for M, members in sorted(groups.items()):
+            for off in range(0, len(members), B_CH):
+                chunk = members[off:off + B_CH]
+                B = B_CH if len(members) > B_CH else \
+                    max(8, -(-len(chunk) // 8) * 8)
+                qhi = np.full((B, M), PAD_QHI, np.int32)
+                qlo = np.zeros((B, M), np.int32)
+                for r, i in enumerate(chunk):
+                    h, l, _, _, _ = prep[i]
+                    qhi[r, :len(h)] = h
+                    qlo[r, :len(h)] = l
+                c = np.asarray(sd.probe_counts(
+                    dev["khi"], dev["klo"], dev["start"], dev["cnt"],
+                    qhi, qlo, interpret=interpret))
+                for r, i in enumerate(chunk):
+                    cnts[i] = c[r, :len(ctxs[i].mv)]
+
+    # ---- host: rep_len / mini_pos / totals / avg (seed.py semantics) ----
+    meta = {}
+    outs: dict = {}
+    for i in idxs:
+        qhi_, qlo_, qpos, qspan, qtand = prep[i]
+        c = cnts[i]
+        over = c >= mid_occ
+        rep_len = 0
+        rep_st = rep_en = 0
+        for j in np.nonzero(over)[0]:
+            en = int(qpos[j] >> 1) + 1
+            st = en - int(qspan[j])
+            if st > rep_en:
+                rep_len += rep_en - rep_st
+                rep_st, rep_en = st, en
+            else:
+                rep_en = en
+        rep_len += rep_en - rep_st
+        keep = ~over
+        mini_pos = (qspan[keep].astype(np.uint64) << np.uint64(32)) | \
+            (qpos[keep].astype(np.int64) >> 1).astype(np.uint64)
+        total = int(c[keep].sum())
+        sum_span = int((qspan[keep].astype(np.int64) * c[keep]).sum())
+        avg = np.float32((0.01 * float(np.float32(sum_span))) /
+                         total) if total else np.float32(0.0)
+        meta[i] = (rep_len, mini_pos, total, avg)
+        if total == 0:
+            ctxs[i].sr = SeedResult(np.zeros((0, 2), np.uint64), rep_len,
+                                    mini_pos, len(ctxs[i].mv))
+            outs[i] = (np.zeros((0, 2), np.uint64), np.zeros(0, np.uint64))
+
+    # ---- phase 2: fused seed+sort+chain per (M, N) bucket ----
+    iter_cap = min(1024, opt.max_chain_iter)
+    groups2: dict = {}
+    for i in idxs:
+        rep_len, mini_pos, total, avg = meta[i]
+        if total == 0:
+            continue
+        N = bucket_for(total)
+        if N > 131072:
+            ctxs[i].sr = None  # host fallback
+            continue
+        groups2.setdefault((m_bucket(len(ctxs[i].mv)), N,
+                            ctxs[i].gap_ref, ctxs[i].gap_qry), []).append(i)
+    for (M, N, gap_ref, gap_qry), members in sorted(groups2.items()):
+        for off in range(0, len(members), B_CH):
+            chunk = members[off:off + B_CH]
+            B = B_CH if len(members) > B_CH else \
+                max(8, -(-len(chunk) // 8) * 8)
+            qhi = np.full((B, M), PAD_QHI, np.int32)
+            qlo = np.zeros((B, M), np.int32)
+            qpos_a = np.zeros((B, M), np.int32)
+            qspan_a = np.zeros((B, M), np.int32)
+            qtand_a = np.zeros((B, M), np.int32)
+            qlen_a = np.ones(B, np.int32)
+            avg_a = np.zeros((B, 1), np.float32)
+            for r, i in enumerate(chunk):
+                h, l, qpos, qspan, qtand = prep[i]
+                m = len(h)
+                qhi[r, :m] = h
+                qlo[r, :m] = l
+                qpos_a[r, :m] = qpos
+                qspan_a[r, :m] = qspan
+                qtand_a[r, :m] = qtand
+                qlen_a[r] = ctxs[i].qlen_sum
+                avg_a[r, 0] = meta[i][3]
+            with profiling.stage("seed.device_chain"):
+                xhi_s, xlo, yhi, ylo, f, p, total_d = sd.seed_chain_device(
+                    dev["khi"], dev["klo"], dev["start"], dev["cnt"],
+                    dev["poshi"], dev["poslo"], qhi, qlo, qpos_a, qspan_a,
+                    qtand_a, qlen_a, avg_a, N=N, mid_occ=mid_occ,
+                    max_dist_x=gap_ref, max_dist_y=gap_qry, bw=opt.bw,
+                    iter_cap=iter_cap,
+                    gap_scale=float(opt.chain_gap_scale),
+                    interpret=interpret,
+                    rows_per_program=2 if B % 2 == 0 else 1)
+                xhi_s, xlo = np.asarray(xhi_s), np.asarray(xlo)
+                yhi, ylo = np.asarray(yhi), np.asarray(ylo)
+                f = np.asarray(f).astype(np.int32)
+                p = np.asarray(p).astype(np.int32)
+                total_d = np.asarray(total_d)
+            with profiling.stage("chain.backtrack"):
+                for r, i in enumerate(chunk):
+                    rep_len, mini_pos, total, _ = meta[i]
+                    assert int(total_d[r]) == total, (i, total_d[r], total)
+                    a = sd.anchors_from_device(xhi_s[r], xlo[r], yhi[r],
+                                               ylo[r], total)
+                    ctxs[i].sr = SeedResult(a, rep_len, mini_pos,
+                                            len(ctxs[i].mv))
+                    v = native_lib.v_carry(f[r, :total], p[r, :total]) \
+                        if native_lib.available() else None
+                    if v is None:
+                        from ..ops.chain_pallas_v2 import v_carry_host
+                        v = v_carry_host(f[r:r + 1, :total],
+                                         p[r:r + 1, :total])[0]
+                    outs[i] = chain_ref.chain_backtrack(
+                        total, f[r, :total], p[r, :total], v, a,
+                        opt.min_cnt, opt.min_chain_score)
+    return outs
+
+
 _SHARDED_STEPS: dict = {}
 
 
@@ -240,8 +407,9 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
     results: List[Optional[FragResult]] = [None] * len(frag_seqs)
     ctxs: dict = {}
     pending: List[int] = []
+    use_dev_seed = opt.seed_backend == "tpu"
     for i, (seqs, qname) in enumerate(zip(frag_seqs, qnames)):
-        prep = _prepare(mi, seqs, opt, qname)
+        prep = _prepare(mi, seqs, opt, qname, seed_hits=not use_dev_seed)
         if isinstance(prep, FragResult):
             results[i] = prep
         else:
@@ -311,7 +479,21 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
                             opt.min_cnt, opt.min_chain_score)
         return outs
 
-    outs = run_round(pending)
+    if use_dev_seed:
+        elig = [i for i in pending if _seed_device_eligible(opt, ctxs[i])]
+        outs = _seed_device_round(mi, opt, ctxs, elig, interpret)
+        rest = []
+        for i in pending:
+            if ctxs[i].sr is None:  # ineligible or device-bucket overflow
+                with profiling.stage("seed"):
+                    ctxs[i].sr = collect_seed_hits(
+                        mi, opt, opt.mid_occ, ctxs[i].mv, ctxs[i].qname,
+                        ctxs[i].qlen_sum)
+            if i not in outs:
+                rest.append(i)
+        outs.update(run_round(rest))
+    else:
+        outs = run_round(pending)
     rechain = []
     for i in pending:
         a, u = outs[i]

@@ -121,6 +121,8 @@ class MapOptions:
     # affine fills above align_tpu_min_mat cells to the Pallas kernel
     align_backend: str = "host"  # host | tpu
     align_tpu_min_mat: int = 1 << 20
+    # device-side seeding in --map-mode batch (ops/seed_device.py)
+    seed_backend: str = "host"  # host | tpu
     # debug channels (mm_dbg_flag, mmpriv.h:12-15)
     dbg_print_aln_seq: bool = False
     dbg_print_qname: bool = False

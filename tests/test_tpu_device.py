@@ -159,3 +159,13 @@ def test_cli_align_backend_tpu_e2e():
     gstrip = "\n".join(l for l in golden.splitlines()
                        if not l.startswith("@PG"))
     assert strip == gstrip
+
+
+def test_cli_seed_backend_tpu_e2e():
+    """Device-seeded batch path compiled on the real chip: probe + anchor
+    construction + sort + chaining fused on-device, byte-identical."""
+    out = _run_cli_device(
+        "-x map-ont -c --map-mode batch --seed-backend tpu "
+        "/root/reference/test/MT-orang.fa /root/reference/test/MT-human.fa")
+    golden = open(pathlib.Path(REPO) / "tests/golden/mapont_MT_c.paf").read()
+    assert out == golden
