@@ -110,7 +110,7 @@ def f1_estimate(ref, reads):
     mapopt_update(mo, mi)
     rs = list(read_fastx(reads))
     sample = rs[:: max(1, len(rs) // 200)][:200]
-    hw_ms = sw_ms = placed_hw_ms = placed_sw_ms = 0.0
+    feats = []
     total_anchors = 0
     for r in sample:
         mv = collect_minimizers(mi, mo, [r.seq], [len(r.seq)])
@@ -120,28 +120,36 @@ def f1_estimate(ref, reads):
             continue
         gap_qry, gap_ref = chain_gaps(mo, len(r.seq))
         _, sub, trip = num_subparts(sr.anchors, gap_ref)
-        t_hw = F1_K1_HW * n + F1_K2_HW * sub + F1_C_HW
-        t_sw = max(F1_K_SW * trip + F1_C_SW, 0.01)
-        hw_ms += t_hw
-        sw_ms += t_sw
-        if t_hw < t_sw:
-            placed_hw_ms += t_hw
-        else:
-            placed_sw_ms += t_sw
+        feats.append((n, sub, trip))
         total_anchors += n
     scale = len(rs) / max(1, len(sample))
+    # CPU chaining time on THIS host, distributed over tasks by tripcount
+    # (the fork's own t_sw constants describe the f1.2xlarge CPU, which
+    # is ~5x faster per trip than this box's single core — using them
+    # directly would credit the F1's host with speed it gets from
+    # hardware we are not comparing against)
+    total_trip = sum(t for _, _, t in feats) * scale
+    placed_hw_ms = placed_sw_ms = 0.0
+    for n, sub, trip in feats:
+        t_hw = F1_K1_HW * n + F1_K2_HW * sub + F1_C_HW
+        t_sw_host = REF_PAF_CHAIN_S * 1e3 * trip / max(total_trip, 1)
+        if t_hw < t_sw_host:
+            placed_hw_ms += t_hw
+        else:
+            placed_sw_ms += t_sw_host
     fpga_s = placed_hw_ms * scale / 1e3
+    cpu_chain_s = placed_sw_ms * scale / 1e3
     nonchain = REF_PAF_S - REF_PAF_CHAIN_S
-    # 1-core estimate holds the host constant (this box has ONE core, so
-    # chip-vs-card comparisons at equal host are the like-for-like number);
-    # the 8-core estimate models the full f1.2xlarge (8 vCPUs + FPGA)
-    t_1c = nonchain + fpga_s + placed_sw_ms * scale / 1e3
-    t_8c = nonchain / F1_HOST_CORES + fpga_s + \
-        placed_sw_ms * scale / 1e3 / F1_HOST_CORES
+    # 1-core estimate holds the host constant (this box has ONE core:
+    # chip-vs-card at equal host is the like-for-like number); the 8-core
+    # estimate models the full f1.2xlarge (8 vCPUs + FPGA) with perfect
+    # host scaling — both favorable to F1
+    t_1c = nonchain + fpga_s + cpu_chain_s
+    t_8c = nonchain / F1_HOST_CORES + fpga_s + cpu_chain_s / F1_HOST_CORES
     return dict(f1_1core_reads_per_s=round(len(rs) / t_1c, 1),
                 f1_8core_reads_per_s=round(len(rs) / t_8c, 1),
                 f1_fpga_chain_s=round(fpga_s, 3),
-                f1_cpu_chain_s=round(placed_sw_ms * scale / 1e3, 3),
+                f1_cpu_chain_s=round(cpu_chain_s, 3),
                 sample_anchors_per_read=int(total_anchors /
                                             max(1, len(sample))))
 
