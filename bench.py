@@ -290,29 +290,6 @@ def main():
     extra["e2e_auto_reads_per_s"] = round(n_reads / t_auto, 1)
     extra["ref_binary_paf_reads_per_s"] = round(n_reads / REF_PAF_S, 1)
 
-    # batched device-chaining path: cold (compile/load) then steady-state
-    log("device batch PAF cold...")
-    t_cold, out_dev = run_cli(["-x", "map-ont", "--map-mode", "batch",
-                               idx, reads])
-    log("device batch PAF steady...")
-    t_steady, out_dev2 = run_cli(["-x", "map-ont", "--map-mode", "batch",
-                                  idx, reads])
-    parity = (out_dev == out_host) and (out_dev2 == out_dev)
-    extra["e2e_cold_s"] = round(t_cold, 2)
-    extra["e2e_device_batch_s"] = round(t_steady, 2)
-    extra["e2e_device_batch_reads_per_s"] = round(n_reads / t_steady, 1)
-    extra["parity_batch_vs_host"] = parity
-
-    # device-seeded path: probe + anchor construction + sort + chaining
-    # fused on device (ops/seed_device.py)
-    log("device-seeded batch PAF...")
-    run_cli(["-x", "map-ont", "--map-mode", "batch", "--seed-backend",
-             "tpu", idx, reads])
-    t_seed, out_seed = run_cli(["-x", "map-ont", "--map-mode", "batch",
-                                "--seed-backend", "tpu", idx, reads])
-    extra["e2e_device_seed_s"] = round(t_seed, 2)
-    extra["parity_devseed_vs_host"] = out_seed == out_host
-
     reads_per_s = n_reads / t_auto
 
     # host SAM (the -a mode; reference comparison single core)
@@ -336,6 +313,37 @@ def main():
     kc = ksw2_kernel_bench()
     if kc:
         extra["ksw2_cells_per_s"] = round(kc, 0)
+
+    # device-path e2e runs last: on a cold compile cache the one-time
+    # program loads dominate, so they are budget-gated (the headline and
+    # kernel numbers above are already in hand)
+    budget = float(os.environ.get("MM2TPU_BENCH_BUDGET", "2400"))
+    if time.time() - t_start < budget * 0.55:
+        log("device batch PAF cold...")
+        t_cold, out_dev = run_cli(["-x", "map-ont", "--map-mode", "batch",
+                                   idx, reads])
+        log("device batch PAF steady...")
+        t_steady, out_dev2 = run_cli(["-x", "map-ont", "--map-mode",
+                                      "batch", idx, reads])
+        extra["e2e_cold_s"] = round(t_cold, 2)
+        extra["e2e_device_batch_s"] = round(t_steady, 2)
+        extra["e2e_device_batch_reads_per_s"] = round(n_reads / t_steady, 1)
+        extra["parity_batch_vs_host"] = (out_dev == out_host) and \
+            (out_dev2 == out_dev)
+    else:
+        extra["e2e_device_batch_s"] = "skipped_budget"
+    if time.time() - t_start < budget * 0.75:
+        # device-seeded path: probe + anchor construction + sort + chain
+        # fused on device (ops/seed_device.py)
+        log("device-seeded batch PAF...")
+        run_cli(["-x", "map-ont", "--map-mode", "batch", "--seed-backend",
+                 "tpu", idx, reads])
+        t_seed, out_seed = run_cli(["-x", "map-ont", "--map-mode", "batch",
+                                    "--seed-backend", "tpu", idx, reads])
+        extra["e2e_device_seed_s"] = round(t_seed, 2)
+        extra["parity_devseed_vs_host"] = out_seed == out_host
+    else:
+        extra["e2e_device_seed_s"] = "skipped_budget"
     extra["bench_total_s"] = round(time.time() - t_start, 1)
 
     print(json.dumps({
