@@ -392,25 +392,25 @@ static void extd2_row(int32_t W, const T *__restrict sr,
 // q2 at donor sites, closing adds the acceptor score, extension is free,
 // and there is no score clip (ksw2_exts2_sse.c semantics, mirrored from
 // ops/ksw2_splice_ref.py).
-template <bool WITH_CIGAR, bool RIGHT>
-static void exts2_row(int32_t W, const int32_t *__restrict sr,
-                      const int32_t *__restrict xs,
-                      const int32_t *__restrict vs,
-                      const int32_t *__restrict x2s,
-                      const int32_t *__restrict uo,
-                      const int32_t *__restrict yo,
-                      const int32_t *__restrict dn,
-                      const int32_t *__restrict ac,
-                      int32_t *__restrict un, int32_t *__restrict vn,
-                      int32_t *__restrict xn, int32_t *__restrict yn,
-                      int32_t *__restrict x2n, uint8_t *__restrict pr,
-                      int32_t q, int32_t e, int32_t q2) {
+template <bool WITH_CIGAR, bool RIGHT, typename T = int32_t>
+static void exts2_row(int32_t W, const T *__restrict sr,
+                      const T *__restrict xs,
+                      const T *__restrict vs,
+                      const T *__restrict x2s,
+                      const T *__restrict uo,
+                      const T *__restrict yo,
+                      const T *__restrict dn,
+                      const T *__restrict ac,
+                      T *__restrict un, T *__restrict vn,
+                      T *__restrict xn, T *__restrict yn,
+                      T *__restrict x2n, uint8_t *__restrict pr,
+                      T q, T e, T q2) {
     for (int32_t i = 0; i < W; ++i) {
-        int32_t z = sr[i];
-        int32_t a = xs[i] + vs[i], b = yo[i] + uo[i];
-        int32_t a2 = x2s[i] + vs[i];
-        int32_t a2a = a2 + ac[i];
-        int32_t d = 0;
+        T z = sr[i];
+        T a = (T)(xs[i] + vs[i]), b = (T)(yo[i] + uo[i]);
+        T a2 = (T)(x2s[i] + vs[i]);
+        T a2a = (T)(a2 + ac[i]);
+        T d = 0;
         if (WITH_CIGAR) {
             if (!RIGHT) {
                 d = a > z ? 1 : 0;
@@ -432,12 +432,12 @@ static void exts2_row(int32_t W, const int32_t *__restrict sr,
             z = b > z ? b : z;
             z = a2a > z ? a2a : z;
         }
-        un[i] = z - vs[i];
-        vn[i] = z - uo[i];
-        int32_t t1 = z - q;
-        a -= t1;
-        b -= t1;
-        a2 -= z - q2;
+        un[i] = (T)(z - vs[i]);
+        vn[i] = (T)(z - uo[i]);
+        T t1 = (T)(z - q);
+        a = (T)(a - t1);
+        b = (T)(b - t1);
+        a2 = (T)(a2 - (T)(z - q2));
         bool ga, gb, ga2;
         if (!RIGHT) {
             ga = a > 0;
@@ -448,9 +448,9 @@ static void exts2_row(int32_t W, const int32_t *__restrict sr,
             gb = b >= 0;
             ga2 = a2 >= dn[i];
         }
-        xn[i] = (ga ? a : 0) - (q + e);
-        yn[i] = (gb ? b : 0) - (q + e);
-        x2n[i] = (a2 > dn[i] ? a2 : dn[i]) - q2;
+        xn[i] = (T)((ga ? a : 0) - (q + e));
+        yn[i] = (T)((gb ? b : 0) - (q + e));
+        x2n[i] = (T)((a2 > dn[i] ? a2 : dn[i]) - q2);
         if (WITH_CIGAR)
             pr[i] = (uint8_t)(d | (ga ? 0x08 : 0) | (gb ? 0x10 : 0) |
                               (ga2 ? 0x20 : 0));
@@ -933,7 +933,10 @@ static void exts2_sites(int32_t tlen, int32_t tpad, const uint8_t *t,
 // ksw2 exts2 (splice) extension DP. Same observable semantics as the
 // SSE4.1 build, mirrored from ops/ksw2_splice_ref.py (the tested
 // oracle). ez_out layout as mm2_ksw_extd2. junc may be null.
-int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
+}  // close extern "C": templated exts2 impl needs C++ linkage
+
+template <typename T>
+static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
                   const uint8_t *target, const int8_t *mat /*5x5*/,
                   int32_t q, int32_t e, int32_t q2, int32_t noncan,
                   int32_t zdrop, int32_t junc_bonus, int32_t flag,
@@ -983,36 +986,38 @@ int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
     int32_t width_cap = (n_col_ + 30 + 15) / 16 * 16;
     KswArena &ar = g_ksw_arena;
     {
-        size_t rb_sz = (size_t)(width_cap + 16) * 5 * sizeof(int32_t);
-        size_t total = sizeof(int32_t) * (size_t)tpad * 5 +
-                       sizeof(int32_t) * (tpad + 16) +
+        size_t rb_sz = (size_t)(width_cap + 16) * 5 * sizeof(T);
+        size_t total = sizeof(T) * (size_t)tpad * 5 +
+                       sizeof(T) * (tpad + 16) +
                        sizeof(int64_t) * (size_t)tpad +
-                       sizeof(int32_t) * (qlen_ * 16 + 16) +
-                       sizeof(int32_t) * ((size_t)tpad + qlen_ * 16 + 16) +
+                       sizeof(T) * (qlen_ * 16 + 16) +
+                       sizeof(T) * ((size_t)tpad + qlen_ * 16 + 16) +
                        sizeof(int32_t) * (size_t)tpad * 2 +
+                       sizeof(T) * (size_t)tpad * 2 +
                        sizeof(int32_t) * (size_t)R * 2 +
                        sizeof(int64_t) * (size_t)R +
                        (with_cigar ? (size_t)R * width_cap : 0) +
-                       rb_sz + 64 * 11;
+                       rb_sz + 64 * 12;
         if (!ar.reserve(total)) {
             finish();
             return -1;
         }
     }
-    int32_t *u = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)tpad * 5);
-    int32_t *v = u ? u + tpad : nullptr, *x = u ? v + tpad : nullptr;
-    int32_t *y = u ? x + tpad : nullptr, *x2 = u ? y + tpad : nullptr;
-    int32_t *s = (int32_t *)ar.carve(sizeof(int32_t) * (tpad + 16));
+    T *u = (T *)ar.carve(sizeof(T) * (size_t)tpad * 5);
+    T *v = u ? u + tpad : nullptr, *x = u ? v + tpad : nullptr;
+    T *y = u ? x + tpad : nullptr, *x2 = u ? y + tpad : nullptr;
+    T *s = (T *)ar.carve(sizeof(T) * (tpad + 16));
     int64_t *H = approx_max ? nullptr
                             : (int64_t *)ar.carve(sizeof(int64_t) * tpad);
-    int32_t *qr = (int32_t *)ar.carve(sizeof(int32_t) * (qlen_ * 16 + 16));
-    int32_t *sf = (int32_t *)ar.carve(
-        sizeof(int32_t) * ((size_t)tpad + qlen_ * 16 + 16));
-    int32_t *sites = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)tpad * 2);
+    T *qr = (T *)ar.carve(sizeof(T) * (qlen_ * 16 + 16));
+    T *sf = (T *)ar.carve(
+        sizeof(T) * ((size_t)tpad + qlen_ * 16 + 16));
+    int32_t *sites32 = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)tpad * 2);
+    T *sites = (T *)ar.carve(sizeof(T) * (size_t)tpad * 2);
     int32_t *off = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)R * 2);
     int32_t *off_end = off ? off + R : nullptr;
     int32_t rb = width_cap + 16;
-    int32_t *rowbuf = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)rb * 5);
+    T *rowbuf = (T *)ar.carve(sizeof(T) * (size_t)rb * 5);
     int64_t *poff = nullptr;
     uint8_t *p = nullptr;
     if (with_cigar) {
@@ -1024,12 +1029,12 @@ int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
         finish();
         return -1;
     }
-    memset(s, 0, sizeof(int32_t) * (tpad + 16));
-    memset(qr, 0, sizeof(int32_t) * (qlen_ * 16 + 16));
-    memset(sf, 0, sizeof(int32_t) * ((size_t)tpad + qlen_ * 16 + 16));
-    int32_t *donor = sites, *acceptor = sites + tpad;
-    int32_t *xs_ = rowbuf, *vs_ = rowbuf + rb, *x2s_ = rowbuf + 2 * rb;
-    int32_t *uo_ = rowbuf + 3 * rb, *yo_ = rowbuf + 4 * rb;
+    memset(s, 0, sizeof(T) * (tpad + 16));
+    memset(qr, 0, sizeof(T) * (qlen_ * 16 + 16));
+    memset(sf, 0, sizeof(T) * ((size_t)tpad + qlen_ * 16 + 16));
+    T *donor = sites, *acceptor = sites + tpad;
+    T *xs_ = rowbuf, *vs_ = rowbuf + rb, *x2s_ = rowbuf + 2 * rb;
+    T *uo_ = rowbuf + 3 * rb, *yo_ = rowbuf + 4 * rb;
     for (int32_t t = 0; t < tpad; ++t) {
         u[t] = v[t] = x[t] = y[t] = -q - e;
         x2[t] = -q2;
@@ -1038,8 +1043,9 @@ int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
     for (int32_t i = 0; i < qlen; ++i) qr[i] = query[qlen - 1 - i];
     for (int32_t t = 0; t < tlen; ++t) sf[t] = target[t];
     for (int32_t i = 0; i < qlen_ * 16 + 16; ++i) sf[tpad + i] = qr[i];
-    exts2_sites(tlen, tpad, target, junc, noncan, junc_bonus, flag, donor,
-                acceptor);
+    exts2_sites(tlen, tpad, target, junc, noncan, junc_bonus, flag,
+                sites32, sites32 + tpad);
+    for (int32_t i = 0; i < 2 * tpad; ++i) sites[i] = (T)sites32[i];
 
     int64_t H0 = 0;
     int32_t last_H0_t = 0, last_st = -1, last_en = -1;
@@ -1081,7 +1087,7 @@ int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
             // for every iterated t: t >= st0 >= r-qlen+1 gives qoff+t >= 0,
             // tail lanes only move t upward, and the upper bound
             // qoff+en0+15 <= qlen+14 stays inside qr's padded extent.
-            const int32_t *qrq = qr + qoff;
+            const T *qrq = qr + qoff;
             int32_t en16 = (en0 - st0) / 16 * 16 + st0 + 15;
             for (int32_t t = st0; t <= en16; ++t) {
                 int32_t sq = sf[t];
@@ -1107,31 +1113,31 @@ int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
             xs_[0] = x1;
             vs_[0] = v1;
             x2s_[0] = x21;
-            memcpy(xs_ + 1, x + st, (size_t)(W - 1) * sizeof(int32_t));
-            memcpy(vs_ + 1, v + st, (size_t)(W - 1) * sizeof(int32_t));
-            memcpy(x2s_ + 1, x2 + st, (size_t)(W - 1) * sizeof(int32_t));
-            memcpy(uo_, u + st, (size_t)W * sizeof(int32_t));
-            memcpy(yo_, y + st, (size_t)W * sizeof(int32_t));
+            memcpy(xs_ + 1, x + st, (size_t)(W - 1) * sizeof(T));
+            memcpy(vs_ + 1, v + st, (size_t)(W - 1) * sizeof(T));
+            memcpy(x2s_ + 1, x2 + st, (size_t)(W - 1) * sizeof(T));
+            memcpy(uo_, u + st, (size_t)W * sizeof(T));
+            memcpy(yo_, y + st, (size_t)W * sizeof(T));
             if (with_cigar && !right)
-                exts2_row<true, false>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                exts2_row<true, false, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
                                        donor + st, acceptor + st, u + st,
                                        v + st, x + st, y + st, x2 + st, pr,
-                                       q, e, q2);
+                                       (T)q, (T)e, (T)q2);
             else if (with_cigar)
-                exts2_row<true, true>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                exts2_row<true, true, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
                                       donor + st, acceptor + st, u + st,
                                       v + st, x + st, y + st, x2 + st, pr,
-                                      q, e, q2);
+                                      (T)q, (T)e, (T)q2);
             else if (!right)
-                exts2_row<false, false>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                exts2_row<false, false, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
                                         donor + st, acceptor + st, u + st,
                                         v + st, x + st, y + st, x2 + st,
-                                        nullptr, q, e, q2);
+                                        nullptr, (T)q, (T)e, (T)q2);
             else
-                exts2_row<false, true>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
+                exts2_row<false, true, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
                                        donor + st, acceptor + st, u + st,
                                        v + st, x + st, y + st, x2 + st,
-                                       nullptr, q, e, q2);
+                                       nullptr, (T)q, (T)e, (T)q2);
         }
         if (!approx_max) {
             int64_t max_H;
@@ -1199,6 +1205,32 @@ int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
     finish();
     return 0;
 }
+
+extern "C" {
+
+
+int mm2_ksw_exts2(int32_t qlen, const uint8_t *query, int32_t tlen,
+                  const uint8_t *target, const int8_t *mat /*5x5*/,
+                  int32_t q, int32_t e, int32_t q2, int32_t noncan,
+                  int32_t zdrop, int32_t junc_bonus, int32_t flag,
+                  const uint8_t *junc, int64_t *ez_out, uint32_t **cigar_out,
+                  int32_t *n_cigar_out) {
+    // int8 rows when the splice scoring envelope provably fits (same
+    // reasoning as mm2_ksw_extd2's dispatch); int32 otherwise
+    int32_t mx = 0;
+    for (int i = 0; i < 25; ++i) {
+        int32_t v = mat[i] < 0 ? -mat[i] : mat[i];
+        if (v > mx) mx = v;
+    }
+    if (2 * (mx + q + e) + 2 * q2 + noncan + junc_bonus + 8 <= 120)
+        return ksw_exts2_impl<int8_t>(qlen, query, tlen, target, mat, q, e,
+                                      q2, noncan, zdrop, junc_bonus, flag,
+                                      junc, ez_out, cigar_out, n_cigar_out);
+    return ksw_exts2_impl<int32_t>(qlen, query, tlen, target, mat, q, e,
+                                   q2, noncan, zdrop, junc_bonus, flag,
+                                   junc, ez_out, cigar_out, n_cigar_out);
+}
+
 
 void mm2_free(void *ptr) { free(ptr); }
 
