@@ -736,15 +736,36 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
             xs_[0] = (T)x1;
             vs_[0] = (T)v1;
             x2s_[0] = (T)x21;
-            // inline copy loops: six memcpy CALLS per row cost more than
-            // the row kernel itself on narrow bands; these vectorize to
-            // a handful of inline loads/stores
-            for (int32_t i_ = 0; i_ < W - 1; ++i_) xs_[i_ + 1] = x[st + i_];
-            for (int32_t i_ = 0; i_ < W - 1; ++i_) vs_[i_ + 1] = v[st + i_];
-            for (int32_t i_ = 0; i_ < W - 1; ++i_) x2s_[i_ + 1] = x2[st + i_];
-            for (int32_t i_ = 0; i_ < W; ++i_) uo_[i_] = u[st + i_];
-            for (int32_t i_ = 0; i_ < W; ++i_) yo_[i_] = y[st + i_];
-            for (int32_t i_ = 0; i_ < W; ++i_) y2o_[i_] = y2[st + i_];
+            // memcpy here, NOT element loops: gcc leaves the int8
+            // instantiation's copy loops scalar (measured 330 ns/row —
+            // 10x the row kernel itself); memcpy's small-size fast path
+            // is ~20 ns per call
+            {
+                const T *__restrict xr = x + st;
+                const T *__restrict vr = v + st;
+                const T *__restrict x2r = x2 + st;
+                const T *__restrict ur = u + st;
+                const T *__restrict yr = y + st;
+                const T *__restrict y2r = y2 + st;
+                T *__restrict xsw = xs_ + 1;
+                T *__restrict vsw = vs_ + 1;
+                T *__restrict x2sw = x2s_ + 1;
+                T *__restrict uow = uo_;
+                T *__restrict yow = yo_;
+                T *__restrict y2ow = y2o_;
+#pragma GCC ivdep
+                for (int32_t i_ = 0; i_ < W; ++i_) {
+                    uow[i_] = ur[i_];
+                    yow[i_] = yr[i_];
+                    y2ow[i_] = y2r[i_];
+                }
+#pragma GCC ivdep
+                for (int32_t i_ = 0; i_ < W - 1; ++i_) {
+                    xsw[i_] = xr[i_];
+                    vsw[i_] = vr[i_];
+                    x2sw[i_] = x2r[i_];
+                }
+            }
             if (with_cigar && !right)
                 extd2_row<true, false, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
                                        y2o_, u + st, v + st, x + st, y + st,
