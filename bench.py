@@ -173,7 +173,7 @@ def chain_kernel_bench(dense: bool):
     avg = np.full((B, 1), 0.15, np.float32)
     kwargs = dict(max_dist_x=5000, max_dist_y=5000, bw=500, iter_cap=1024,
                   gap_scale=1.0, is_cdna=False, n_segs=1,
-                  rows_per_program=2,
+                  rows_per_program=4,
                   interpret=jax.default_backend() != "tpu")
 
     def harness(K):

@@ -457,7 +457,8 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
                             pb.avg, max_dist_x=mdx, max_dist_y=mdy, bw=bw,
                             iter_cap=iter_cap, gap_scale=gs, is_cdna=is_cdna,
                             n_segs=n_segs, interpret=interpret,
-                            rows_per_program=2 if B % 2 == 0 else 1)
+                            rows_per_program=(4 if B % 4 == 0 else
+                                              2 if B % 2 == 0 else 1))
                     f = np.asarray(f).astype(np.int32)
                     p = np.asarray(p).astype(np.int32)
                 with profiling.stage("chain.backtrack"):

@@ -286,19 +286,22 @@ def _chain_kernel_v2(max_dist_x: int, max_dist_y: int, bw: int, iter_cap: int,
 
         return 0
 
-    # 4-way unrolled chunk loop: the per-iteration loop/scalar overhead is
-    # a significant fraction of the ~600-op chunk body (measured on v5e:
+    # Unrolled chunk loop: the per-iteration loop/scalar overhead is a
+    # significant fraction of the ~600-op chunk body (measured on v5e:
     # 16M -> 22M anchors/s going 1x -> 4x; 8x regresses on icache).
-    # With R > 1 the unroll body interleaves R independent rows' chunks.
+    # With R > 1 the unroll body interleaves R independent rows' chunks;
+    # the unroll factor shrinks to keep the total body size (U*R chunk
+    # bodies) roughly constant against the icache budget.
     avgs = [avg_ref[b * R + r, 0] for r in range(R)]
+    U = max(1, 4 // max(1, R // 2))
 
-    def chunk4(cc4, _):
-        for u_ in range(4):
+    def chunkU(ccu, _):
+        for u_ in range(U):
             for r in range(R):
-                chunk(r, avgs[r], 4 * cc4 + u_, 0)
+                chunk(r, avgs[r], U * ccu + u_, 0)
         return 0
 
-    jax.lax.fori_loop(0, TILE // 4, chunk4, 0)
+    jax.lax.fori_loop(0, TILE // U, chunkU, 0)
     # flush outputs in ring (column) layout; host/XLA unpermutes
     for r in range(R):
         for c in range(C):
