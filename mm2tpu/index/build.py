@@ -199,6 +199,13 @@ def _pack_seq4(codes: np.ndarray, S: np.ndarray, offset: int) -> None:
     """mm_seq4_set (mmpriv.h:29) over a code array starting at offset.
     The aligned body packs 8 codes/word vectorized; only the unaligned
     head/tail (< 8 codes each) use the scatter path."""
+    try:
+        from ..native import lib as native_lib
+        if native_lib.has_pack_seq4():
+            native_lib.pack_seq4(codes, S, offset)
+            return
+    except ImportError:
+        pass
     n = len(codes)
     head = min(-offset % 8, n)
     nb = (n - head) // 8

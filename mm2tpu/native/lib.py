@@ -93,6 +93,9 @@ def _load() -> Optional[ctypes.CDLL]:
     if hasattr(lib, "mm2_sdust"):
         lib.mm2_sdust.argtypes = [_VP, _I64, _I32, _I32, _VP, _I64]
         lib.mm2_sdust.restype = _I64
+    if hasattr(lib, "mm2_pack_seq4"):
+        lib.mm2_pack_seq4.argtypes = [_VP, _I64, _VP, _I64]
+        lib.mm2_pack_seq4.restype = None
     if hasattr(lib, "mm2_lookup_many"):
         lib.mm2_lookup_many.argtypes = [
             _I64, _VP, _I64, _VP, _VP, _VP, _I32, _I32, _VP, _VP, _VP]
@@ -310,6 +313,18 @@ def sdust(codes: np.ndarray, T: int, W: int):
     out = np.empty(2 * cap, np.int64)
     n = lib.mm2_sdust(cp, len(ca), T, W, out.ctypes.data, cap)
     return list(zip(out[0:2 * n:2].tolist(), out[1:2 * n:2].tolist()))
+
+
+def has_pack_seq4() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_pack_seq4")
+
+
+def pack_seq4(codes: np.ndarray, S: np.ndarray, offset: int) -> None:
+    """Native 4-bit reference packing (mm_seq4_set)."""
+    lib = _load()
+    ca, cp = _ptr(codes, np.uint8)
+    lib.mm2_pack_seq4(cp, len(ca), S.ctypes.data, offset)
 
 
 def has_lookup() -> bool:

@@ -1819,6 +1819,25 @@ void mm2_zdrop_scan(const uint32_t *cigar, int64_t n_cigar,
 
 int mm2_has_lookup() { return 1; }
 
+// 4-bit reference packing (mm_seq4_set, mmpriv.h:29): one linear pass,
+// ~40x the NumPy scatter/shift-or path on large contigs.
+void mm2_pack_seq4(const uint8_t *codes, int64_t n, uint32_t *S,
+                   int64_t offset) {
+    int64_t i = 0;
+    // unaligned head
+    for (; i < n && ((offset + i) & 7); ++i)
+        S[(offset + i) >> 3] |= (uint32_t)codes[i] << (((offset + i) & 7) << 2);
+    // aligned body: build whole words
+    for (; i + 8 <= n; i += 8) {
+        uint32_t w = 0;
+        for (int j = 0; j < 8; ++j)
+            w |= (uint32_t)codes[i + j] << (j << 2);
+        S[(offset + i) >> 3] |= w;
+    }
+    for (; i < n; ++i)
+        S[(offset + i) >> 3] |= (uint32_t)codes[i] << (((offset + i) & 7) << 2);
+}
+
 // Chain-end detection, peak backtrack, compaction order (chain.c:348-422).
 // Writes the compacted anchor-index order into idx_out (caller gathers
 // a[idx]) and per-chain score<<32|cnt into u_out, chains ordered by first
