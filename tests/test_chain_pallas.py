@@ -105,3 +105,28 @@ def test_kernel_v2_rows_per_program_identical():
                                     **kw)
     np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_kernel_v3_matches_v2():
+    """v3 (cross-task lanes, natural layout) is bit-identical to v2 on
+    uneven multi-rid reverse-strand batches, incl. iter_cap < window."""
+    import numpy as np
+    from mm2tpu.ops.chain_pallas import pack_anchors
+    from mm2tpu.ops.chain_pallas_v2 import chain_scores_device_v2
+    from mm2tpu.ops.chain_pallas_v3 import chain_scores_device_v3
+    B, N = 8, 2048
+    tiles = [pack_anchors(synth_anchors(N - 17 * b, seed=50 + b, n_rids=3,
+                                        rev_frac=0.4, scale=2 + b % 3), N)
+             for b in range(B)]
+    st = [np.stack([t[i] for t in tiles]) for i in range(5)]
+    n = np.array([[N - 17 * b] for b in range(B)], np.int32)
+    avg = np.full((B, 1), 0.15, np.float32)
+    for cap in (1024, 500):
+        kw = dict(max_dist_x=5000, max_dist_y=5000, bw=500, iter_cap=cap,
+                  gap_scale=1.0, interpret=True)
+        f3, p3 = chain_scores_device_v3(st[0], st[1], st[2], st[3], n, avg,
+                                        **kw)
+        f2, p2 = chain_scores_device_v2(*st, n, avg, is_cdna=False,
+                                        n_segs=1, **kw)
+        np.testing.assert_array_equal(np.asarray(f2), np.asarray(f3))
+        np.testing.assert_array_equal(np.asarray(p2), np.asarray(p3))
