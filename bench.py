@@ -159,7 +159,7 @@ def chain_kernel_bench(dense: bool):
     excluded; K invocations serialized inside one jit)."""
     import jax
     import jax.numpy as jnp
-    from mm2tpu.ops.chain_pallas_v2 import chain_scores_device_v2
+    from mm2tpu.ops.chain_pallas_v3 import chain_scores_device_v3
 
     B, N = 32, 8192
     rng = np.random.default_rng(0)
@@ -168,12 +168,10 @@ def chain_kernel_bench(dense: bool):
     qi = np.clip(lo + rng.integers(-400, 400, (B, N)), 0, None).astype(np.int32)
     hi = np.zeros((B, N), np.int32)
     span = np.full((B, N), 15, np.int32)
-    sid = np.zeros((B, N), np.int32)
     n = np.full((B, 1), N, np.int32)
     avg = np.full((B, 1), 0.15, np.float32)
     kwargs = dict(max_dist_x=5000, max_dist_y=5000, bw=500, iter_cap=1024,
-                  gap_scale=1.0, is_cdna=False, n_segs=1,
-                  rows_per_program=4,
+                  gap_scale=1.0, groups_per_program=4,
                   interpret=jax.default_backend() != "tpu")
 
     def harness(K):
@@ -181,7 +179,7 @@ def chain_kernel_bench(dense: bool):
         def run(x):
             acc = jnp.int32(0)
             for _ in range(K):
-                f, p = chain_scores_device_v2(hi, x, qi, span, sid, n, avg,
+                f, p = chain_scores_device_v3(hi, x, qi, span, n, avg,
                                               **kwargs)
                 acc = acc + f[0, 0] + p[-1, -1] + f[B // 2, N // 2]
                 x = x + (acc & 1)

@@ -451,6 +451,18 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
                         step = _sharded_step(mesh, key, interpret)
                         f, p = step(pb.hi, pb.lo, pb.qi, pb.span, pb.sid,
                                     pb.n, pb.avg)
+                    elif not is_cdna and n_segs == 1 and B % 8 == 0:
+                        # v3 cross-task-lane kernel (uniseg fast path;
+                        # ~2.7x v2 at G=4, bit-identical)
+                        from ..ops.chain_pallas_v3 import \
+                            chain_scores_device_v3
+                        f, p = chain_scores_device_v3(
+                            pb.hi, pb.lo, pb.qi, pb.span, pb.n, pb.avg,
+                            max_dist_x=mdx, max_dist_y=mdy, bw=bw,
+                            iter_cap=iter_cap, gap_scale=gs,
+                            interpret=interpret,
+                            groups_per_program=next(
+                                g for g in (4, 2, 1) if B % (8 * g) == 0))
                     else:
                         f, p = chain_scores_device_v2(
                             pb.hi, pb.lo, pb.qi, pb.span, pb.sid, pb.n,

@@ -134,14 +134,26 @@ def seed_chain_device(khi, klo, start, cnt, poshi, poslo,
         (xhi_flip, xlo, yhi, ylo), dimension=1, num_keys=2,
         is_stable=True)
     # chaining (the kernel only tests hi for equality, so the flipped
-    # encoding is transparent)
+    # encoding is transparent); v3 cross-task-lane kernel when the batch
+    # shape allows, else v2
+    del rows_per_program
     spans = yhi_s & 0xFF
-    f, p = chain_scores_device_v2(
-        xhi_s, xlo_s, ylo_s, spans, jnp.zeros_like(xhi_s),
-        total[:, None].astype(jnp.int32), avg,
-        max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
-        iter_cap=iter_cap, gap_scale=gap_scale, is_cdna=False, n_segs=1,
-        interpret=interpret, rows_per_program=rows_per_program)
+    if B % 8 == 0:
+        from .chain_pallas_v3 import chain_scores_device_v3
+        f, p = chain_scores_device_v3(
+            xhi_s, xlo_s, ylo_s, spans,
+            total[:, None].astype(jnp.int32), avg,
+            max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
+            iter_cap=iter_cap, gap_scale=gap_scale, interpret=interpret,
+            groups_per_program=next(
+                g for g in (4, 2, 1) if B % (8 * g) == 0))
+    else:
+        f, p = chain_scores_device_v2(
+            xhi_s, xlo_s, ylo_s, spans, jnp.zeros_like(xhi_s),
+            total[:, None].astype(jnp.int32), avg,
+            max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
+            iter_cap=iter_cap, gap_scale=gap_scale, is_cdna=False,
+            n_segs=1, interpret=interpret)
     return xhi_s, xlo_s, yhi_s, ylo_s, f, p, total
 
 
