@@ -20,6 +20,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.chain_pallas_v2 import chain_scores_device_v2 as chain_scores_device
+from ..ops.chain_pallas_v3 import chain_scores_device_v3
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data",
@@ -29,14 +30,39 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data",
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def _chain_auto(*, max_dist_x, max_dist_y, bw, iter_cap, gap_scale,
+                is_cdna, n_segs, interpret):
+    """Per-shard chaining kernel selector: the v3 cross-task-lane kernel
+    (the production uniseg fast path, matching the FPGA's 8x128
+    decomposition, device/minimap2_opencl.cl:5-8) whenever the shard
+    shape allows; v2 chunked max-plus otherwise (multiseg/cDNA scoring,
+    or shard batches not divisible by 8)."""
+    def run(hi, lo, qi, span, sid, n, avg):
+        Bl = hi.shape[0]
+        if (not is_cdna) and n_segs == 1 and Bl % 8 == 0:
+            g = next(g for g in (4, 2, 1) if Bl % (8 * g) == 0)
+            return chain_scores_device_v3(
+                hi, lo, qi, span, n, avg, max_dist_x=max_dist_x,
+                max_dist_y=max_dist_y, bw=bw, iter_cap=iter_cap,
+                gap_scale=gap_scale, interpret=interpret,
+                groups_per_program=g)
+        return chain_scores_device(
+            hi, lo, qi, span, sid, n, avg, max_dist_x=max_dist_x,
+            max_dist_y=max_dist_y, bw=bw, iter_cap=iter_cap,
+            gap_scale=gap_scale, is_cdna=is_cdna, n_segs=n_segs,
+            interpret=interpret)
+    return run
+
+
 def sharded_chain_step(mesh: Mesh, *, max_dist_x: int, max_dist_y: int,
                        bw: int, iter_cap: int, gap_scale: float,
                        is_cdna: bool, n_segs: int, interpret: bool = False,
                        axis: str = "data"):
     """Returns a jitted function mapping sharded (B,N) anchor batches to
-    sharded (B,N) chaining scores; B must be divisible by the mesh size."""
-    kernel = functools.partial(
-        chain_scores_device, max_dist_x=max_dist_x, max_dist_y=max_dist_y,
+    sharded (B,N) chaining scores; B must be divisible by the mesh size.
+    Uniseg shards divisible by 8 run the v3 kernel (see _chain_auto)."""
+    kernel = _chain_auto(
+        max_dist_x=max_dist_x, max_dist_y=max_dist_y,
         bw=bw, iter_cap=iter_cap, gap_scale=gap_scale, is_cdna=is_cdna,
         n_segs=n_segs, interpret=interpret)
 
@@ -95,8 +121,8 @@ def sharded_map_step(mesh: Mesh, *, max_dist_x: int, max_dist_y: int,
     pre-built anchors and — when ext_params is given — the banded extd2
     extension kernel over the shard's alignment tasks. This is the unit
     the multi-chip dry-run compiles."""
-    chain = functools.partial(
-        chain_scores_device, max_dist_x=max_dist_x, max_dist_y=max_dist_y,
+    chain = _chain_auto(
+        max_dist_x=max_dist_x, max_dist_y=max_dist_y,
         bw=bw, iter_cap=iter_cap, gap_scale=gap_scale, is_cdna=is_cdna,
         n_segs=n_segs, interpret=interpret)
     ext = None
