@@ -346,6 +346,38 @@ def _native_ksw() -> bool:
     return _native_has("has_ksw")
 
 
+def _index_sptr(mi) -> int:
+    """Raw pointer of the 4-bit packed reference, cached on the index
+    (ndarray.ctypes costs ~2us per access — per fill it dominated)."""
+    p = getattr(mi, "_S_ptr", None)
+    if p is None:
+        p = mi.S.ctypes.data
+        try:
+            mi._S_ptr = p
+        except AttributeError:
+            pass
+    return p
+
+
+def _fill_fused_ok(opt: MapOptions, qlen_: int, tlen_: int) -> bool:
+    """True when a seed-gap fill may take the fused native path — every
+    condition under which align_pair would route this fill to the native
+    extd2 kernel (and test_zdrop would use the native scan)."""
+    if not _native_has("has_fill") or opt.dbg_print_aln_seq:
+        return False
+    if opt.flag & MM_F_SPLICE:
+        return False
+    if opt.max_sw_mat > 0 and qlen_ * tlen_ > opt.max_sw_mat:
+        return False
+    if opt.align_backend == "tpu" and qlen_ * tlen_ >= opt.align_tpu_min_mat:
+        return False
+    from . import extbatch
+    b = extbatch.current()
+    if b is not None and qlen_ * tlen_ >= b.min_cells:
+        return False
+    return True
+
+
 def align_pair(opt: MapOptions, qseq, tseq, junc, mat, w: int,
                end_bonus: int, zdrop: int, flag: int) -> K.ExtzResult:
     """mm_align_pair (align.c:313-339)."""
@@ -679,6 +711,7 @@ def align1(opt: MapOptions, mi, qlen: int, qseq0, r: Region, n_a: int,
         return None
     mat = K.gen_simple_mat(opt.a, opt.b, opt.sc_ambi)
     bw = int(opt.bw * 1.5 + 1.0)
+    _qptr = [None]  # lazy (fwd, rc) base pointers for the fused fill
 
     if is_sr and not (mi.flag & 0x1):
         as1, cnt1 = max_stretch(r, a)
@@ -829,27 +862,54 @@ def align1(opt: MapOptions, mi, qlen: int, qseq0, r: Region, n_a: int,
             bw1 = bw
             if ay & MM_SEED_LONG_JOIN:
                 bw1 = max(qe - qs, re - rs)
-            qseq = qseq0[rev][qs:qe]
-            tseq = mi.getseq_fast(rid, rs, re)
-            junc = _get_junc(mi, rid, rs, re)
-            if is_sr:  # ungapped
-                ez = K.ExtzResult()
-                score = 0
-                for j in range(qe - qs):
-                    if qseq[j] >= 4 or tseq[j] >= 4:
-                        score += opt.e2
-                    else:
-                        score += opt.a if qseq[j] == tseq[j] else -opt.b
-                ez.score = score
-                ez.cigar = [(qe - qs) << 4 | 0]
+            zdrop_code = None
+            if not is_sr and _fill_fused_ok(opt, qe - qs, re - rs) and \
+                    mi.S is not None:
+                # fused native fill: approx extd2 + mm_test_zdrop (incl.
+                # inversion probe) + exact re-run in ONE FFI call, with
+                # the target unpacked in C from the 4-bit reference and
+                # the query passed as base pointer + offset — no per-fill
+                # getseq, slicing, or array marshalling (the per-call
+                # Python overhead of the 3-4 call sequence was most of
+                # the align stage's cost)
+                from ..native import lib as native_lib
+                sseq = mi.seq[rid]
+                if _qptr[0] is None:
+                    _qptr[0] = (qseq0[0].ctypes.data, qseq0[1].ctypes.data)
+                ez, zdrop_code = native_lib.ksw_extd2_fill_ref(
+                    _index_sptr(mi), sseq.offset + rs,
+                    min(re, sseq.length) - rs, _qptr[0][rev] + qs, qe - qs,
+                    mat, opt.q, opt.e, opt.q2, opt.e2, bw1, opt.zdrop,
+                    opt.zdrop_inv, extra_flag,
+                    not (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_FOR_ONLY |
+                                     MM_F_REV_ONLY)),
+                    opt.max_gap, opt.min_chain_score * opt.a,
+                    opt.min_dp_max)
             else:
-                ez = align_pair(opt, qseq, tseq, junc, mat, bw1, -1,
-                                opt.zdrop, extra_flag | K.KSW_EZ_APPROX_MAX)
-            zdrop_code = test_zdrop(opt, qseq, tseq, ez.cigar, mat)
-            if zdrop_code != 0:
-                ez = align_pair(opt, qseq, tseq, junc, mat, bw1, -1,
-                                opt.zdrop_inv if zdrop_code == 2 else opt.zdrop,
-                                extra_flag)
+                qseq = qseq0[rev][qs:qe]
+                tseq = mi.getseq_fast(rid, rs, re)
+                junc = _get_junc(mi, rid, rs, re)
+                if is_sr:  # ungapped
+                    ez = K.ExtzResult()
+                    score = 0
+                    for j in range(qe - qs):
+                        if qseq[j] >= 4 or tseq[j] >= 4:
+                            score += opt.e2
+                        else:
+                            score += opt.a if qseq[j] == tseq[j] else -opt.b
+                    ez.score = score
+                    ez.cigar = [(qe - qs) << 4 | 0]
+                else:
+                    ez = align_pair(opt, qseq, tseq, junc, mat, bw1, -1,
+                                    opt.zdrop,
+                                    extra_flag | K.KSW_EZ_APPROX_MAX)
+            if zdrop_code is None:
+                zdrop_code = test_zdrop(opt, qseq, tseq, ez.cigar, mat)
+                if zdrop_code != 0:
+                    ez = align_pair(opt, qseq, tseq, junc, mat, bw1, -1,
+                                    opt.zdrop_inv if zdrop_code == 2
+                                    else opt.zdrop,
+                                    extra_flag)
             if ez.n_cigar > 0:
                 append_cigar(r, ez.cigar)
             if ez.zdropped:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import ctypes
 import pathlib
+import threading as _threading
 from typing import Optional, Tuple
 
 import numpy as np
@@ -133,6 +134,18 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mm2_ksw_extd2.restype = ctypes.c_int
         lib.mm2_free.argtypes = [_VP]
         lib.mm2_free.restype = None
+    if hasattr(lib, "mm2_ksw_extd2_fill"):
+        lib.mm2_ksw_extd2_fill.argtypes = [
+            _I32, _VP, _I32, _VP, _VP, _I32, _I32, _I32, _I32, _I32, _I32,
+            _I32, _I32, _I32, _I32, _I64, _I64, _VP,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.POINTER(_I32), ctypes.POINTER(_I32)]
+        lib.mm2_ksw_extd2_fill.restype = ctypes.c_int
+        lib.mm2_ksw_extd2_fillp.argtypes = [
+            _VP, _VP, _VP, _VP, _VP,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.POINTER(_I32), ctypes.POINTER(_I32)]
+        lib.mm2_ksw_extd2_fillp.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -206,6 +219,143 @@ def ksw_extd2(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
                                          shape=(n_cig.value,)).tolist()
         lib.mm2_free(cig_ptr)
     return ez
+
+
+def has_fill() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_ksw_extd2_fill")
+
+
+class _FillCtx(_threading.local):
+    """Per-thread reusable FFI state for the fused fill: buffers, byrefs
+    and the packed-parameter array are built once per thread, not per
+    call (the per-call wrapper cost was ~20us x ~50 fills/read)."""
+
+    def __init__(self):
+        self.par = np.zeros(17, np.int64)
+        self.parp = self.par.ctypes.data
+        self.ez = np.zeros(10, np.int64)
+        self.ezp = self.ez.ctypes.data
+        self.cig = ctypes.POINTER(ctypes.c_uint32)()
+        self.ncig = ctypes.c_int32(0)
+        self.code = ctypes.c_int32(0)
+        self.br_cig = ctypes.byref(self.cig)
+        self.br_ncig = ctypes.byref(self.ncig)
+        self.br_code = ctypes.byref(self.code)
+
+
+_fill_ctx = _FillCtx()
+
+# scoring-matrix pointer cache: the keepalive entry holds the array, so
+# the cached id stays valid for as long as it is cached
+_mat_cache: dict = {}
+
+
+def _mat_ptr(mat) -> int:
+    ent = _mat_cache.get(id(mat))
+    if ent is None or ent[0] is not mat:
+        a = np.ascontiguousarray(mat, np.int8)
+        if len(_mat_cache) > 32:
+            _mat_cache.clear()
+        ent = (mat, a, a.ctypes.data)
+        _mat_cache[id(mat)] = ent
+    return ent[2]
+
+
+def _parse_fill_result(lib, c):
+    from ..ops.ksw2_ref import ExtzResult
+
+    ez = ExtzResult()
+    (ez.max, zd, ez.max_q, ez.max_t, ez.mqe, ez.mqe_t, ez.mte,
+     ez.mte_q, ez.score, re_) = c.ez.tolist()
+    ez.zdropped = bool(zd)
+    ez.reach_end = bool(re_)
+    n = c.ncig.value
+    if n:
+        ez.cigar = np.frombuffer(ctypes.string_at(c.cig, 4 * n),
+                                 np.uint32).tolist()
+        lib.mm2_free(c.cig)
+    return ez, int(c.code.value)
+
+
+def ksw_extd2_fill_ref(s_ptr: int, ref_off: int, tlen: int, q_ptr: int,
+                       qlen: int, mat, q: int, e: int, q2: int, e2: int,
+                       w: int, zdrop: int, zdrop_inv: int, flag: int,
+                       inv_enabled: bool, max_gap: int, min_inv_score: int,
+                       min_dp_max: int):
+    """Fused fill with zero per-call array marshalling: the target comes
+    from the 4-bit packed reference (unpacked in C — no per-fill getseq)
+    and the query rides as a raw base pointer + offset. Returns
+    (ExtzResult, zdrop_code) exactly as ksw_extd2_fill."""
+    lib = _load()
+    c = _fill_ctx
+    par = c.par
+    par[0] = qlen
+    par[1] = tlen
+    par[2] = q
+    par[3] = e
+    par[4] = q2
+    par[5] = e2
+    par[6] = w
+    par[7] = zdrop
+    par[8] = zdrop_inv
+    par[9] = flag
+    par[10] = 1 if inv_enabled else 0
+    par[11] = max_gap
+    par[12] = min_inv_score
+    par[13] = min_dp_max
+    par[14] = s_ptr
+    par[15] = ref_off
+    par[16] = q_ptr
+    rc = lib.mm2_ksw_extd2_fillp(c.parp, 0, 0, _mat_ptr(mat), c.ezp,
+                                 c.br_cig, c.br_ncig, c.br_code)
+    if rc != 0:
+        raise MemoryError("mm2_ksw_extd2_fillp allocation failed")
+    return _parse_fill_result(lib, c)
+
+
+def ksw_extd2_fill(qlen: int, query: np.ndarray, tlen: int,
+                   target: np.ndarray, mat: np.ndarray, q: int, e: int,
+                   q2: int, e2: int, w: int, zdrop: int, zdrop_inv: int,
+                   flag: int, inv_enabled: bool, max_gap: int,
+                   min_inv_score: int, min_dp_max: int):
+    """Fused seed-gap fill (approx extd2 + mm_test_zdrop incl. inversion
+    probe + exact re-run) — one FFI call for the whole align.c:733-761
+    fill sequence. Returns (ExtzResult, zdrop_code)."""
+    from ..ops.ksw2_ref import ExtzResult
+
+    lib = _load()
+    c = _fill_ctx
+    par = c.par
+    par[0] = qlen
+    par[1] = tlen
+    par[2] = q
+    par[3] = e
+    par[4] = q2
+    par[5] = e2
+    par[6] = w
+    par[7] = zdrop
+    par[8] = zdrop_inv
+    par[9] = flag
+    par[10] = 1 if inv_enabled else 0
+    par[11] = max_gap
+    par[12] = min_inv_score
+    par[13] = min_dp_max
+    par[14] = par[15] = par[16] = 0
+    if query.dtype == np.uint8 and query.flags.c_contiguous:
+        qa, qp = query, query.ctypes.data
+    else:
+        qa, qp = _ptr(query, np.uint8)
+    if target.dtype == np.uint8 and target.flags.c_contiguous:
+        ta, tp = target, target.ctypes.data
+    else:
+        ta, tp = _ptr(target, np.uint8)
+    ma, mp = _ptr(mat, np.int8)
+    rc = lib.mm2_ksw_extd2_fillp(c.parp, qp, tp, mp, c.ezp, c.br_cig,
+                                 c.br_ncig, c.br_code)
+    if rc != 0:
+        raise MemoryError("mm2_ksw_extd2_fill allocation failed")
+    return _parse_fill_result(lib, c)
 
 
 def has_finalize() -> bool:

@@ -57,8 +57,17 @@ class ExtzResult:
         return len(self.cigar)
 
 
+_MAT_MEMO: dict = {}
+
+
 def gen_simple_mat(a: int, b: int, sc_ambi: int) -> np.ndarray:
-    """ksw_gen_simple_mat (align.c:9-22); m=5."""
+    """ksw_gen_simple_mat (align.c:9-22); m=5. Memoized: align1 calls
+    this per region, and the native bindings cache the FFI pointer by
+    object identity — a stable array object makes that cache hit."""
+    key = (a, b, sc_ambi)
+    memo = _MAT_MEMO.get(key)
+    if memo is not None:
+        return memo
     a = abs(a)
     b = -abs(b)
     sc_ambi = -abs(sc_ambi)
@@ -67,7 +76,12 @@ def gen_simple_mat(a: int, b: int, sc_ambi: int) -> np.ndarray:
     mat[4, :] = sc_ambi
     mat[:, 4] = sc_ambi
     mat[:4, 4] = sc_ambi
-    return mat.reshape(-1)
+    out = mat.reshape(-1)
+    out.setflags(write=False)
+    if len(_MAT_MEMO) > 64:
+        _MAT_MEMO.clear()
+    _MAT_MEMO[key] = out
+    return out
 
 
 def _push_cigar(cigar: List[int], op: int, length: int) -> None:

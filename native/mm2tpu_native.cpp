@@ -309,7 +309,7 @@ static void exact_max_scan(int64_t *H, const T *u, const T *v,
 // the 16-lane SSE build. The loop body is branch-free; with __restrict
 // the compiler vectorizes it (AVX-512: 16 cells/iteration).
 template <bool WITH_CIGAR, bool RIGHT, typename T = int32_t>
-static void extd2_row(int32_t W, const T *__restrict sr,
+__attribute__((always_inline)) static inline void extd2_row(int32_t W, const T *__restrict sr,
                       const T *__restrict xs,
                       const T *__restrict vs,
                       const T *__restrict x2s,
@@ -393,7 +393,7 @@ static void extd2_row(int32_t W, const T *__restrict sr,
 // and there is no score clip (ksw2_exts2_sse.c semantics, mirrored from
 // ops/ksw2_splice_ref.py).
 template <bool WITH_CIGAR, bool RIGHT, typename T = int32_t>
-static void exts2_row(int32_t W, const T *__restrict sr,
+__attribute__((always_inline)) static inline void exts2_row(int32_t W, const T *__restrict sr,
                       const T *__restrict xs,
                       const T *__restrict vs,
                       const T *__restrict x2s,
@@ -605,8 +605,7 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
     int32_t width_cap = n_col_ * 16;
     KswArena &ar = g_ksw_arena;
     {
-        size_t rb_sz = (size_t)(width_cap + 16) * 6 * sizeof(T);
-        size_t total = sizeof(T) * (size_t)tpad * 6 +
+        size_t total = sizeof(T) * ((size_t)tpad + 1) * 12 +
                        sizeof(T) * (tpad + 16) +
                        sizeof(int64_t) * (size_t)tpad +
                        sizeof(T) * (qlen_ * 16 + 16) +
@@ -614,16 +613,33 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
                        sizeof(int32_t) * (size_t)R * 2 +
                        sizeof(int64_t) * (size_t)R +
                        (with_cigar ? (size_t)R * width_cap : 0) +
-                       rb_sz + 64 * 10;
+                       64 * 16;
         if (!ar.reserve(total)) {
             finish();
             return -1;
         }
     }
-    T *u = (T *)ar.carve(sizeof(T) * (size_t)tpad * 6);
-    T *v = u ? u + tpad : nullptr, *x = u ? v + tpad : nullptr;
-    T *y = u ? x + tpad : nullptr;
-    T *x2 = u ? y + tpad : nullptr, *y2 = u ? x2 + tpad : nullptr;
+    // Two DP generations (double-buffered rows): row r reads generation
+    // `cur`, writes `cur^1`, then swaps — the old-row snapshot copies of
+    // the round-2 port (needed there so the vector row could write in
+    // place) disappear entirely. Band starts/ends are monotone in r, so
+    // a position entering the band holds its init value in BOTH
+    // generations and every in-band position was written by the previous
+    // row; stale lanes are never read. Stripe stride is tpad+1 with a +1
+    // base offset so the band-edge slot t = -1 exists (patched with the
+    // x1/v1/x21 boundary value each row).
+    size_t dstride = (size_t)tpad + 1;
+    T *dpb = (T *)ar.carve(sizeof(T) * dstride * 12);
+    T *U[2], *V[2], *X[2], *Y[2], *X2[2], *Y2[2];
+    for (int g = 0; g < 2; ++g) {
+        T *base = dpb ? dpb + (size_t)g * 6 * dstride + 1 : nullptr;
+        U[g] = base;
+        V[g] = base ? base + dstride : nullptr;
+        X[g] = base ? base + 2 * dstride : nullptr;
+        Y[g] = base ? base + 3 * dstride : nullptr;
+        X2[g] = base ? base + 4 * dstride : nullptr;
+        Y2[g] = base ? base + 5 * dstride : nullptr;
+    }
     T *s = (T *)ar.carve(sizeof(T) * (tpad + 16));
     int64_t *H = approx_max ? nullptr
                             : (int64_t *)ar.carve(sizeof(int64_t) * tpad);
@@ -638,9 +654,7 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
         poff = (int64_t *)ar.carve(sizeof(int64_t) * R);
         p = (uint8_t *)ar.carve((size_t)R * width_cap);
     }
-    int32_t rb = width_cap + 16;
-    T *rowbuf = (T *)ar.carve(sizeof(T) * (size_t)rb * 6);
-    if (!u || !s || (!approx_max && !H) || !qr || !sf || !off || !rowbuf ||
+    if (!dpb || !s || (!approx_max && !H) || !qr || !sf || !off ||
         (with_cigar && (!poff || !p))) {
         finish();
         return -1;
@@ -648,14 +662,14 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
     memset(s, 0, sizeof(T) * (tpad + 16));
     memset(qr, 0, sizeof(T) * (qlen_ * 16 + 16));
     memset(sf, 0, sizeof(T) * ((size_t)tpad + qlen_ * 16 + 16));
-    T *xs_ = rowbuf, *vs_ = rowbuf + rb, *x2s_ = rowbuf + 2 * rb;
-    T *uo_ = rowbuf + 3 * rb, *yo_ = rowbuf + 4 * rb;
-    T *y2o_ = rowbuf + 5 * rb;
-    for (int32_t t = 0; t < tpad; ++t) {
-        u[t] = v[t] = x[t] = y[t] = -q - e;
-        x2[t] = y2[t] = -q2 - e2;
-        if (H) H[t] = MM2_NEG_INF;
-    }
+    for (int g = 0; g < 2; ++g)
+        for (int32_t t = -1; t < tpad; ++t) {
+            U[g][t] = V[g][t] = X[g][t] = Y[g][t] = (T)(-q - e);
+            X2[g][t] = Y2[g][t] = (T)(-q2 - e2);
+        }
+    if (H)
+        for (int32_t t = 0; t < tpad; ++t) H[t] = MM2_NEG_INF;
+    int cur = 0;
     for (int32_t i = 0; i < qlen; ++i) qr[i] = query[qlen - 1 - i];
     for (int32_t t = 0; t < tlen; ++t) sf[t] = target[t];
     for (int32_t i = 0; i < qlen_ * 16 + 16; ++i) sf[tpad + i] = qr[i];
@@ -675,12 +689,16 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
         int32_t st0 = st, en0 = en;
         st = st / 16 * 16;
         en = (en + 16) / 16 * 16 - 1;
+        T *u_o = U[cur], *v_o = V[cur], *x_o = X[cur], *y_o = Y[cur];
+        T *x2_o = X2[cur], *y2_o = Y2[cur];
+        T *u_n = U[cur ^ 1], *v_n = V[cur ^ 1], *x_n = X[cur ^ 1];
+        T *y_n = Y[cur ^ 1], *x2_n = X2[cur ^ 1], *y2_n = Y2[cur ^ 1];
         int32_t x1, x21, v1;
         if (st > 0) {
             if (last_st <= st - 1 && st - 1 <= last_en) {
-                x1 = x[st - 1];
-                x21 = x2[st - 1];
-                v1 = v[st - 1];
+                x1 = x_o[st - 1];
+                x21 = x2_o[st - 1];
+                v1 = v_o[st - 1];
             } else {
                 x1 = -q - e;
                 x21 = -q2 - e2;
@@ -694,12 +712,12 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
                                          : r == long_thres ? long_diff : -e2;
         }
         if (en >= r) {
-            y[r] = -q - e;
-            y2[r] = -q2 - e2;
-            u[r] = r == 0 ? -q - e
-                          : r < long_thres ? -e
-                                           : r == long_thres ? long_diff
-                                                             : -e2;
+            y_o[r] = (T)(-q - e);
+            y2_o[r] = (T)(-q2 - e2);
+            u_o[r] = (T)(r == 0 ? -q - e
+                                : r < long_thres
+                                      ? -e
+                                      : r == long_thres ? long_diff : -e2);
         }
         int32_t qoff = qlen - 1 - r;
         if (!(flag & EZ_GENERIC_SC)) {
@@ -708,15 +726,22 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
             // for every iterated t: t >= st0 >= r-qlen+1 gives qoff+t >= 0,
             // tail lanes only move t upward, and the upper bound
             // qoff+en0+15 <= qlen+14 stays inside qr's padded extent.
-            const T *qrq = qr + qoff;
+            // __restrict + all-T arithmetic: without them gcc sees a
+            // possible alias between s and sf/qr and leaves this loop
+            // scalar (~100 ns/row on narrow bands — the dominant cost)
+            const T *__restrict qrq = qr + qoff;
+            const T *__restrict sfp = sf;
+            T *__restrict sp = s;
+            const T nval = (T)(m - 1);
+            const T sN = (T)sc_N, sM = (T)sc_mch, sX = (T)sc_mis;
             int32_t en16 = (en0 - st0) / 16 * 16 + st0 + 15;
             for (int32_t t = st0; t <= en16; ++t) {
-                int32_t sq = sf[t];
-                int32_t stq = qrq[t];
-                int32_t isn = -(int32_t)((sq == m - 1) | (stq == m - 1));
-                int32_t eq = -(int32_t)(sq == stq);
-                s[t] = (isn & sc_N) |
-                       (~isn & ((eq & sc_mch) | (~eq & sc_mis)));
+                T sq = sfp[t];
+                T stq = qrq[t];
+                T isn = (T)-(int32_t)((sq == nval) | (stq == nval));
+                T eq = (T)-(int32_t)(sq == stq);
+                sp[t] = (T)((isn & sN) |
+                            (T)(~isn & (T)((eq & sM) | (T)(~eq & sX))));
             }
         } else {
             for (int32_t t = st0; t <= en0; ++t)
@@ -731,69 +756,45 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
         }
         {
             int32_t W = en - st + 1;
-            // snapshot the old row (shifted reads get the band-edge
-            // boundary in slot 0) so the vector row can write in place
-            xs_[0] = (T)x1;
-            vs_[0] = (T)v1;
-            x2s_[0] = (T)x21;
-            // memcpy here, NOT element loops: gcc leaves the int8
-            // instantiation's copy loops scalar (measured 330 ns/row —
-            // 10x the row kernel itself); memcpy's small-size fast path
-            // is ~20 ns per call
-            {
-                const T *__restrict xr = x + st;
-                const T *__restrict vr = v + st;
-                const T *__restrict x2r = x2 + st;
-                const T *__restrict ur = u + st;
-                const T *__restrict yr = y + st;
-                const T *__restrict y2r = y2 + st;
-                T *__restrict xsw = xs_ + 1;
-                T *__restrict vsw = vs_ + 1;
-                T *__restrict x2sw = x2s_ + 1;
-                T *__restrict uow = uo_;
-                T *__restrict yow = yo_;
-                T *__restrict y2ow = y2o_;
-#pragma GCC ivdep
-                for (int32_t i_ = 0; i_ < W; ++i_) {
-                    uow[i_] = ur[i_];
-                    yow[i_] = yr[i_];
-                    y2ow[i_] = y2r[i_];
-                }
-#pragma GCC ivdep
-                for (int32_t i_ = 0; i_ < W - 1; ++i_) {
-                    xsw[i_] = xr[i_];
-                    vsw[i_] = vr[i_];
-                    x2sw[i_] = x2r[i_];
-                }
-            }
+            // band-edge boundary: slot st-1 of the read generation (the
+            // +1 base offset makes st == 0 safe). Patches land in the
+            // generation the NEXT row overwrites, so they are never
+            // observed stale.
+            x_o[st - 1] = (T)x1;
+            v_o[st - 1] = (T)v1;
+            x2_o[st - 1] = (T)x21;
             if (with_cigar && !right)
-                extd2_row<true, false, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
-                                       y2o_, u + st, v + st, x + st, y + st,
-                                       x2 + st, y2 + st, pr, (T)sc_mch, (T)q, (T)e,
-                                       (T)q2, (T)e2);
+                extd2_row<true, false, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                                       x2_o + st - 1, u_o + st, y_o + st,
+                                       y2_o + st, u_n + st, v_n + st, x_n + st,
+                                       y_n + st, x2_n + st, y2_n + st, pr,
+                                       (T)sc_mch, (T)q, (T)e, (T)q2, (T)e2);
             else if (with_cigar)
-                extd2_row<true, true, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
-                                      y2o_, u + st, v + st, x + st, y + st,
-                                      x2 + st, y2 + st, pr, (T)sc_mch, (T)q, (T)e,
-                                      (T)q2, (T)e2);
+                extd2_row<true, true, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                                      x2_o + st - 1, u_o + st, y_o + st,
+                                      y2_o + st, u_n + st, v_n + st, x_n + st,
+                                      y_n + st, x2_n + st, y2_n + st, pr,
+                                      (T)sc_mch, (T)q, (T)e, (T)q2, (T)e2);
             else if (!right)
-                extd2_row<false, false, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
-                                        y2o_, u + st, v + st, x + st, y + st,
-                                        x2 + st, y2 + st, nullptr, (T)sc_mch, (T)q,
-                                        (T)e, (T)q2, (T)e2);
+                extd2_row<false, false, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                                        x2_o + st - 1, u_o + st, y_o + st,
+                                        y2_o + st, u_n + st, v_n + st, x_n + st,
+                                        y_n + st, x2_n + st, y2_n + st, nullptr,
+                                        (T)sc_mch, (T)q, (T)e, (T)q2, (T)e2);
             else
-                extd2_row<false, true, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
-                                       y2o_, u + st, v + st, x + st, y + st,
-                                       x2 + st, y2 + st, nullptr, (T)sc_mch, (T)q,
-                                       (T)e, (T)q2, (T)e2);
+                extd2_row<false, true, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                                       x2_o + st - 1, u_o + st, y_o + st,
+                                       y2_o + st, u_n + st, v_n + st, x_n + st,
+                                       y_n + st, x2_n + st, y2_n + st, nullptr,
+                                       (T)sc_mch, (T)q, (T)e, (T)q2, (T)e2);
         }
         if (!approx_max) {
             int64_t max_H;
             int32_t max_t;
             if (r > 0) {
-                exact_max_scan(H, u, v, st0, en0, &max_H, &max_t);
+                exact_max_scan(H, u_n, v_n, st0, en0, &max_H, &max_t);
             } else {
-                H[0] = v[0] - (q + e);
+                H[0] = v_n[0] - (q + e);
                 max_H = H[0];
                 max_t = 0;
             }
@@ -812,7 +813,7 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
             if (r > 0) {
                 if (last_H0_t >= st0 && last_H0_t <= en0 &&
                     last_H0_t + 1 >= st0 && last_H0_t + 1 <= en0) {
-                    int32_t d0 = v[last_H0_t], d1 = u[last_H0_t + 1];
+                    int32_t d0 = v_n[last_H0_t], d1 = u_n[last_H0_t + 1];
                     if (d0 > d1)
                         H0 += d0;
                     else {
@@ -820,13 +821,13 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
                         ++last_H0_t;
                     }
                 } else if (last_H0_t >= st0 && last_H0_t <= en0) {
-                    H0 += v[last_H0_t];
+                    H0 += v_n[last_H0_t];
                 } else {
                     ++last_H0_t;
-                    H0 += u[last_H0_t];
+                    H0 += u_n[last_H0_t];
                 }
             } else {
-                H0 = v[0] - (q + e);
+                H0 = v_n[0] - (q + e);
                 last_H0_t = 0;
             }
             if ((flag & EZ_APPROX_DROP) &&
@@ -836,6 +837,7 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
         }
         last_st = st;
         last_en = en;
+        cur ^= 1;
     }
 
     if (with_cigar) {
@@ -1007,8 +1009,7 @@ static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
     int32_t width_cap = (n_col_ + 30 + 15) / 16 * 16;
     KswArena &ar = g_ksw_arena;
     {
-        size_t rb_sz = (size_t)(width_cap + 16) * 5 * sizeof(T);
-        size_t total = sizeof(T) * (size_t)tpad * 5 +
+        size_t total = sizeof(T) * ((size_t)tpad + 1) * 10 +
                        sizeof(T) * (tpad + 16) +
                        sizeof(int64_t) * (size_t)tpad +
                        sizeof(T) * (qlen_ * 16 + 16) +
@@ -1018,15 +1019,25 @@ static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
                        sizeof(int32_t) * (size_t)R * 2 +
                        sizeof(int64_t) * (size_t)R +
                        (with_cigar ? (size_t)R * width_cap : 0) +
-                       rb_sz + 64 * 12;
+                       64 * 16;
         if (!ar.reserve(total)) {
             finish();
             return -1;
         }
     }
-    T *u = (T *)ar.carve(sizeof(T) * (size_t)tpad * 5);
-    T *v = u ? u + tpad : nullptr, *x = u ? v + tpad : nullptr;
-    T *y = u ? x + tpad : nullptr, *x2 = u ? y + tpad : nullptr;
+    // double-buffered row generations — same scheme (and correctness
+    // argument) as ksw_extd2_impl above, with 5 DP stripes
+    size_t dstride = (size_t)tpad + 1;
+    T *dpb = (T *)ar.carve(sizeof(T) * dstride * 10);
+    T *U[2], *V[2], *X[2], *Y[2], *X2[2];
+    for (int g = 0; g < 2; ++g) {
+        T *base = dpb ? dpb + (size_t)g * 5 * dstride + 1 : nullptr;
+        U[g] = base;
+        V[g] = base ? base + dstride : nullptr;
+        X[g] = base ? base + 2 * dstride : nullptr;
+        Y[g] = base ? base + 3 * dstride : nullptr;
+        X2[g] = base ? base + 4 * dstride : nullptr;
+    }
     T *s = (T *)ar.carve(sizeof(T) * (tpad + 16));
     int64_t *H = approx_max ? nullptr
                             : (int64_t *)ar.carve(sizeof(int64_t) * tpad);
@@ -1037,16 +1048,14 @@ static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
     T *sites = (T *)ar.carve(sizeof(T) * (size_t)tpad * 2);
     int32_t *off = (int32_t *)ar.carve(sizeof(int32_t) * (size_t)R * 2);
     int32_t *off_end = off ? off + R : nullptr;
-    int32_t rb = width_cap + 16;
-    T *rowbuf = (T *)ar.carve(sizeof(T) * (size_t)rb * 5);
     int64_t *poff = nullptr;
     uint8_t *p = nullptr;
     if (with_cigar) {
         poff = (int64_t *)ar.carve(sizeof(int64_t) * R);
         p = (uint8_t *)ar.carve((size_t)R * width_cap);
     }
-    if (!u || !s || (!approx_max && !H) || !qr || !sf || !sites || !off ||
-        !rowbuf || (with_cigar && (!poff || !p))) {
+    if (!dpb || !s || (!approx_max && !H) || !qr || !sf || !sites || !off ||
+        (with_cigar && (!poff || !p))) {
         finish();
         return -1;
     }
@@ -1054,13 +1063,14 @@ static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
     memset(qr, 0, sizeof(T) * (qlen_ * 16 + 16));
     memset(sf, 0, sizeof(T) * ((size_t)tpad + qlen_ * 16 + 16));
     T *donor = sites, *acceptor = sites + tpad;
-    T *xs_ = rowbuf, *vs_ = rowbuf + rb, *x2s_ = rowbuf + 2 * rb;
-    T *uo_ = rowbuf + 3 * rb, *yo_ = rowbuf + 4 * rb;
-    for (int32_t t = 0; t < tpad; ++t) {
-        u[t] = v[t] = x[t] = y[t] = -q - e;
-        x2[t] = -q2;
-        if (H) H[t] = MM2_NEG_INF;
-    }
+    for (int g = 0; g < 2; ++g)
+        for (int32_t t = -1; t < tpad; ++t) {
+            U[g][t] = V[g][t] = X[g][t] = Y[g][t] = (T)(-q - e);
+            X2[g][t] = (T)(-q2);
+        }
+    if (H)
+        for (int32_t t = 0; t < tpad; ++t) H[t] = MM2_NEG_INF;
+    int cur = 0;
     for (int32_t i = 0; i < qlen; ++i) qr[i] = query[qlen - 1 - i];
     for (int32_t t = 0; t < tlen; ++t) sf[t] = target[t];
     for (int32_t i = 0; i < qlen_ * 16 + 16; ++i) sf[tpad + i] = qr[i];
@@ -1077,12 +1087,16 @@ static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
         int32_t st0 = st, en0 = en;
         st = st / 16 * 16;
         en = (en + 16) / 16 * 16 - 1;
+        T *u_o = U[cur], *v_o = V[cur], *x_o = X[cur], *y_o = Y[cur];
+        T *x2_o = X2[cur];
+        T *u_n = U[cur ^ 1], *v_n = V[cur ^ 1], *x_n = X[cur ^ 1];
+        T *y_n = Y[cur ^ 1], *x2_n = X2[cur ^ 1];
         int32_t x1, x21, v1;
         if (st > 0) {
             if (last_st <= st - 1 && st - 1 <= last_en) {
-                x1 = x[st - 1];
-                x21 = x2[st - 1];
-                v1 = v[st - 1];
+                x1 = x_o[st - 1];
+                x21 = x2_o[st - 1];
+                v1 = v_o[st - 1];
             } else {
                 x1 = -q - e;
                 x21 = -q2;
@@ -1096,10 +1110,11 @@ static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
                                          : r == long_thres ? long_diff : 0;
         }
         if (en >= r) {
-            y[r] = -q - e;
-            u[r] = r == 0 ? -q - e
-                          : r < long_thres ? -e
-                                           : r == long_thres ? long_diff : 0;
+            y_o[r] = (T)(-q - e);
+            u_o[r] = (T)(r == 0 ? -q - e
+                                : r < long_thres
+                                      ? -e
+                                      : r == long_thres ? long_diff : 0);
         }
         int32_t qoff = qlen - 1 - r;
         if (!(flag & EZ_GENERIC_SC)) {
@@ -1108,15 +1123,22 @@ static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
             // for every iterated t: t >= st0 >= r-qlen+1 gives qoff+t >= 0,
             // tail lanes only move t upward, and the upper bound
             // qoff+en0+15 <= qlen+14 stays inside qr's padded extent.
-            const T *qrq = qr + qoff;
+            // __restrict + all-T arithmetic: without them gcc sees a
+            // possible alias between s and sf/qr and leaves this loop
+            // scalar (~100 ns/row on narrow bands — the dominant cost)
+            const T *__restrict qrq = qr + qoff;
+            const T *__restrict sfp = sf;
+            T *__restrict sp = s;
+            const T nval = (T)(m - 1);
+            const T sN = (T)sc_N, sM = (T)sc_mch, sX = (T)sc_mis;
             int32_t en16 = (en0 - st0) / 16 * 16 + st0 + 15;
             for (int32_t t = st0; t <= en16; ++t) {
-                int32_t sq = sf[t];
-                int32_t stq = qrq[t];
-                int32_t isn = -(int32_t)((sq == m - 1) | (stq == m - 1));
-                int32_t eq = -(int32_t)(sq == stq);
-                s[t] = (isn & sc_N) |
-                       (~isn & ((eq & sc_mch) | (~eq & sc_mis)));
+                T sq = sfp[t];
+                T stq = qrq[t];
+                T isn = (T)-(int32_t)((sq == nval) | (stq == nval));
+                T eq = (T)-(int32_t)(sq == stq);
+                sp[t] = (T)((isn & sN) |
+                            (T)(~isn & (T)((eq & sM) | (T)(~eq & sX))));
             }
         } else {
             for (int32_t t = st0; t <= en0; ++t)
@@ -1131,42 +1153,41 @@ static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
         }
         {
             int32_t W = en - st + 1;
-            xs_[0] = x1;
-            vs_[0] = v1;
-            x2s_[0] = x21;
-            memcpy(xs_ + 1, x + st, (size_t)(W - 1) * sizeof(T));
-            memcpy(vs_ + 1, v + st, (size_t)(W - 1) * sizeof(T));
-            memcpy(x2s_ + 1, x2 + st, (size_t)(W - 1) * sizeof(T));
-            memcpy(uo_, u + st, (size_t)W * sizeof(T));
-            memcpy(yo_, y + st, (size_t)W * sizeof(T));
+            x_o[st - 1] = (T)x1;
+            v_o[st - 1] = (T)v1;
+            x2_o[st - 1] = (T)x21;
             if (with_cigar && !right)
-                exts2_row<true, false, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
-                                       donor + st, acceptor + st, u + st,
-                                       v + st, x + st, y + st, x2 + st, pr,
-                                       (T)q, (T)e, (T)q2);
+                exts2_row<true, false, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                                       x2_o + st - 1, u_o + st, y_o + st,
+                                       donor + st, acceptor + st, u_n + st,
+                                       v_n + st, x_n + st, y_n + st, x2_n + st,
+                                       pr, (T)q, (T)e, (T)q2);
             else if (with_cigar)
-                exts2_row<true, true, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
-                                      donor + st, acceptor + st, u + st,
-                                      v + st, x + st, y + st, x2 + st, pr,
-                                      (T)q, (T)e, (T)q2);
+                exts2_row<true, true, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                                      x2_o + st - 1, u_o + st, y_o + st,
+                                      donor + st, acceptor + st, u_n + st,
+                                      v_n + st, x_n + st, y_n + st, x2_n + st,
+                                      pr, (T)q, (T)e, (T)q2);
             else if (!right)
-                exts2_row<false, false, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
-                                        donor + st, acceptor + st, u + st,
-                                        v + st, x + st, y + st, x2 + st,
+                exts2_row<false, false, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                                        x2_o + st - 1, u_o + st, y_o + st,
+                                        donor + st, acceptor + st, u_n + st,
+                                        v_n + st, x_n + st, y_n + st, x2_n + st,
                                         nullptr, (T)q, (T)e, (T)q2);
             else
-                exts2_row<false, true, T>(W, s + st, xs_, vs_, x2s_, uo_, yo_,
-                                       donor + st, acceptor + st, u + st,
-                                       v + st, x + st, y + st, x2 + st,
+                exts2_row<false, true, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                                       x2_o + st - 1, u_o + st, y_o + st,
+                                       donor + st, acceptor + st, u_n + st,
+                                       v_n + st, x_n + st, y_n + st, x2_n + st,
                                        nullptr, (T)q, (T)e, (T)q2);
         }
         if (!approx_max) {
             int64_t max_H;
             int32_t max_t;
             if (r > 0) {
-                exact_max_scan(H, u, v, st0, en0, &max_H, &max_t);
+                exact_max_scan(H, u_n, v_n, st0, en0, &max_H, &max_t);
             } else {
-                H[0] = v[0] - (q + e);
+                H[0] = v_n[0] - (q + e);
                 max_H = H[0];
                 max_t = 0;
             }
@@ -1185,7 +1206,7 @@ static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
             if (r > 0) {
                 if (last_H0_t >= st0 && last_H0_t <= en0 &&
                     last_H0_t + 1 >= st0 && last_H0_t + 1 <= en0) {
-                    int32_t d0 = v[last_H0_t], d1 = u[last_H0_t + 1];
+                    int32_t d0 = v_n[last_H0_t], d1 = u_n[last_H0_t + 1];
                     if (d0 > d1)
                         H0 += d0;
                     else {
@@ -1193,13 +1214,13 @@ static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
                         ++last_H0_t;
                     }
                 } else if (last_H0_t >= st0 && last_H0_t <= en0) {
-                    H0 += v[last_H0_t];
+                    H0 += v_n[last_H0_t];
                 } else {
                     ++last_H0_t;
-                    H0 += u[last_H0_t];
+                    H0 += u_n[last_H0_t];
                 }
             } else {
-                H0 = v[0] - (q + e);
+                H0 = v_n[0] - (q + e);
                 last_H0_t = 0;
             }
             if ((flag & EZ_APPROX_DROP) &&
@@ -1209,6 +1230,7 @@ static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
         }
         last_st = st;
         last_en = en;
+        cur ^= 1;
     }
 
     if (with_cigar) {
@@ -1816,6 +1838,99 @@ void mm2_zdrop_scan(const uint32_t *cigar, int64_t n_cigar,
     out[3] = zj0;
     out[4] = zj1;
 }
+
+// One seed-gap fill of the align loop (align.c:709-765 semantics, the
+// align.py fill sequence fused): approximate-max extd2, the zdrop test
+// over the resulting CIGAR (mm_test_zdrop, align.c:47-89, including the
+// inversion probe via the striped local SW), and the exact re-run when
+// the test trips — a single FFI crossing instead of up to four (the
+// Python-side call overhead dominated the align stage).
+// zdrop_code_out: 0 = pass, 1 = zdrop, 2 = inversion. When the code is
+// nonzero the returned ez/cigar are from the exact re-run, exactly as
+// the unfused sequence produced.
+int mm2_ksw_extd2_fill(int32_t qlen, const uint8_t *query, int32_t tlen,
+                       const uint8_t *target, const int8_t *mat,
+                       int32_t q, int32_t e, int32_t q2, int32_t e2,
+                       int32_t w, int32_t zdrop, int32_t zdrop_inv,
+                       int32_t flag, int32_t inv_enabled, int32_t max_gap,
+                       int64_t min_inv_score, int64_t min_dp_max,
+                       int64_t *ez_out, uint32_t **cigar_out,
+                       int32_t *n_cigar_out, int32_t *zdrop_code_out) {
+    int rc = mm2_ksw_extd2(qlen, query, tlen, target, mat, q, e, q2, e2, w,
+                           zdrop, -1, flag | EZ_APPROX_MAX, ez_out,
+                           cigar_out, n_cigar_out);
+    *zdrop_code_out = 0;
+    if (rc != 0) return rc;
+    int64_t zs[5];
+    mm2_zdrop_scan(*cigar_out, *n_cigar_out, query, target, mat, q, e, zs);
+    int64_t max_z = zs[0];
+    int32_t code = 0;
+    if (max_z > 0) {
+        int64_t t_len = zs[2] - zs[1], q_len = zs[4] - zs[3];
+        if (inv_enabled && max_z > zdrop_inv && q_len < max_gap &&
+            t_len < max_gap) {
+            std::vector<uint8_t> sub((size_t)(q_len > 0 ? q_len : 0));
+            for (int64_t i = 0; i < q_len; ++i) {
+                uint8_t c = query[zs[4] - 1 - i];
+                sub[i] = c >= 4 ? 4 : (uint8_t)(3 - c);
+            }
+            int64_t ll_out[3];
+            mm2_ksw_ll((int32_t)q_len, sub.data(), (int32_t)t_len,
+                       target + zs[1], mat, q, e, ll_out);
+            if (ll_out[0] >= min_inv_score && ll_out[0] >= min_dp_max)
+                code = 2;
+        }
+        if (code == 0 && max_z > zdrop) code = 1;
+    }
+    *zdrop_code_out = code;
+    if (code != 0) {
+        if (*n_cigar_out) {
+            free(*cigar_out);
+            *cigar_out = nullptr;
+            *n_cigar_out = 0;
+        }
+        rc = mm2_ksw_extd2(qlen, query, tlen, target, mat, q, e, q2, e2, w,
+                           code == 2 ? zdrop_inv : zdrop, -1, flag, ez_out,
+                           cigar_out, n_cigar_out);
+    }
+    return rc;
+}
+
+// Param-packed variant of the fused fill: the 14 scalar parameters ride
+// in one int64 array so the ctypes FFI marshals 8 arguments instead of
+// 21 (scalar marshalling dominated the per-call cost at ~5k fills/100
+// reads). par = [qlen, tlen, q, e, q2, e2, w, zdrop, zdrop_inv, flag,
+// inv_enabled, max_gap, min_inv_score, min_dp_max, S_ptr, ref_off,
+// q_ptr]. When par[14] is nonzero it is the 4-bit packed reference
+// (mm_seq4_get layout) and the target is unpacked here from absolute
+// offset par[15] — the caller skips its per-fill getseq + pointer
+// extraction entirely. When par[16] is nonzero it is the query pointer.
+int mm2_ksw_extd2_fillp(const int64_t *par, const uint8_t *query,
+                        const uint8_t *target, const int8_t *mat,
+                        int64_t *ez_out, uint32_t **cigar_out,
+                        int32_t *n_cigar_out, int32_t *zdrop_code_out) {
+    static thread_local std::vector<uint8_t> tbuf;
+    if (par[14]) {
+        const uint32_t *S = (const uint32_t *)par[14];
+        int64_t off = par[15];
+        int32_t tlen = (int32_t)par[1];
+        if ((int32_t)tbuf.size() < tlen) tbuf.resize(tlen);
+        for (int32_t t = 0; t < tlen; ++t) {
+            int64_t o = off + t;
+            tbuf[t] = (S[o >> 3] >> ((o & 7) << 2)) & 0xF;
+        }
+        target = tbuf.data();
+    }
+    if (par[16]) query = (const uint8_t *)par[16];
+    return mm2_ksw_extd2_fill(
+        (int32_t)par[0], query, (int32_t)par[1], target, mat,
+        (int32_t)par[2], (int32_t)par[3], (int32_t)par[4], (int32_t)par[5],
+        (int32_t)par[6], (int32_t)par[7], (int32_t)par[8], (int32_t)par[9],
+        (int32_t)par[10], (int32_t)par[11], par[12], par[13], ez_out,
+        cigar_out, n_cigar_out, zdrop_code_out);
+}
+
+int mm2_has_fill() { return 1; }
 
 int mm2_has_lookup() { return 1; }
 
