@@ -95,7 +95,47 @@ def run_cli_subprocess(args, reps=2):
     return best, out
 
 
-def f1_estimate(ref, reads):
+def ref_binary_times(ref, reads):
+    """Measure the reference binary live on THIS box (PAF + SAM, single
+    core, min of 2 runs each; builds it via scripts/build_golden_bin.sh
+    on first use). Live same-box numbers replace the baked REF_*_S
+    constants so the recorded ratios never drift with box speed."""
+    import re
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    gbin = os.environ.get("MM2TPU_GOLDEN_BIN", "/tmp/golden/minimap2-golden")
+    try:
+        if not os.path.exists(gbin):
+            subprocess.run(["bash", os.path.join(
+                here, "scripts", "build_golden_bin.sh")], check=True,
+                capture_output=True, timeout=600)
+        mmi = os.path.join(OUT_DIR, "ref_live.mmi")
+        if not os.path.exists(mmi):
+            subprocess.run([gbin, "-x", "map-ont", "-d", mmi, ref],
+                           check=True, capture_output=True, timeout=600)
+
+        def t_of(args, reps=2):
+            best = None
+            for _ in range(reps):
+                r = subprocess.run([gbin] + args, stdout=subprocess.DEVNULL,
+                                   stderr=subprocess.PIPE, text=True,
+                                   timeout=600)
+                assert r.returncode == 0, r.stderr[-800:]
+                m = re.search(r"Real time: ([0-9.]+) sec", r.stderr)
+                t = float(m.group(1))
+                best = t if best is None else min(best, t)
+            return best
+
+        paf_s = t_of(["-x", "map-ont", "-t", "1", mmi, reads])
+        sam_s = t_of(["-ax", "map-ont", "-t", "1", mmi, reads])
+        return paf_s, sam_s
+    except Exception as e:
+        log("live reference timing unavailable (%r); baked constants" % e)
+        return None, None
+
+
+def f1_estimate(ref, reads, ref_paf_s=REF_PAF_S,
+                ref_chain_s=REF_PAF_CHAIN_S):
     """Chaining-task features -> fork cost models -> e2e estimate."""
     from mm2tpu.cli import mapopt_update
     from mm2tpu.index.build import load_index
@@ -132,14 +172,14 @@ def f1_estimate(ref, reads):
     placed_hw_ms = placed_sw_ms = 0.0
     for n, sub, trip in feats:
         t_hw = F1_K1_HW * n + F1_K2_HW * sub + F1_C_HW
-        t_sw_host = REF_PAF_CHAIN_S * 1e3 * trip / max(total_trip, 1)
+        t_sw_host = ref_chain_s * 1e3 * trip / max(total_trip, 1)
         if t_hw < t_sw_host:
             placed_hw_ms += t_hw
         else:
             placed_sw_ms += t_sw_host
     fpga_s = placed_hw_ms * scale / 1e3
     cpu_chain_s = placed_sw_ms * scale / 1e3
-    nonchain = REF_PAF_S - REF_PAF_CHAIN_S
+    nonchain = ref_paf_s - ref_chain_s
     # 1-core estimate holds the host constant (this box has ONE core:
     # chip-vs-card at equal host is the like-for-like number); the 8-core
     # estimate models the full f1.2xlarge (8 vCPUs + FPGA) with perfect
@@ -282,11 +322,23 @@ def main():
     # default behavior, mirroring the fork's HW/SW split. On this
     # tunnel-attached chip that is mostly the host DP; on a PCIe-attached
     # chip the same code offloads. This is the headline e2e number.
+    # live same-box reference-binary numbers (fall back to the baked
+    # constants from the round-1 measurement if the build fails)
+    log("reference binary live timing...")
+    live_paf_s, live_sam_s = ref_binary_times(ref, reads)
+    ref_paf_s = live_paf_s or REF_PAF_S
+    ref_sam_s = live_sam_s or REF_SAM_S
+    # the chaining FRACTION of the reference runtime is a workload
+    # property; rescale the baked chain seconds to this box's speed
+    ref_chain_s = REF_PAF_CHAIN_S * ref_paf_s / REF_PAF_S
+    extra["ref_timing_source"] = "live" if live_paf_s else "baked_r1"
+
     log("auto-routed PAF...")
     t_auto, out_host = run_cli_subprocess(
         ["-x", "map-ont", "-t", "1", idx, reads])
     extra["e2e_auto_reads_per_s"] = round(n_reads / t_auto, 1)
-    extra["ref_binary_paf_reads_per_s"] = round(n_reads / REF_PAF_S, 1)
+    extra["ref_binary_paf_reads_per_s"] = round(n_reads / ref_paf_s, 1)
+    extra["paf_vs_ref_binary"] = round(ref_paf_s / t_auto, 3)
 
     reads_per_s = n_reads / t_auto
 
@@ -294,10 +346,11 @@ def main():
     log("host SAM...")
     t_sam, _ = run_cli_subprocess(["-ax", "map-ont", "-t", "1", idx, reads])
     extra["host_sam_reads_per_s"] = round(n_reads / t_sam, 1)
-    extra["ref_binary_sam_reads_per_s"] = round(n_reads / REF_SAM_S, 1)
+    extra["ref_binary_sam_reads_per_s"] = round(n_reads / ref_sam_s, 1)
+    extra["sam_vs_ref_binary"] = round(ref_sam_s / t_sam, 3)
 
     log("F1 estimate...")
-    f1 = f1_estimate(ref, reads)
+    f1 = f1_estimate(ref, reads, ref_paf_s, ref_chain_s)
     extra.update(f1)
 
     log("chain kernel dense...")

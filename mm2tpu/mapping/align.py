@@ -131,6 +131,21 @@ def fix_cigar(r: Region, qseq, tseq) -> Tuple[int, int]:
     qshift = tshift = 0
     if p.n_cigar <= 1:
         return 0, 0
+    if _native_has("has_fix_cigar"):
+        from ..native import lib as native_lib
+        carr = np.array(p.cigar, dtype=np.uint32)
+        n, qshift, tshift, lead_op, qoff, toff = native_lib.fix_cigar(
+            carr, qseq, tseq)
+        assert qoff == r.qe - r.qs and toff == r.re - r.rs
+        if lead_op == 1:
+            if r.rev:
+                r.qe -= qshift
+            else:
+                r.qs += qshift
+        elif lead_op == 2:
+            r.rs += tshift
+        p.cigar = carr[:n].tolist()
+        return qshift, tshift
     cig = p.cigar
     toff = qoff = 0
     to_shrink = False

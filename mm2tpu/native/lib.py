@@ -146,6 +146,9 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
             ctypes.POINTER(_I32), ctypes.POINTER(_I32)]
         lib.mm2_ksw_extd2_fillp.restype = ctypes.c_int
+    if hasattr(lib, "mm2_fix_cigar"):
+        lib.mm2_fix_cigar.argtypes = [_VP, _I64, _VP, _VP, _VP]
+        lib.mm2_fix_cigar.restype = _I64
     _lib = lib
     return lib
 
@@ -419,6 +422,25 @@ def read_mmi_buckets(data, b: int):
 def has_cigar_walks() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "mm2_update_stats")
+
+
+def has_fix_cigar() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_fix_cigar")
+
+
+def fix_cigar(cig: np.ndarray, qseq: np.ndarray, tseq: np.ndarray):
+    """Native mm_fix_cigar (align.c:91-167) over a uint32 cigar array
+    (modified in place). Returns (n_new, qshift, tshift, lead_op, qoff,
+    toff); the caller applies region-coordinate updates and truncates."""
+    lib = _load()
+    out = np.zeros(5, np.int64)
+    qa, qp = _ptr(qseq, np.uint8)
+    ta, tp = _ptr(tseq, np.uint8)
+    n = lib.mm2_fix_cigar(cig.ctypes.data, len(cig), qp, tp,
+                          out.ctypes.data)
+    o = out.tolist()
+    return int(n), o[0], o[1], o[2], o[3], o[4]
 
 
 def update_stats(cigar: np.ndarray, qseq: np.ndarray, tseq: np.ndarray,

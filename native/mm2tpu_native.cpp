@@ -1930,6 +1930,103 @@ int mm2_ksw_extd2_fillp(const int64_t *par, const uint8_t *query,
         cigar_out, n_cigar_out, zdrop_code_out);
 }
 
+// mm_fix_cigar (align.c:91-167): indel left-shift, 5I6D7I merge,
+// leading-indel trim — in place on the uint32 cigar array. out =
+// [qshift, tshift, lead_op, qoff, toff]; returns the new length. The
+// Python caller applies the region-coordinate updates from lead_op and
+// asserts qoff/toff against the region spans.
+int64_t mm2_fix_cigar(uint32_t *cig, int64_t n, const uint8_t *qseq,
+                      const uint8_t *tseq, int64_t *out) {
+    int64_t qshift = 0, tshift = 0, lead_op = 0;
+    int64_t toff = 0, qoff = 0;
+    bool to_shrink = false;
+    for (int64_t k = 0; k < n; ++k) {
+        uint32_t op = cig[k] & 0xF;
+        int64_t ln = cig[k] >> 4;
+        if (ln == 0) to_shrink = true;
+        if (op == 0) {
+            toff += ln;
+            qoff += ln;
+        } else if (op == 1 || op == 2) {
+            if (k > 0 && k < n - 1 && (cig[k - 1] & 0xF) == 0 &&
+                (cig[k + 1] & 0xF) == 0) {
+                int64_t prev_len = cig[k - 1] >> 4;
+                int64_t l = 0;
+                if (op == 1) {
+                    while (l < prev_len &&
+                           qseq[qoff - 1 - l] == qseq[qoff + ln - 1 - l])
+                        ++l;
+                } else {
+                    while (l < prev_len &&
+                           tseq[toff - 1 - l] == tseq[toff + ln - 1 - l])
+                        ++l;
+                }
+                if (l > 0) {
+                    cig[k - 1] -= (uint32_t)(l << 4);
+                    cig[k + 1] += (uint32_t)(l << 4);
+                    qoff -= l;
+                    toff -= l;
+                }
+                if (l == prev_len) to_shrink = true;
+            }
+            if (op == 1) qoff += ln;
+            else toff += ln;
+        } else if (op == 3) {
+            toff += ln;
+        }
+    }
+    for (int64_t k = 0; k + 2 < n;) {  // fix CIGAR like 5I6D7I
+        uint32_t opk = cig[k] & 0xF;
+        if (opk > 0 && opk + (cig[k + 1] & 0xF) == 3) {
+            int64_t s1 = 0, s2 = 0;
+            int64_t l = k;
+            for (; l < n; ++l) {
+                uint32_t op = cig[l] & 0xF;
+                if (op == 1 || op == 2 || (cig[l] >> 4) == 0) {
+                    if (op == 1) s1 += cig[l] >> 4;
+                    else if (op == 2) s2 += cig[l] >> 4;
+                } else {
+                    break;
+                }
+            }
+            if (s1 > 0 && s2 > 0 && l - k > 2) {
+                cig[k] = (uint32_t)(s1 << 4 | 1);
+                cig[k + 1] = (uint32_t)(s2 << 4 | 2);
+                for (int64_t kk = k + 2; kk < l; ++kk) cig[kk] &= 0xF;
+                to_shrink = true;
+            }
+            k = l + 1;
+        } else {
+            ++k;
+        }
+    }
+    if (to_shrink) {
+        int64_t m_ = 0;
+        for (int64_t k = 0; k < n; ++k) {
+            if ((cig[k] >> 4) == 0) continue;
+            if (m_ > 0 && (cig[m_ - 1] & 0xF) == (cig[k] & 0xF))
+                cig[m_ - 1] += (cig[k] >> 4) << 4;
+            else
+                cig[m_++] = cig[k];
+        }
+        n = m_;
+    }
+    if (n > 0 && ((cig[0] & 0xF) == 1 || (cig[0] & 0xF) == 2)) {
+        int64_t l = cig[0] >> 4;
+        lead_op = cig[0] & 0xF;
+        if (lead_op == 1) qshift = l;
+        else tshift = l;
+        memmove(cig, cig + 1, (size_t)(n - 1) * sizeof(uint32_t));
+        --n;
+    }
+    out[0] = qshift;
+    out[1] = tshift;
+    out[2] = lead_op;
+    out[3] = qoff;
+    out[4] = toff;
+    return n;
+}
+
 int mm2_has_fill() { return 1; }
 
 int mm2_has_lookup() { return 1; }
