@@ -46,7 +46,12 @@ class ChainRouter:
             if t_dev < t_host and self.queue.admit(t_dev, t_host):
                 return "tpu"
             return "native"
-        return "tpu" if n >= self.tpu_min_anchors else "native"
+        if n >= self.tpu_min_anchors and costmodel.backend_ready():
+            # never block a host-capable task on accelerator init: until
+            # the async probe brings the backend up, place on host
+            # (chain_hardware.cpp:54-92's SW-if-HW-busy, applied to init)
+            return "tpu"
+        return "native"
 
 
 _NATIVE = None

@@ -109,19 +109,66 @@ def set_default_model(model: Optional[CostModel]) -> None:
     _AUTOLOAD_TRIED = True
 
 
+def backend_ready() -> bool:
+    """True once a JAX backend is actually initialized in this process.
+    Checked WITHOUT triggering initialization: connecting to the
+    accelerator can take tens of seconds (or hang when it is
+    unreachable), and a host-path mapping run must never block on it."""
+    import sys
+    xb = sys.modules.get("jax._src.xla_bridge")
+    try:
+        return bool(xb is not None and xb._backends)
+    except Exception:
+        return False
+
+
+_PROBE_STARTED = False
+
+
+def ensure_backend_async() -> None:
+    """Bring the default JAX backend up on a daemon thread. Until it is
+    ready, the router places every task on the host (the reference's
+    PROCESS_ON_SW_IF_HW_BUSY stance, chain_hardware.cpp:54-92, applied
+    to device init); if the accelerator is unreachable the probe hangs
+    harmlessly and mapping completes host-only — degraded mode instead
+    of a hung process."""
+    global _PROBE_STARTED
+    if _PROBE_STARTED or backend_ready():
+        return
+    _PROBE_STARTED = True
+    import sys
+    import threading
+    if sys.modules.get("jax") is None:
+        return
+
+    def _probe():
+        try:
+            import jax
+            jax.default_backend()
+        except Exception:
+            pass
+
+    threading.Thread(target=_probe, daemon=True,
+                     name="mm2tpu-backend-probe").start()
+
+
 def get_default_model() -> Optional[CostModel]:
     """Explicitly-set model, else the in-tree trained constants
     (mm2tpu/data/router_params_v5e.json — the analogue of the constants
     the reference ships in chain_hardware.h:18-30). Auto-load only
-    applies when JAX is already initialized on a real TPU: the constants
-    describe device dispatch on that hardware, and importing/initializing
-    jax from here would be a side effect."""
+    applies once JAX is INITIALIZED on a real TPU — never initializes a
+    backend itself (that can block on an unreachable accelerator; see
+    ensure_backend_async): the constants describe device dispatch on
+    that hardware."""
     global _DEFAULT_MODEL, _AUTOLOAD_TRIED
     if _DEFAULT_MODEL is None and not _AUTOLOAD_TRIED:
         import sys
         jax = sys.modules.get("jax")
         if jax is None:
             return None  # keep trying until jax appears
+        if not backend_ready():
+            ensure_backend_async()
+            return None  # retry once the probe brings a backend up
         _AUTOLOAD_TRIED = True
         try:
             if jax.default_backend() == "tpu":

@@ -3,6 +3,7 @@ chain_hardware.cpp:54-92 semantics) and the task-size feature precompute."""
 import numpy as np
 import pytest
 
+from mm2tpu.mapping import costmodel
 from mm2tpu.mapping.costmodel import (CostModel, DeviceQueue,
                                       fit_cost_model)
 from mm2tpu.mapping.chain import ChainRouter
@@ -116,9 +117,17 @@ def test_router_falls_back_when_device_busy():
 
 
 def test_router_threshold_without_model():
+    """Static threshold applies only once a backend is actually up
+    (costmodel.backend_ready): a host-capable task must never block on
+    accelerator init — until then everything places on host."""
     r = ChainRouter("auto", tpu_min_anchors=1000, cost_model=False or None)
     # ensure no global default model interferes
     r.cost_model = None
+    if not costmodel.backend_ready():
+        assert r.pick(2000) == "native"  # backend down: degraded mode
+    import jax
+    jax.numpy.zeros(1).block_until_ready()  # initialize the CPU backend
+    assert costmodel.backend_ready()
     assert r.pick(2000) == "tpu"
     assert r.pick(10) == "native"
 
