@@ -234,11 +234,14 @@ def _seed_device_round(mi: MMIndex, opt: MapOptions, ctxs: dict,
         return -(-m // 8192) * 8192
 
     # ---- phase 1: occurrence counts (per M bucket) ----
+    # dispatch every probe chunk first (async), then read back: the
+    # device pipelines the probes while the host builds later chunks
     cnts = {}
     groups: dict = {}
     for i in idxs:
         groups.setdefault(m_bucket(len(ctxs[i].mv)), []).append(i)
     with profiling.stage("seed.device_probe"):
+        probe_jobs = []
         for M, members in sorted(groups.items()):
             for off in range(0, len(members), B_CH):
                 chunk = members[off:off + B_CH]
@@ -250,11 +253,13 @@ def _seed_device_round(mi: MMIndex, opt: MapOptions, ctxs: dict,
                     h, l, _, _, _ = prep[i]
                     qhi[r, :len(h)] = h
                     qlo[r, :len(h)] = l
-                c = np.asarray(sd.probe_counts(
+                probe_jobs.append((chunk, sd.probe_counts(
                     dev["khi"], dev["klo"], dev["start"], dev["cnt"],
-                    qhi, qlo, interpret=interpret))
-                for r, i in enumerate(chunk):
-                    cnts[i] = c[r, :len(ctxs[i].mv)]
+                    qhi, qlo, interpret=interpret)))
+        for chunk, c in probe_jobs:
+            c = np.asarray(c)
+            for r, i in enumerate(chunk):
+                cnts[i] = c[r, :len(ctxs[i].mv)]
 
     # ---- host: rep_len / mini_pos / totals / avg (seed.py semantics) ----
     meta = {}
@@ -300,60 +305,81 @@ def _seed_device_round(mi: MMIndex, opt: MapOptions, ctxs: dict,
             continue
         groups2.setdefault((m_bucket(len(ctxs[i].mv)), N,
                             ctxs[i].gap_ref, ctxs[i].gap_qry), []).append(i)
+    # depth-bounded dispatch/consume pipeline: the host decodes and
+    # backtracks chunk k while chunk k+1 runs on the device (the
+    # reference's async-DMA + busy-arbiter overlap,
+    # chain_hardware.cpp:104-189)
+    from ..ops.chain_packed import unpack_prel
+    plan2 = []
     for (M, N, gap_ref, gap_qry), members in sorted(groups2.items()):
         for off in range(0, len(members), B_CH):
-            chunk = members[off:off + B_CH]
-            B = B_CH if len(members) > B_CH else \
-                max(8, -(-len(chunk) // 8) * 8)
-            qhi = np.full((B, M), PAD_QHI, np.int32)
-            qlo = np.zeros((B, M), np.int32)
-            qpos_a = np.zeros((B, M), np.int32)
-            qspan_a = np.zeros((B, M), np.int32)
-            qtand_a = np.zeros((B, M), np.int32)
-            qlen_a = np.ones(B, np.int32)
-            avg_a = np.zeros((B, 1), np.float32)
+            plan2.append(((M, N, gap_ref, gap_qry),
+                          members[off:off + B_CH], len(members)))
+
+    def dispatch2(job):
+        (M, N, gap_ref, gap_qry), chunk, n_members = job
+        B = B_CH if n_members > B_CH else \
+            max(8, -(-len(chunk) // 8) * 8)
+        qhi = np.full((B, M), PAD_QHI, np.int32)
+        qlo = np.zeros((B, M), np.int32)
+        qpos_a = np.zeros((B, M), np.int32)
+        qspan_a = np.zeros((B, M), np.int32)
+        qtand_a = np.zeros((B, M), np.int32)
+        qlen_a = np.ones(B, np.int32)
+        avg_a = np.zeros((B, 1), np.float32)
+        for r, i in enumerate(chunk):
+            h, l, qpos, qspan, qtand = prep[i]
+            m = len(h)
+            qhi[r, :m] = h
+            qlo[r, :m] = l
+            qpos_a[r, :m] = qpos
+            qspan_a[r, :m] = qspan
+            qtand_a[r, :m] = qtand
+            qlen_a[r] = ctxs[i].qlen_sum
+            avg_a[r, 0] = meta[i][3]
+        with profiling.stage("seed.device_chain"):
+            handles = sd.seed_chain_device(
+                dev["khi"], dev["klo"], dev["start"], dev["cnt"],
+                dev["poshi"], dev["poslo"], qhi, qlo, qpos_a, qspan_a,
+                qtand_a, qlen_a, avg_a, N=N, mid_occ=mid_occ,
+                max_dist_x=gap_ref, max_dist_y=gap_qry, bw=opt.bw,
+                iter_cap=iter_cap,
+                gap_scale=float(opt.chain_gap_scale),
+                interpret=interpret,
+                rows_per_program=2 if B % 2 == 0 else 1)
+        return chunk, handles
+
+    def consume2(item):
+        chunk, handles = item
+        with profiling.stage("seed.device_chain"):
+            xhi_s, xlo, yhi, ylo, f, prel, total_d = \
+                [np.asarray(h) for h in handles]
+        with profiling.stage("chain.backtrack"):
             for r, i in enumerate(chunk):
-                h, l, qpos, qspan, qtand = prep[i]
-                m = len(h)
-                qhi[r, :m] = h
-                qlo[r, :m] = l
-                qpos_a[r, :m] = qpos
-                qspan_a[r, :m] = qspan
-                qtand_a[r, :m] = qtand
-                qlen_a[r] = ctxs[i].qlen_sum
-                avg_a[r, 0] = meta[i][3]
-            with profiling.stage("seed.device_chain"):
-                xhi_s, xlo, yhi, ylo, f, p, total_d = sd.seed_chain_device(
-                    dev["khi"], dev["klo"], dev["start"], dev["cnt"],
-                    dev["poshi"], dev["poslo"], qhi, qlo, qpos_a, qspan_a,
-                    qtand_a, qlen_a, avg_a, N=N, mid_occ=mid_occ,
-                    max_dist_x=gap_ref, max_dist_y=gap_qry, bw=opt.bw,
-                    iter_cap=iter_cap,
-                    gap_scale=float(opt.chain_gap_scale),
-                    interpret=interpret,
-                    rows_per_program=2 if B % 2 == 0 else 1)
-                xhi_s, xlo = np.asarray(xhi_s), np.asarray(xlo)
-                yhi, ylo = np.asarray(yhi), np.asarray(ylo)
-                f = np.asarray(f).astype(np.int32)
-                p = np.asarray(p).astype(np.int32)
-                total_d = np.asarray(total_d)
-            with profiling.stage("chain.backtrack"):
-                for r, i in enumerate(chunk):
-                    rep_len, mini_pos, total, _ = meta[i]
-                    assert int(total_d[r]) == total, (i, total_d[r], total)
-                    a = sd.anchors_from_device(xhi_s[r], xlo[r], yhi[r],
-                                               ylo[r], total)
-                    ctxs[i].sr = SeedResult(a, rep_len, mini_pos,
-                                            len(ctxs[i].mv))
-                    v = native_lib.v_carry(f[r, :total], p[r, :total]) \
-                        if native_lib.available() else None
-                    if v is None:
-                        from ..ops.chain_pallas_v2 import v_carry_host
-                        v = v_carry_host(f[r:r + 1, :total],
-                                         p[r:r + 1, :total])[0]
-                    outs[i] = chain_ref.chain_backtrack(
-                        total, f[r, :total], p[r, :total], v, a,
-                        opt.min_cnt, opt.min_chain_score)
+                rep_len, mini_pos, total, _ = meta[i]
+                assert int(total_d[r]) == total, (i, total_d[r], total)
+                a = sd.anchors_from_device(xhi_s[r], xlo[r], yhi[r],
+                                           ylo[r], total)
+                ctxs[i].sr = SeedResult(a, rep_len, mini_pos,
+                                        len(ctxs[i].mv))
+                p = unpack_prel(prel[r], total)
+                v = native_lib.v_carry(f[r, :total], p) \
+                    if native_lib.available() else None
+                if v is None:
+                    from ..ops.chain_pallas_v2 import v_carry_host
+                    v = v_carry_host(f[r:r + 1, :total], p[None])[0]
+                outs[i] = chain_ref.chain_backtrack(
+                    total, f[r, :total], p, v, a,
+                    opt.min_cnt, opt.min_chain_score)
+
+    from collections import deque
+    inflight = deque()
+    for job in plan2:
+        inflight.append(dispatch2(job))
+        if len(inflight) > 2:
+            consume2(inflight.popleft())
+    while inflight:
+        consume2(inflight.popleft())
     return outs
 
 
@@ -395,7 +421,9 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
 
     from ..ops import chain_ref
     from ..ops.chain_pallas import WINDOW
-    from ..ops.chain_pallas_v2 import chain_scores_device_v2, v_carry_host
+    from ..ops.chain_pallas_v2 import v_carry_host
+    from ..ops.chain_packed import (chain_scores_packed, pack_tasks16,
+                                    pick_lanes, unpack_prel)
     from ..parallel.batching import bucket_for, pack_tasks
 
     if mesh is not None:
@@ -436,60 +464,83 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
         # recompile every batch)
         B_SIZES = (8, 32, 128)
         empty = np.zeros((0, 2), np.uint64)
+        # Plan every fixed-shape chunk first, then run them through a
+        # depth-bounded software pipeline: chunk k+1 is packed and
+        # dispatched (JAX dispatch is async) while chunk k's results
+        # are read back and backtracked on host — the reference's
+        # async-DMA writes + busy-host arbiter structure
+        # (chain_hardware.cpp:104-189, 54-92).
+        plan = []
         for key, members in groups.items():
-            mdx, mdy, bw, iter_cap, gs, is_cdna, n_segs, N = key
             for off in range(0, len(members), B_SIZES[-1]):
-                chunk = members[off:off + B_SIZES[-1]]
-                B = next(b for b in B_SIZES if b >= len(chunk))
-                if mesh is not None and B % mesh.size != 0:
-                    B = -(-B // mesh.size) * mesh.size
-                tasks = [ctxs[i].sr.anchors for i in chunk] + \
-                    [empty] * (B - len(chunk))
-                pb = pack_tasks(tasks, list(range(B)), N)
-                with profiling.stage("chain.device"):
-                    if mesh is not None:
-                        step = _sharded_step(mesh, key, interpret)
-                        f, p = step(pb.hi, pb.lo, pb.qi, pb.span, pb.sid,
-                                    pb.n, pb.avg)
-                    elif not is_cdna and n_segs == 1 and B % 8 == 0:
-                        # v3 cross-task-lane kernel (uniseg fast path;
-                        # ~2.7x v2 at G=4, bit-identical)
-                        from ..ops.chain_pallas_v3 import \
-                            chain_scores_device_v3
-                        f, p = chain_scores_device_v3(
-                            pb.hi, pb.lo, pb.qi, pb.span, pb.n, pb.avg,
-                            max_dist_x=mdx, max_dist_y=mdy, bw=bw,
-                            iter_cap=iter_cap, gap_scale=gs,
-                            interpret=interpret,
-                            groups_per_program=next(
-                                g for g in (4, 2, 1) if B % (8 * g) == 0))
+                plan.append((key, members[off:off + B_SIZES[-1]]))
+
+        def dispatch(job):
+            key, chunk = job
+            mdx, mdy, bw, iter_cap, gs, is_cdna, n_segs, N = key
+            B = next(b for b in B_SIZES if b >= len(chunk))
+            if mesh is not None and B % mesh.size != 0:
+                B = -(-B // mesh.size) * mesh.size
+            tasks = [ctxs[i].sr.anchors for i in chunk] + \
+                [empty] * (B - len(chunk))
+            with profiling.stage("chain.device"):
+                if mesh is not None:
+                    pb = pack_tasks(tasks, list(range(B)), N)
+                    step = _sharded_step(mesh, key, interpret)
+                    f, p = step(pb.hi, pb.lo, pb.qi, pb.span, pb.sid,
+                                pb.n, pb.avg)
+                    return chunk, f, p, False
+                # wire-packed dispatch: 16 B/anchor up, 6 B/anchor back
+                # (ops/chain_packed.py); v3 kernel for uniseg shapes
+                hi, lo, yhi, ylo, n_arr, avg_arr = pack_tasks16(tasks, N)
+                f, prel = chain_scores_packed(
+                    hi, lo, yhi, ylo, n_arr, avg_arr, max_dist_x=mdx,
+                    max_dist_y=mdy, bw=bw, iter_cap=iter_cap,
+                    gap_scale=gs, is_cdna=is_cdna, n_segs=n_segs,
+                    interpret=interpret,
+                    lanes=pick_lanes(B, not is_cdna and n_segs == 1))
+                return chunk, f, prel, True
+
+        try:
+            from ..native import lib as native_lib
+            native_v = native_lib.available()
+        except ImportError:
+            native_v = False
+
+        def consume(item):
+            chunk, f, pr, packed = item
+            with profiling.stage("chain.device"):
+                f = np.asarray(f)
+                pr = np.asarray(pr)
+            with profiling.stage("chain.backtrack"):
+                if packed:
+                    p_all = v_all = None
+                else:
+                    p_all = pr.astype(np.int32)
+                    v_all = None if native_v else v_carry_host(f, p_all)
+                for row, i in enumerate(chunk):
+                    anchors = ctxs[i].sr.anchors
+                    n = len(anchors)
+                    p = unpack_prel(pr[row], n) if packed \
+                        else p_all[row, :n]
+                    if native_v:
+                        v = native_lib.v_carry(f[row, :n], p)
+                    elif packed:
+                        v = v_carry_host(f[row:row + 1, :n], p[None])[0]
                     else:
-                        f, p = chain_scores_device_v2(
-                            pb.hi, pb.lo, pb.qi, pb.span, pb.sid, pb.n,
-                            pb.avg, max_dist_x=mdx, max_dist_y=mdy, bw=bw,
-                            iter_cap=iter_cap, gap_scale=gs, is_cdna=is_cdna,
-                            n_segs=n_segs, interpret=interpret,
-                            rows_per_program=(4 if B % 4 == 0 else
-                                              2 if B % 2 == 0 else 1))
-                    f = np.asarray(f).astype(np.int32)
-                    p = np.asarray(p).astype(np.int32)
-                with profiling.stage("chain.backtrack"):
-                    try:
-                        from ..native import lib as native_lib
-                        native_v = native_lib.available()
-                    except ImportError:
-                        native_v = False
-                    v_all = None if native_v else v_carry_host(f, p)
-                    for row, i in enumerate(chunk):
-                        anchors = ctxs[i].sr.anchors
-                        n = len(anchors)
-                        if native_v:
-                            v = native_lib.v_carry(f[row, :n], p[row, :n])
-                        else:
-                            v = v_all[row, :n]
-                        outs[i] = chain_ref.chain_backtrack(
-                            n, f[row, :n], p[row, :n], v, anchors,
-                            opt.min_cnt, opt.min_chain_score)
+                        v = v_all[row, :n]
+                    outs[i] = chain_ref.chain_backtrack(
+                        n, f[row, :n], p, v, anchors,
+                        opt.min_cnt, opt.min_chain_score)
+
+        from collections import deque
+        inflight = deque()
+        for job in plan:
+            inflight.append(dispatch(job))
+            if len(inflight) > 2:
+                consume(inflight.popleft())
+        while inflight:
+            consume(inflight.popleft())
         return outs
 
     if use_dev_seed:

@@ -82,8 +82,13 @@ def seed_chain_device(khi, klo, start, cnt, poshi, poslo,
     qpos: strand<<0|lastpos<<1 per minimizer; qspan; qtandem in {0,1};
     qlen: (B,) int32; avg: (B, 1) float32 avg_qspan computed on host
     (the f32 rounding of chain.c:48-49 must match the host path
-    bit-for-bit). Returns (xhi_flip, xlo, yhi, ylo, f, p, n) each (B, N)
-    (n is (B,)): the sorted anchors + chaining scores."""
+    bit-for-bit). Returns (xhi_flip, xlo, yhi:int16, ylo, f, prel:int16,
+    n) each (B, N) (n is (B,)): the sorted anchors + chaining scores.
+    The readback is wire-packed (ops/chain_packed.py): yhi carries only
+    span|tandem (< 2^11) so it ships as int16, and p ships as the
+    relative-predecessor int16 (decode with chain_packed.unpack_prel) —
+    20 B/anchor on the link instead of 24."""
+    from .chain_packed import _p_rel
     from .chain_pallas_v2 import chain_scores_device_v2
 
     B, M = qhi.shape
@@ -154,7 +159,8 @@ def seed_chain_device(khi, klo, start, cnt, poshi, poslo,
             max_dist_x=max_dist_x, max_dist_y=max_dist_y, bw=bw,
             iter_cap=iter_cap, gap_scale=gap_scale, is_cdna=False,
             n_segs=1, interpret=interpret)
-    return xhi_s, xlo_s, yhi_s, ylo_s, f, p, total
+    return (xhi_s, xlo_s, yhi_s.astype(jnp.int16), ylo_s, f,
+            _p_rel(p), total)
 
 
 def anchors_from_device(xhi_s, xlo, yhi, ylo, n: int) -> np.ndarray:
