@@ -74,14 +74,14 @@ def _gather_col(arr, idx, valid=None):
 def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
                   sc_mch: int, sc_mis: int, sc_N: int, w_static: int,
                   long_thres: int, long_diff: int, right: bool, approx: bool,
-                  approx_drop: bool, Tpad: int, Rmax: int,
+                  approx_drop: bool, Tpad: int, Rmax: int, rpp: int,
                   lens_ref, tsf_ref, qcol_ref, d_out, ez_out,
                   u_s, v_s, x_s, y_s, x2_s, y2_s, H_s, s_s, qrw_s, regs):
-    r = pl.program_id(0)
+    g = pl.program_id(0)
     B = lens_ref.shape[0]
     qe = q + e
 
-    @pl.when(r == 0)
+    @pl.when(g == 0)
     def _init():
         qrw_s[:] = jnp.zeros(qrw_s.shape, jnp.int32)
         u_s[:] = jnp.full(u_s.shape, -qe, jnp.int32)
@@ -100,236 +100,245 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
             init = jnp.where(rcol == k, KSW_NEG_INF, init)
         regs[:] = init
 
-    qlen = lens_ref[:, 0:1]
-    tlen = lens_ref[:, 1:2]
-    wl = jnp.full((B, 1), w_static, jnp.int32) if w_static >= 0 \
-        else jnp.maximum(qlen, tlen)
-    wr = wl
+    def _row(r, slot):
+        qlen = lens_ref[:, 0:1]
+        tlen = lens_ref[:, 1:2]
+        wl = jnp.full((B, 1), w_static, jnp.int32) if w_static >= 0 \
+            else jnp.maximum(qlen, tlen)
+        wr = wl
 
-    brk = regs[:, R_BREAK:R_BREAK + 1]
-    alive0 = (r < qlen + tlen - 1) & (brk == 0)
+        brk = regs[:, R_BREAK:R_BREAK + 1]
+        alive0 = (r < qlen + tlen - 1) & (brk == 0)
 
-    st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - wr + 1) >> 1)
-    en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + wl) >> 1)
-    band_brk = alive0 & (st0 > en0)
-    alive = alive0 & (st0 <= en0)
-    st = (st0 // 16) * 16
-    en = ((en0 + 16) // 16) * 16 - 1
+        st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - wr + 1) >> 1)
+        en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + wl) >> 1)
+        band_brk = alive0 & (st0 > en0)
+        alive = alive0 & (st0 <= en0)
+        st = (st0 // 16) * 16
+        en = ((en0 + 16) // 16) * 16 - 1
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1)
-    prev_st = regs[:, R_PST:R_PST + 1]
-    prev_en = regs[:, R_PEN:R_PEN + 1]
-    covered = (st > 0) & (prev_st <= st - 1) & (st - 1 <= prev_en)
-    # first-column boundary decay (ksw2_extd2_sse.c:190,194)
-    row0_bnd = jnp.where(
-        jnp.full((B, 1), r, jnp.int32) == 0, -qe,
-        jnp.where(jnp.full((B, 1), r, jnp.int32) < long_thres, -e,
-                  jnp.where(jnp.full((B, 1), r, jnp.int32) == long_thres,
-                            long_diff, -e2)))
-    v1_def = jnp.where(st > 0, -qe, row0_bnd)
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1)
+        prev_st = regs[:, R_PST:R_PST + 1]
+        prev_en = regs[:, R_PEN:R_PEN + 1]
+        covered = (st > 0) & (prev_st <= st - 1) & (st - 1 <= prev_en)
+        # first-column boundary decay (ksw2_extd2_sse.c:190,194)
+        row0_bnd = jnp.where(
+            jnp.full((B, 1), r, jnp.int32) == 0, -qe,
+            jnp.where(jnp.full((B, 1), r, jnp.int32) < long_thres, -e,
+                      jnp.where(jnp.full((B, 1), r, jnp.int32) == long_thres,
+                                long_diff, -e2)))
+        v1_def = jnp.where(st > 0, -qe, row0_bnd)
 
-    # y[r]/y2[r]/u[r] boundary writes when the band reaches column r
-    bnd_m = (col == r) & (en >= r) & alive
-    y_c = jnp.where(bnd_m, -qe, y_s[:, PADC:PADC + Tpad])
-    y2_c = jnp.where(bnd_m, -q2 - e2, y2_s[:, PADC:PADC + Tpad])
-    u_c = jnp.where(bnd_m, row0_bnd, u_s[:, PADC:PADC + Tpad])
+        # y[r]/y2[r]/u[r] boundary writes when the band reaches column r
+        bnd_m = (col == r) & (en >= r) & alive
+        y_c = jnp.where(bnd_m, -qe, y_s[:, PADC:PADC + Tpad])
+        y2_c = jnp.where(bnd_m, -q2 - e2, y2_s[:, PADC:PADC + Tpad])
+        u_c = jnp.where(bnd_m, row0_bnd, u_s[:, PADC:PADC + Tpad])
 
-    # query shift register: window[t] = query[r - t] (0 past the ends);
-    # the inserted element query[r] is a masked-reduction gather
-    q_r = _gather_col(qcol_ref[:], jnp.full((B, 1), r, jnp.int32))
-    qrw = jnp.where(col == 0, q_r, qrw_s[:, PADC - 1:PADC - 1 + Tpad])
-    qrw_s[:, PADC:PADC + Tpad] = qrw
+        # query shift register: window[t] = query[r - t] (0 past the ends);
+        # the inserted element query[r] is a masked-reduction gather
+        q_r = _gather_col(qcol_ref[:], jnp.full((B, 1), r, jnp.int32))
+        qrw = jnp.where(col == 0, q_r, qrw_s[:, PADC - 1:PADC - 1 + Tpad])
+        qrw_s[:, PADC:PADC + Tpad] = qrw
 
-    # score row: fresh 16-blocks from st0 (stale cells persist)
-    sq = tsf_ref[:]
-    wild = (sq == 4) | (qrw == 4)
-    s_new = jnp.where(wild, sc_N, jnp.where(sq == qrw, sc_mch, sc_mis))
-    fresh = (col >= st0) & (col < st0 + ((en0 - st0) // 16) * 16 + 16) & alive
-    s_row = jnp.where(fresh, s_new, s_s[:])
-    s_s[:] = s_row
+        # score row: fresh 16-blocks from st0 (stale cells persist)
+        sq = tsf_ref[:]
+        wild = (sq == 4) | (qrw == 4)
+        s_new = jnp.where(wild, sc_N, jnp.where(sq == qrw, sc_mch, sc_mis))
+        fresh = (col >= st0) & (col < st0 + ((en0 - st0) // 16) * 16 + 16) & alive
+        s_row = jnp.where(fresh, s_new, s_s[:])
+        s_s[:] = s_row
 
-    # shifted reads (t-1) with boundary insertion at col st
-    at_st = col == st
-    x_sh = x_s[:, PADC - 1:PADC - 1 + Tpad]
-    v_sh = v_s[:, PADC - 1:PADC - 1 + Tpad]
-    x2_sh = x2_s[:, PADC - 1:PADC - 1 + Tpad]
-    xt1 = jnp.where(at_st & ~covered, -qe, x_sh)
-    x2t1 = jnp.where(at_st & ~covered, -q2 - e2, x2_sh)
-    vt1 = jnp.where(at_st, jnp.where(covered, v_sh, v1_def), v_sh)
+        # shifted reads (t-1) with boundary insertion at col st
+        at_st = col == st
+        x_sh = x_s[:, PADC - 1:PADC - 1 + Tpad]
+        v_sh = v_s[:, PADC - 1:PADC - 1 + Tpad]
+        x2_sh = x2_s[:, PADC - 1:PADC - 1 + Tpad]
+        xt1 = jnp.where(at_st & ~covered, -qe, x_sh)
+        x2t1 = jnp.where(at_st & ~covered, -q2 - e2, x2_sh)
+        vt1 = jnp.where(at_st, jnp.where(covered, v_sh, v1_def), v_sh)
 
-    z = s_row
-    a = xt1 + vt1
-    b = y_c + u_c
-    a2 = x2t1 + vt1
-    b2 = y2_c + u_c
-    if not right:  # gap left-alignment
-        d = jnp.where(a > z, 1, 0)
-        z = jnp.maximum(z, a)
-        d = jnp.where(b > z, 2, d)
-        z = jnp.maximum(z, b)
-        d = jnp.where(a2 > z, 3, d)
-        z = jnp.maximum(z, a2)
-        d = jnp.where(b2 > z, 4, d)
-        z = jnp.maximum(z, b2)
-    else:  # gap right-alignment
-        d = jnp.where(z > a, 0, 1)
-        z = jnp.maximum(z, a)
-        d = jnp.where(z > b, d, 2)
-        z = jnp.maximum(z, b)
-        d = jnp.where(z > a2, d, 3)
-        z = jnp.maximum(z, a2)
-        d = jnp.where(z > b2, d, 4)
-        z = jnp.maximum(z, b2)
-    z = jnp.minimum(z, sc_mch)
-    u_new = z - vt1
-    v_new = z - u_c
-    t1 = z - q
-    a = a - t1
-    b = b - t1
-    t2 = z - q2
-    a2 = a2 - t2
-    b2 = b2 - t2
-    if not right:
-        ga, gb, ga2, gb2 = a > 0, b > 0, a2 > 0, b2 > 0
-    else:
-        ga, gb, ga2, gb2 = a >= 0, b >= 0, a2 >= 0, b2 >= 0
-    x_new = jnp.where(ga, a, 0) - qe
-    y_new = jnp.where(gb, b, 0) - qe
-    x2_new = jnp.where(ga2, a2, 0) - (q2 + e2)
-    y2_new = jnp.where(gb2, b2, 0) - (q2 + e2)
-    d = (d | jnp.where(ga, 0x08, 0) | jnp.where(gb, 0x10, 0)
-         | jnp.where(ga2, 0x20, 0) | jnp.where(gb2, 0x40, 0))
+        z = s_row
+        a = xt1 + vt1
+        b = y_c + u_c
+        a2 = x2t1 + vt1
+        b2 = y2_c + u_c
+        if not right:  # gap left-alignment
+            d = jnp.where(a > z, 1, 0)
+            z = jnp.maximum(z, a)
+            d = jnp.where(b > z, 2, d)
+            z = jnp.maximum(z, b)
+            d = jnp.where(a2 > z, 3, d)
+            z = jnp.maximum(z, a2)
+            d = jnp.where(b2 > z, 4, d)
+            z = jnp.maximum(z, b2)
+        else:  # gap right-alignment
+            d = jnp.where(z > a, 0, 1)
+            z = jnp.maximum(z, a)
+            d = jnp.where(z > b, d, 2)
+            z = jnp.maximum(z, b)
+            d = jnp.where(z > a2, d, 3)
+            z = jnp.maximum(z, a2)
+            d = jnp.where(z > b2, d, 4)
+            z = jnp.maximum(z, b2)
+        z = jnp.minimum(z, sc_mch)
+        u_new = z - vt1
+        v_new = z - u_c
+        t1 = z - q
+        a = a - t1
+        b = b - t1
+        t2 = z - q2
+        a2 = a2 - t2
+        b2 = b2 - t2
+        if not right:
+            ga, gb, ga2, gb2 = a > 0, b > 0, a2 > 0, b2 > 0
+        else:
+            ga, gb, ga2, gb2 = a >= 0, b >= 0, a2 >= 0, b2 >= 0
+        x_new = jnp.where(ga, a, 0) - qe
+        y_new = jnp.where(gb, b, 0) - qe
+        x2_new = jnp.where(ga2, a2, 0) - (q2 + e2)
+        y2_new = jnp.where(gb2, b2, 0) - (q2 + e2)
+        d = (d | jnp.where(ga, 0x08, 0) | jnp.where(gb, 0x10, 0)
+             | jnp.where(ga2, 0x20, 0) | jnp.where(gb2, 0x40, 0))
 
-    bm = (col >= st) & (col <= en) & alive
-    d_out[0] = jnp.where(bm, d, 0).astype(jnp.int8)
-    u_s[:, PADC:PADC + Tpad] = jnp.where(bm, u_new, u_c)
-    v_s[:, PADC:PADC + Tpad] = jnp.where(bm, v_new, v_s[:, PADC:PADC + Tpad])
-    x_s[:, PADC:PADC + Tpad] = jnp.where(bm, x_new, x_s[:, PADC:PADC + Tpad])
-    y_s[:, PADC:PADC + Tpad] = jnp.where(bm, y_new, y_c)
-    x2_s[:, PADC:PADC + Tpad] = jnp.where(
-        bm, x2_new, x2_s[:, PADC:PADC + Tpad])
-    y2_s[:, PADC:PADC + Tpad] = jnp.where(bm, y2_new, y2_c)
+        bm = (col >= st) & (col <= en) & alive
+        d_out[slot] = jnp.where(bm, d, 0).astype(jnp.int8)
+        u_s[:, PADC:PADC + Tpad] = jnp.where(bm, u_new, u_c)
+        v_s[:, PADC:PADC + Tpad] = jnp.where(bm, v_new, v_s[:, PADC:PADC + Tpad])
+        x_s[:, PADC:PADC + Tpad] = jnp.where(bm, x_new, x_s[:, PADC:PADC + Tpad])
+        y_s[:, PADC:PADC + Tpad] = jnp.where(bm, y_new, y_c)
+        x2_s[:, PADC:PADC + Tpad] = jnp.where(
+            bm, x2_new, x2_s[:, PADC:PADC + Tpad])
+        y2_s[:, PADC:PADC + Tpad] = jnp.where(bm, y2_new, y2_c)
 
-    is_r0 = r == 0
-    r_b = jnp.full((B, 1), r, jnp.int32)
-    if not approx:
-        # exact max with the 32-bit H row (ksw2_extd2_sse.c:326-358)
-        H_old = H_s[:]
-        upd = (col >= st0) & (col < en0) & alive & (r > 0)
-        H_new = jnp.where(upd, H_old + v_new, H_old)
-        H_pm1 = _gather_col(H_old, en0 - 1)
-        u_en0 = _gather_col(u_new, en0)
-        v_en0 = _gather_col(v_new, en0)
-        H_en0_old = _gather_col(H_old, en0)
-        H_en0 = jnp.where(en0 > 0, H_pm1 + u_en0, H_en0_old + v_en0)
-        if True:  # r == 0 special case: H[0] = v[0] - qe
-            v0 = _gather_col(v_new, jnp.zeros((B, 1), jnp.int32))
-            H_en0 = jnp.where(is_r0, v0 - qe, H_en0)
-        H_new = jnp.where((col == en0) & alive, H_en0, H_new)
-        H_s[:] = H_new
+        is_r0 = r == 0
+        r_b = jnp.full((B, 1), r, jnp.int32)
+        if not approx:
+            # exact max with the 32-bit H row (ksw2_extd2_sse.c:326-358)
+            H_old = H_s[:]
+            upd = (col >= st0) & (col < en0) & alive & (r > 0)
+            H_new = jnp.where(upd, H_old + v_new, H_old)
+            H_pm1 = _gather_col(H_old, en0 - 1)
+            u_en0 = _gather_col(u_new, en0)
+            v_en0 = _gather_col(v_new, en0)
+            H_en0_old = _gather_col(H_old, en0)
+            H_en0 = jnp.where(en0 > 0, H_pm1 + u_en0, H_en0_old + v_en0)
+            if True:  # r == 0 special case: H[0] = v[0] - qe
+                v0 = _gather_col(v_new, jnp.zeros((B, 1), jnp.int32))
+                H_en0 = jnp.where(is_r0, v0 - qe, H_en0)
+            H_new = jnp.where((col == en0) & alive, H_en0, H_new)
+            H_s[:] = H_new
 
-        # max scan with SSE tie-breaking: value first, then priority
-        # (seed at en0 > 4-lane block by (lane, row-in-lane) > scalar tail)
-        valid = (col >= st0) & (col <= en0) & alive
-        en1 = st0 + ((en0 - st0) // 4) * 4
-        rel = col - st0
-        lane = rel & 3
-        rowl = rel >> 2
-        pri = jnp.where(
-            col == en0, 3 << 26,
-            jnp.where(col < en1, (2 << 26) - (lane << 22) - rowl,
-                      (1 << 26) - col))
-        M = jnp.max(jnp.where(valid, H_new, NEG32), axis=1, keepdims=True)
-        is_m = valid & (H_new == M)
-        P = jnp.max(jnp.where(is_m, pri, NEG32), axis=1, keepdims=True)
-        max_t = jnp.sum(jnp.where(is_m & (pri == P), col, 0),
-                        axis=1, keepdims=True)
-        max_t = jnp.where(is_r0, 0, max_t)
-        max_H = jnp.where(is_r0, H_en0, M)
+            # max scan with SSE tie-breaking: value first, then priority
+            # (seed at en0 > 4-lane block by (lane, row-in-lane) > scalar tail)
+            valid = (col >= st0) & (col <= en0) & alive
+            en1 = st0 + ((en0 - st0) // 4) * 4
+            rel = col - st0
+            lane = rel & 3
+            rowl = rel >> 2
+            pri = jnp.where(
+                col == en0, 3 << 26,
+                jnp.where(col < en1, (2 << 26) - (lane << 22) - rowl,
+                          (1 << 26) - col))
+            M = jnp.max(jnp.where(valid, H_new, NEG32), axis=1, keepdims=True)
+            is_m = valid & (H_new == M)
+            P = jnp.max(jnp.where(is_m, pri, NEG32), axis=1, keepdims=True)
+            max_t = jnp.sum(jnp.where(is_m & (pri == P), col, 0),
+                            axis=1, keepdims=True)
+            max_t = jnp.where(is_r0, 0, max_t)
+            max_H = jnp.where(is_r0, H_en0, M)
 
-        mte = regs[:, R_MTE:R_MTE + 1]
-        mte_c = alive & (en0 == tlen - 1) & (H_en0 > mte)
-        regs[:, R_MTE:R_MTE + 1] = jnp.where(mte_c, H_en0, mte)
-        regs[:, R_MTEQ:R_MTEQ + 1] = jnp.where(
-            mte_c, r_b - en, regs[:, R_MTEQ:R_MTEQ + 1])
-        H_st0 = _gather_col(H_new, st0)
-        mqe = regs[:, R_MQE:R_MQE + 1]
-        mqe_c = alive & (r_b - st0 == qlen - 1) & (H_st0 > mqe)
-        regs[:, R_MQE:R_MQE + 1] = jnp.where(mqe_c, H_st0, mqe)
-        regs[:, R_MQET:R_MQET + 1] = jnp.where(
-            mqe_c, st0, regs[:, R_MQET:R_MQET + 1])
-        zH, zt, do_drop = max_H, max_t, True
-    else:
-        # approximate max: walk H0 along the main diagonal
-        last = regs[:, R_LAST:R_LAST + 1]
-        H0 = regs[:, R_H0:R_H0 + 1]
-        u_full = u_s[:, PADC:PADC + Tpad]
-        v_full = v_s[:, PADC:PADC + Tpad]
-        c1 = (last >= st0) & (last <= en0)
-        c2 = (last + 1 >= st0) & (last + 1 <= en0)
-        d0 = _gather_col(v_full, last)
-        d1 = _gather_col(u_full, last + 1)
-        take1 = (c1 & c2 & (d1 >= d0)) | ~c1
-        last_n = jnp.where(take1, last + 1, last)
-        u_at = _gather_col(u_full, last_n)
-        inc = jnp.where(c1 & c2, jnp.maximum(d0, d1),
-                        jnp.where(c1, d0, u_at))
-        v0 = _gather_col(v_full, jnp.zeros((B, 1), jnp.int32))
-        H0_n = jnp.where(is_r0, v0 - qe, H0 + inc)
-        last_n = jnp.where(is_r0, 0, last_n)
-        regs[:, R_H0:R_H0 + 1] = jnp.where(alive, H0_n, H0)
-        regs[:, R_LAST:R_LAST + 1] = jnp.where(alive, last_n, last)
-        zH, zt, do_drop = H0_n, last_n, approx_drop
+            mte = regs[:, R_MTE:R_MTE + 1]
+            mte_c = alive & (en0 == tlen - 1) & (H_en0 > mte)
+            regs[:, R_MTE:R_MTE + 1] = jnp.where(mte_c, H_en0, mte)
+            regs[:, R_MTEQ:R_MTEQ + 1] = jnp.where(
+                mte_c, r_b - en, regs[:, R_MTEQ:R_MTEQ + 1])
+            H_st0 = _gather_col(H_new, st0)
+            mqe = regs[:, R_MQE:R_MQE + 1]
+            mqe_c = alive & (r_b - st0 == qlen - 1) & (H_st0 > mqe)
+            regs[:, R_MQE:R_MQE + 1] = jnp.where(mqe_c, H_st0, mqe)
+            regs[:, R_MQET:R_MQET + 1] = jnp.where(
+                mqe_c, st0, regs[:, R_MQET:R_MQET + 1])
+            zH, zt, do_drop = max_H, max_t, True
+        else:
+            # approximate max: walk H0 along the main diagonal
+            last = regs[:, R_LAST:R_LAST + 1]
+            H0 = regs[:, R_H0:R_H0 + 1]
+            u_full = u_s[:, PADC:PADC + Tpad]
+            v_full = v_s[:, PADC:PADC + Tpad]
+            c1 = (last >= st0) & (last <= en0)
+            c2 = (last + 1 >= st0) & (last + 1 <= en0)
+            d0 = _gather_col(v_full, last)
+            d1 = _gather_col(u_full, last + 1)
+            take1 = (c1 & c2 & (d1 >= d0)) | ~c1
+            last_n = jnp.where(take1, last + 1, last)
+            u_at = _gather_col(u_full, last_n)
+            inc = jnp.where(c1 & c2, jnp.maximum(d0, d1),
+                            jnp.where(c1, d0, u_at))
+            v0 = _gather_col(v_full, jnp.zeros((B, 1), jnp.int32))
+            H0_n = jnp.where(is_r0, v0 - qe, H0 + inc)
+            last_n = jnp.where(is_r0, 0, last_n)
+            regs[:, R_H0:R_H0 + 1] = jnp.where(alive, H0_n, H0)
+            regs[:, R_LAST:R_LAST + 1] = jnp.where(alive, last_n, last)
+            zH, zt, do_drop = H0_n, last_n, approx_drop
 
-    # ksw_apply_zdrop (ksw2.h:160-176), e2 as the drop slope
-    ez_max = regs[:, R_MAX:R_MAX + 1]
-    ez_max_t = regs[:, R_MAXT:R_MAXT + 1]
-    ez_max_q = regs[:, R_MAXQ:R_MAXQ + 1]
-    upd_max = alive & (zH > ez_max) & (True if do_drop or not approx
-                                       else False)
-    if do_drop:
-        chk = alive & ~upd_max & (zt >= ez_max_t) & (r_b - zt >= ez_max_q)
-        tl = zt - ez_max_t
-        ql = (r_b - zt) - ez_max_q
-        ldiff = jnp.abs(tl - ql)
-        dropped = chk & (ez_max - zH > zdrop + ldiff * e2) \
-            if zdrop >= 0 else jnp.zeros_like(chk)
-        regs[:, R_MAX:R_MAX + 1] = jnp.where(upd_max, zH, ez_max)
-        regs[:, R_MAXT:R_MAXT + 1] = jnp.where(upd_max, zt, ez_max_t)
-        regs[:, R_MAXQ:R_MAXQ + 1] = jnp.where(upd_max, r_b - zt, ez_max_q)
+        # ksw_apply_zdrop (ksw2.h:160-176), e2 as the drop slope
+        ez_max = regs[:, R_MAX:R_MAX + 1]
+        ez_max_t = regs[:, R_MAXT:R_MAXT + 1]
+        ez_max_q = regs[:, R_MAXQ:R_MAXQ + 1]
+        upd_max = alive & (zH > ez_max) & (True if do_drop or not approx
+                                           else False)
+        if do_drop:
+            chk = alive & ~upd_max & (zt >= ez_max_t) & (r_b - zt >= ez_max_q)
+            tl = zt - ez_max_t
+            ql = (r_b - zt) - ez_max_q
+            ldiff = jnp.abs(tl - ql)
+            dropped = chk & (ez_max - zH > zdrop + ldiff * e2) \
+                if zdrop >= 0 else jnp.zeros_like(chk)
+            regs[:, R_MAX:R_MAX + 1] = jnp.where(upd_max, zH, ez_max)
+            regs[:, R_MAXT:R_MAXT + 1] = jnp.where(upd_max, zt, ez_max_t)
+            regs[:, R_MAXQ:R_MAXQ + 1] = jnp.where(upd_max, r_b - zt, ez_max_q)
+            regs[:, R_ZDROP:R_ZDROP + 1] = jnp.where(
+                dropped, 1, regs[:, R_ZDROP:R_ZDROP + 1])
+        else:
+            dropped = jnp.zeros((B, 1), jnp.bool_)
+
+        sc_c = alive & ~dropped & (r_b == qlen + tlen - 2) & (en0 == tlen - 1)
+        regs[:, R_SCORE:R_SCORE + 1] = jnp.where(
+            sc_c, zH if approx else _gather_col(H_s[:], tlen - 1),
+            regs[:, R_SCORE:R_SCORE + 1])
+
         regs[:, R_ZDROP:R_ZDROP + 1] = jnp.where(
-            dropped, 1, regs[:, R_ZDROP:R_ZDROP + 1])
-    else:
-        dropped = jnp.zeros((B, 1), jnp.bool_)
+            band_brk, 1, regs[:, R_ZDROP:R_ZDROP + 1])
+        regs[:, R_BREAK:R_BREAK + 1] = jnp.where(
+            band_brk | dropped, 1, regs[:, R_BREAK:R_BREAK + 1])
+        regs[:, R_PST:R_PST + 1] = jnp.where(alive, st, prev_st)
+        regs[:, R_PEN:R_PEN + 1] = jnp.where(alive, en, prev_en)
 
-    sc_c = alive & ~dropped & (r_b == qlen + tlen - 2) & (en0 == tlen - 1)
-    regs[:, R_SCORE:R_SCORE + 1] = jnp.where(
-        sc_c, zH if approx else _gather_col(H_s[:], tlen - 1),
-        regs[:, R_SCORE:R_SCORE + 1])
+    for _u in range(rpp):
+        _row(g * rpp + _u, _u)
 
-    regs[:, R_ZDROP:R_ZDROP + 1] = jnp.where(
-        band_brk, 1, regs[:, R_ZDROP:R_ZDROP + 1])
-    regs[:, R_BREAK:R_BREAK + 1] = jnp.where(
-        band_brk | dropped, 1, regs[:, R_BREAK:R_BREAK + 1])
-    regs[:, R_PST:R_PST + 1] = jnp.where(alive, st, prev_st)
-    regs[:, R_PEN:R_PEN + 1] = jnp.where(alive, en, prev_en)
-
-    @pl.when(r == Rmax - 1)
+    @pl.when(g == Rmax // rpp - 1)
     def _flush():
         ez_out[:, 0:128] = regs[:]
 
 
 @functools.partial(jax.jit, static_argnames=(
     "q", "e", "q2", "e2", "zdrop", "sc_mch", "sc_mis", "sc_N", "w",
-    "right", "approx", "approx_drop", "Rmax", "interpret"))
+    "right", "approx", "approx_drop", "Rmax", "rpp", "interpret"))
 def extd2_device(lens, tsf, qcol, *, q: int, e: int, q2: int, e2: int,
                  zdrop: int, sc_mch: int, sc_mis: int, sc_N: int, w: int,
                  right: bool, approx: bool, approx_drop: bool, Rmax: int,
-                 interpret: bool = False):
+                 rpp: int = 1, interpret: bool = False):
     """Batched extd2 rows. lens (B,2)=[qlen,tlen]; tsf (B,Tpad) sf image;
     qcol (B,Rmax) queries zero-padded past qlen.
-    Returns (d_rows (Rmax,B,Tpad) int32, ez (B,128) int32)."""
+    rpp = wavefront rows computed per Pallas program instance (Rmax must
+    be a multiple): the rows chain through VMEM scratch within one
+    program, so the per-program grid/prologue overhead — the latency
+    bound for thin bands (docs/ROOFLINE.md) — is paid once per rpp rows.
+    Returns (d_rows (Rmax,B,Tpad) int8, ez (B,128) int32)."""
     B, Tpad = tsf.shape
+    assert Rmax % rpp == 0
     if q2 + e2 < q + e:  # reference swaps so (q,e) is the short-gap pair
         q, q2, e, e2 = q2, q, e2, e
     long_thres = (q2 - q) // (e - e2) - 1 if e != e2 else 0
@@ -338,11 +347,11 @@ def extd2_device(lens, tsf, qcol, *, q: int, e: int, q2: int, e2: int,
     long_diff = long_thres * (e - e2) - (q2 - q) - e2
     kern = functools.partial(
         _extd2_kernel, q, e, q2, e2, zdrop, sc_mch, sc_mis, sc_N, w,
-        long_thres, long_diff, right, approx, approx_drop, Tpad, Rmax)
+        long_thres, long_diff, right, approx, approx_drop, Tpad, Rmax, rpp)
     full = pl.BlockSpec((B, Tpad), lambda r: (0, 0), memory_space=pltpu.VMEM)
     d, ez = pl.pallas_call(
         kern,
-        grid=(Rmax,),
+        grid=(Rmax // rpp,),
         in_specs=[
             pl.BlockSpec((B, 2), lambda r: (0, 0), memory_space=pltpu.VMEM),
             full,
@@ -350,7 +359,7 @@ def extd2_device(lens, tsf, qcol, *, q: int, e: int, q2: int, e2: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, Tpad), lambda r: (r, 0, 0),
+            pl.BlockSpec((rpp, B, Tpad), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 128), lambda r: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -412,6 +421,31 @@ def _backtrack_abs(rows, off, off_end, i0, j0, rev_cigar,
     return cigar
 
 
+# wavefront rows per Pallas program instance (extd2_device rpp)
+ROWS_PER_PROGRAM = 2
+
+# 1.5x-geometric row-count ladder: coarse enough that a whole mapping run
+# compiles only a handful of (B, Tpad, Rmax) programs (a cold XLA cache
+# paid dozens of ad-hoc Mosaic compiles before), fine enough that padded
+# rows waste < 33% (padding rows/tasks are masked inert, not wrong)
+_ROW_LADDER = sorted({128 * 2 ** k for k in range(14)}
+                     | {192 * 2 ** k for k in range(14)})
+
+
+def quantize_shapes(B: int, t_need: int, r_need: int):
+    """Quantized (Bp, Tpad, Rmax) for a fill batch: Bp/Tpad to powers of
+    two, Rmax to the 1.5x ladder (all multiples of ROWS_PER_PROGRAM and
+    the 16-lane block)."""
+    Bp = 8
+    while Bp < B:
+        Bp *= 2
+    Tpad = 128
+    while Tpad < t_need:
+        Tpad *= 2
+    Rmax = next(v for v in _ROW_LADDER if v >= r_need)
+    return Bp, Tpad, Rmax
+
+
 def band_offsets(qlen: int, tlen: int, w: int):
     """Host replica of the per-row band [st0, en0] -> 16-aligned [st, en]
     (pure function of the geometry; the kernel needn't emit it)."""
@@ -457,14 +491,14 @@ def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
     if not run_idx:
         return results
     B = len(run_idx)
-    Bp = max(8, -(-B // 8) * 8)
-    Tpad = -(-max(len(tasks[i][1]) + 16 for i in run_idx) // 128) * 128
-    Rmax = max(len(tasks[i][0]) + len(tasks[i][1]) - 1 for i in run_idx)
+    Bp, Tpad, Rmax = quantize_shapes(
+        B, max(len(tasks[i][1]) + 16 for i in run_idx),
+        max(len(tasks[i][0]) + len(tasks[i][1]) - 1 for i in run_idx))
     lens = np.zeros((Bp, 2), np.int32)
     lens[:, 0] = 1  # inert padding tasks
     lens[:, 1] = 1
     tsf = np.zeros((Bp, Tpad), np.int32)
-    qcol = np.zeros((Bp, -(-Rmax // 128) * 128), np.int32)
+    qcol = np.zeros((Bp, Rmax), np.int32)
     for bi, i in enumerate(run_idx):
         q8, t8 = tasks[i]
         qlen, tlen = len(q8), len(t8)
@@ -479,7 +513,7 @@ def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
         sc_N=sc_N, w=w, right=bool(flag & KSW_EZ_RIGHT),
         approx=bool(flag & KSW_EZ_APPROX_MAX),
         approx_drop=bool(flag & KSW_EZ_APPROX_DROP),
-        Rmax=Rmax, interpret=bool(interpret))
+        Rmax=Rmax, rpp=ROWS_PER_PROGRAM, interpret=bool(interpret))
     d = np.asarray(d)
     ez = np.asarray(ez)
     rev_cigar = bool(flag & KSW_EZ_REV_CIGAR)
@@ -519,15 +553,15 @@ def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
 def _exts2_kernel(q: int, e: int, q2: int, zdrop: int,
                   sc_mch: int, sc_mis: int, sc_N: int,
                   long_thres: int, long_diff: int, right: bool, approx: bool,
-                  approx_drop: bool, Tpad: int, Rmax: int,
+                  approx_drop: bool, Tpad: int, Rmax: int, rpp: int,
                   lens_ref, tsf_ref, qcol_ref, don_ref, acc_ref,
                   d_out, ez_out,
                   u_s, v_s, x_s, y_s, x2_s, H_s, s_s, qrw_s, regs):
-    r = pl.program_id(0)
+    g = pl.program_id(0)
     B = lens_ref.shape[0]
     qe = q + e
 
-    @pl.when(r == 0)
+    @pl.when(g == 0)
     def _init():
         qrw_s[:] = jnp.zeros(qrw_s.shape, jnp.int32)
         u_s[:] = jnp.full(u_s.shape, -qe, jnp.int32)
@@ -545,218 +579,223 @@ def _exts2_kernel(q: int, e: int, q2: int, zdrop: int,
             init = jnp.where(rcol == k, KSW_NEG_INF, init)
         regs[:] = init
 
-    qlen = lens_ref[:, 0:1]
-    tlen = lens_ref[:, 1:2]
+    def _row(r, slot):
+        qlen = lens_ref[:, 0:1]
+        tlen = lens_ref[:, 1:2]
 
-    brk = regs[:, R_BREAK:R_BREAK + 1]
-    alive = (r < qlen + tlen - 1) & (brk == 0)
+        brk = regs[:, R_BREAK:R_BREAK + 1]
+        alive = (r < qlen + tlen - 1) & (brk == 0)
 
-    # no band in the splice kernel (ksw2_exts2_sse.c:179-181)
-    st0 = jnp.maximum(0, r - qlen + 1)
-    en0 = jnp.minimum(tlen - 1, r)
-    st = (st0 // 16) * 16
-    en = ((en0 + 16) // 16) * 16 - 1
+        # no band in the splice kernel (ksw2_exts2_sse.c:179-181)
+        st0 = jnp.maximum(0, r - qlen + 1)
+        en0 = jnp.minimum(tlen - 1, r)
+        st = (st0 // 16) * 16
+        en = ((en0 + 16) // 16) * 16 - 1
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1)
-    prev_st = regs[:, R_PST:R_PST + 1]
-    prev_en = regs[:, R_PEN:R_PEN + 1]
-    covered = (st > 0) & (prev_st <= st - 1) & (st - 1 <= prev_en)
-    # first-column boundary decay (ksw2_exts2_sse.c:190-199): past
-    # long_thres it is 0 (free intron extension), not -e2
-    r_b = jnp.full((B, 1), r, jnp.int32)
-    row0_bnd = jnp.where(
-        r_b == 0, -qe,
-        jnp.where(r_b < long_thres, -e,
-                  jnp.where(r_b == long_thres, long_diff, 0)))
-    v1_def = jnp.where(st > 0, -qe, row0_bnd)
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1)
+        prev_st = regs[:, R_PST:R_PST + 1]
+        prev_en = regs[:, R_PEN:R_PEN + 1]
+        covered = (st > 0) & (prev_st <= st - 1) & (st - 1 <= prev_en)
+        # first-column boundary decay (ksw2_exts2_sse.c:190-199): past
+        # long_thres it is 0 (free intron extension), not -e2
+        r_b = jnp.full((B, 1), r, jnp.int32)
+        row0_bnd = jnp.where(
+            r_b == 0, -qe,
+            jnp.where(r_b < long_thres, -e,
+                      jnp.where(r_b == long_thres, long_diff, 0)))
+        v1_def = jnp.where(st > 0, -qe, row0_bnd)
 
-    bnd_m = (col == r) & (en >= r) & alive
-    y_c = jnp.where(bnd_m, -qe, y_s[:, PADC:PADC + Tpad])
-    u_c = jnp.where(bnd_m, row0_bnd, u_s[:, PADC:PADC + Tpad])
+        bnd_m = (col == r) & (en >= r) & alive
+        y_c = jnp.where(bnd_m, -qe, y_s[:, PADC:PADC + Tpad])
+        u_c = jnp.where(bnd_m, row0_bnd, u_s[:, PADC:PADC + Tpad])
 
-    q_r = _gather_col(qcol_ref[:], jnp.full((B, 1), r, jnp.int32))
-    qrw = jnp.where(col == 0, q_r, qrw_s[:, PADC - 1:PADC - 1 + Tpad])
-    qrw_s[:, PADC:PADC + Tpad] = qrw
+        q_r = _gather_col(qcol_ref[:], jnp.full((B, 1), r, jnp.int32))
+        qrw = jnp.where(col == 0, q_r, qrw_s[:, PADC - 1:PADC - 1 + Tpad])
+        qrw_s[:, PADC:PADC + Tpad] = qrw
 
-    sq = tsf_ref[:]
-    wild = (sq == 4) | (qrw == 4)
-    s_new = jnp.where(wild, sc_N, jnp.where(sq == qrw, sc_mch, sc_mis))
-    fresh = (col >= st0) & (col < st0 + ((en0 - st0) // 16) * 16 + 16) & alive
-    s_row = jnp.where(fresh, s_new, s_s[:])
-    s_s[:] = s_row
+        sq = tsf_ref[:]
+        wild = (sq == 4) | (qrw == 4)
+        s_new = jnp.where(wild, sc_N, jnp.where(sq == qrw, sc_mch, sc_mis))
+        fresh = (col >= st0) & (col < st0 + ((en0 - st0) // 16) * 16 + 16) & alive
+        s_row = jnp.where(fresh, s_new, s_s[:])
+        s_s[:] = s_row
 
-    at_st = col == st
-    x_sh = x_s[:, PADC - 1:PADC - 1 + Tpad]
-    v_sh = v_s[:, PADC - 1:PADC - 1 + Tpad]
-    x2_sh = x2_s[:, PADC - 1:PADC - 1 + Tpad]
-    xt1 = jnp.where(at_st & ~covered, -qe, x_sh)
-    x2t1 = jnp.where(at_st & ~covered, -q2, x2_sh)
-    vt1 = jnp.where(at_st, jnp.where(covered, v_sh, v1_def), v_sh)
+        at_st = col == st
+        x_sh = x_s[:, PADC - 1:PADC - 1 + Tpad]
+        v_sh = v_s[:, PADC - 1:PADC - 1 + Tpad]
+        x2_sh = x2_s[:, PADC - 1:PADC - 1 + Tpad]
+        xt1 = jnp.where(at_st & ~covered, -qe, x_sh)
+        x2t1 = jnp.where(at_st & ~covered, -q2, x2_sh)
+        vt1 = jnp.where(at_st, jnp.where(covered, v_sh, v1_def), v_sh)
 
-    dn = don_ref[:]
-    ac = acc_ref[:]
-    z = s_row
-    a = xt1 + vt1
-    b = y_c + u_c
-    a2 = x2t1 + vt1
-    a2a = a2 + ac
-    if not right:
-        d = jnp.where(a > z, 1, 0)
-        z = jnp.maximum(z, a)
-        d = jnp.where(b > z, 2, d)
-        z = jnp.maximum(z, b)
-        d = jnp.where(a2a > z, 3, d)
-        z = jnp.maximum(z, a2a)
-    else:
-        d = jnp.where(z > a, 0, 1)
-        z = jnp.maximum(z, a)
-        d = jnp.where(z > b, d, 2)
-        z = jnp.maximum(z, b)
-        d = jnp.where(z > a2a, d, 3)
-        z = jnp.maximum(z, a2a)
-    u_new = z - vt1
-    v_new = z - u_c
-    t1 = z - q
-    a = a - t1
-    b = b - t1
-    a2 = a2 - (z - q2)
-    if not right:
-        ga, gb, ga2 = a > 0, b > 0, a2 > dn
-    else:
-        ga, gb, ga2 = a >= 0, b >= 0, a2 >= dn
-    x_new = jnp.where(ga, a, 0) - qe
-    y_new = jnp.where(gb, b, 0) - qe
-    x2_new = jnp.maximum(a2, dn) - q2
-    d = (d | jnp.where(ga, 0x08, 0) | jnp.where(gb, 0x10, 0)
-         | jnp.where(ga2, 0x20, 0))
+        dn = don_ref[:]
+        ac = acc_ref[:]
+        z = s_row
+        a = xt1 + vt1
+        b = y_c + u_c
+        a2 = x2t1 + vt1
+        a2a = a2 + ac
+        if not right:
+            d = jnp.where(a > z, 1, 0)
+            z = jnp.maximum(z, a)
+            d = jnp.where(b > z, 2, d)
+            z = jnp.maximum(z, b)
+            d = jnp.where(a2a > z, 3, d)
+            z = jnp.maximum(z, a2a)
+        else:
+            d = jnp.where(z > a, 0, 1)
+            z = jnp.maximum(z, a)
+            d = jnp.where(z > b, d, 2)
+            z = jnp.maximum(z, b)
+            d = jnp.where(z > a2a, d, 3)
+            z = jnp.maximum(z, a2a)
+        u_new = z - vt1
+        v_new = z - u_c
+        t1 = z - q
+        a = a - t1
+        b = b - t1
+        a2 = a2 - (z - q2)
+        if not right:
+            ga, gb, ga2 = a > 0, b > 0, a2 > dn
+        else:
+            ga, gb, ga2 = a >= 0, b >= 0, a2 >= dn
+        x_new = jnp.where(ga, a, 0) - qe
+        y_new = jnp.where(gb, b, 0) - qe
+        x2_new = jnp.maximum(a2, dn) - q2
+        d = (d | jnp.where(ga, 0x08, 0) | jnp.where(gb, 0x10, 0)
+             | jnp.where(ga2, 0x20, 0))
 
-    bm = (col >= st) & (col <= en) & alive
-    d_out[0] = jnp.where(bm, d, 0).astype(jnp.int8)
-    u_s[:, PADC:PADC + Tpad] = jnp.where(bm, u_new, u_c)
-    v_s[:, PADC:PADC + Tpad] = jnp.where(bm, v_new, v_s[:, PADC:PADC + Tpad])
-    x_s[:, PADC:PADC + Tpad] = jnp.where(bm, x_new, x_s[:, PADC:PADC + Tpad])
-    y_s[:, PADC:PADC + Tpad] = jnp.where(bm, y_new, y_c)
-    x2_s[:, PADC:PADC + Tpad] = jnp.where(
-        bm, x2_new, x2_s[:, PADC:PADC + Tpad])
+        bm = (col >= st) & (col <= en) & alive
+        d_out[slot] = jnp.where(bm, d, 0).astype(jnp.int8)
+        u_s[:, PADC:PADC + Tpad] = jnp.where(bm, u_new, u_c)
+        v_s[:, PADC:PADC + Tpad] = jnp.where(bm, v_new, v_s[:, PADC:PADC + Tpad])
+        x_s[:, PADC:PADC + Tpad] = jnp.where(bm, x_new, x_s[:, PADC:PADC + Tpad])
+        y_s[:, PADC:PADC + Tpad] = jnp.where(bm, y_new, y_c)
+        x2_s[:, PADC:PADC + Tpad] = jnp.where(
+            bm, x2_new, x2_s[:, PADC:PADC + Tpad])
 
-    is_r0 = r == 0
-    if not approx:
-        H_old = H_s[:]
-        upd = (col >= st0) & (col < en0) & alive & (r > 0)
-        H_new = jnp.where(upd, H_old + v_new, H_old)
-        H_pm1 = _gather_col(H_old, en0 - 1)
-        u_en0 = _gather_col(u_new, en0)
-        v_en0 = _gather_col(v_new, en0)
-        H_en0_old = _gather_col(H_old, en0)
-        H_en0 = jnp.where(en0 > 0, H_pm1 + u_en0, H_en0_old + v_en0)
-        v0 = _gather_col(v_new, jnp.zeros((B, 1), jnp.int32))
-        H_en0 = jnp.where(is_r0, v0 - qe, H_en0)
-        H_new = jnp.where((col == en0) & alive, H_en0, H_new)
-        H_s[:] = H_new
+        is_r0 = r == 0
+        if not approx:
+            H_old = H_s[:]
+            upd = (col >= st0) & (col < en0) & alive & (r > 0)
+            H_new = jnp.where(upd, H_old + v_new, H_old)
+            H_pm1 = _gather_col(H_old, en0 - 1)
+            u_en0 = _gather_col(u_new, en0)
+            v_en0 = _gather_col(v_new, en0)
+            H_en0_old = _gather_col(H_old, en0)
+            H_en0 = jnp.where(en0 > 0, H_pm1 + u_en0, H_en0_old + v_en0)
+            v0 = _gather_col(v_new, jnp.zeros((B, 1), jnp.int32))
+            H_en0 = jnp.where(is_r0, v0 - qe, H_en0)
+            H_new = jnp.where((col == en0) & alive, H_en0, H_new)
+            H_s[:] = H_new
 
-        valid = (col >= st0) & (col <= en0) & alive
-        en1 = st0 + ((en0 - st0) // 4) * 4
-        rel = col - st0
-        lane = rel & 3
-        rowl = rel >> 2
-        pri = jnp.where(
-            col == en0, 3 << 26,
-            jnp.where(col < en1, (2 << 26) - (lane << 22) - rowl,
-                      (1 << 26) - col))
-        M = jnp.max(jnp.where(valid, H_new, NEG32), axis=1, keepdims=True)
-        is_m = valid & (H_new == M)
-        P = jnp.max(jnp.where(is_m, pri, NEG32), axis=1, keepdims=True)
-        max_t = jnp.sum(jnp.where(is_m & (pri == P), col, 0),
-                        axis=1, keepdims=True)
-        max_t = jnp.where(is_r0, 0, max_t)
-        max_H = jnp.where(is_r0, H_en0, M)
+            valid = (col >= st0) & (col <= en0) & alive
+            en1 = st0 + ((en0 - st0) // 4) * 4
+            rel = col - st0
+            lane = rel & 3
+            rowl = rel >> 2
+            pri = jnp.where(
+                col == en0, 3 << 26,
+                jnp.where(col < en1, (2 << 26) - (lane << 22) - rowl,
+                          (1 << 26) - col))
+            M = jnp.max(jnp.where(valid, H_new, NEG32), axis=1, keepdims=True)
+            is_m = valid & (H_new == M)
+            P = jnp.max(jnp.where(is_m, pri, NEG32), axis=1, keepdims=True)
+            max_t = jnp.sum(jnp.where(is_m & (pri == P), col, 0),
+                            axis=1, keepdims=True)
+            max_t = jnp.where(is_r0, 0, max_t)
+            max_H = jnp.where(is_r0, H_en0, M)
 
-        mte = regs[:, R_MTE:R_MTE + 1]
-        mte_c = alive & (en0 == tlen - 1) & (H_en0 > mte)
-        regs[:, R_MTE:R_MTE + 1] = jnp.where(mte_c, H_en0, mte)
-        regs[:, R_MTEQ:R_MTEQ + 1] = jnp.where(
-            mte_c, r_b - en, regs[:, R_MTEQ:R_MTEQ + 1])
-        H_st0 = _gather_col(H_new, st0)
-        mqe = regs[:, R_MQE:R_MQE + 1]
-        mqe_c = alive & (r_b - st0 == qlen - 1) & (H_st0 > mqe)
-        regs[:, R_MQE:R_MQE + 1] = jnp.where(mqe_c, H_st0, mqe)
-        regs[:, R_MQET:R_MQET + 1] = jnp.where(
-            mqe_c, st0, regs[:, R_MQET:R_MQET + 1])
-        zH, zt, do_drop = max_H, max_t, True
-    else:
-        last = regs[:, R_LAST:R_LAST + 1]
-        H0 = regs[:, R_H0:R_H0 + 1]
-        u_full = u_s[:, PADC:PADC + Tpad]
-        v_full = v_s[:, PADC:PADC + Tpad]
-        c1 = (last >= st0) & (last <= en0)
-        c2 = (last + 1 >= st0) & (last + 1 <= en0)
-        d0 = _gather_col(v_full, last)
-        d1 = _gather_col(u_full, last + 1)
-        take1 = (c1 & c2 & (d1 >= d0)) | ~c1
-        last_n = jnp.where(take1, last + 1, last)
-        u_at = _gather_col(u_full, last_n)
-        inc = jnp.where(c1 & c2, jnp.maximum(d0, d1),
-                        jnp.where(c1, d0, u_at))
-        v0 = _gather_col(v_full, jnp.zeros((B, 1), jnp.int32))
-        H0_n = jnp.where(is_r0, v0 - qe, H0 + inc)
-        last_n = jnp.where(is_r0, 0, last_n)
-        regs[:, R_H0:R_H0 + 1] = jnp.where(alive, H0_n, H0)
-        regs[:, R_LAST:R_LAST + 1] = jnp.where(alive, last_n, last)
-        zH, zt, do_drop = H0_n, last_n, approx_drop
+            mte = regs[:, R_MTE:R_MTE + 1]
+            mte_c = alive & (en0 == tlen - 1) & (H_en0 > mte)
+            regs[:, R_MTE:R_MTE + 1] = jnp.where(mte_c, H_en0, mte)
+            regs[:, R_MTEQ:R_MTEQ + 1] = jnp.where(
+                mte_c, r_b - en, regs[:, R_MTEQ:R_MTEQ + 1])
+            H_st0 = _gather_col(H_new, st0)
+            mqe = regs[:, R_MQE:R_MQE + 1]
+            mqe_c = alive & (r_b - st0 == qlen - 1) & (H_st0 > mqe)
+            regs[:, R_MQE:R_MQE + 1] = jnp.where(mqe_c, H_st0, mqe)
+            regs[:, R_MQET:R_MQET + 1] = jnp.where(
+                mqe_c, st0, regs[:, R_MQET:R_MQET + 1])
+            zH, zt, do_drop = max_H, max_t, True
+        else:
+            last = regs[:, R_LAST:R_LAST + 1]
+            H0 = regs[:, R_H0:R_H0 + 1]
+            u_full = u_s[:, PADC:PADC + Tpad]
+            v_full = v_s[:, PADC:PADC + Tpad]
+            c1 = (last >= st0) & (last <= en0)
+            c2 = (last + 1 >= st0) & (last + 1 <= en0)
+            d0 = _gather_col(v_full, last)
+            d1 = _gather_col(u_full, last + 1)
+            take1 = (c1 & c2 & (d1 >= d0)) | ~c1
+            last_n = jnp.where(take1, last + 1, last)
+            u_at = _gather_col(u_full, last_n)
+            inc = jnp.where(c1 & c2, jnp.maximum(d0, d1),
+                            jnp.where(c1, d0, u_at))
+            v0 = _gather_col(v_full, jnp.zeros((B, 1), jnp.int32))
+            H0_n = jnp.where(is_r0, v0 - qe, H0 + inc)
+            last_n = jnp.where(is_r0, 0, last_n)
+            regs[:, R_H0:R_H0 + 1] = jnp.where(alive, H0_n, H0)
+            regs[:, R_LAST:R_LAST + 1] = jnp.where(alive, last_n, last)
+            zH, zt, do_drop = H0_n, last_n, approx_drop
 
-    # Z-drop with slope e=0 (ksw2_exts2_sse.c:382)
-    ez_max = regs[:, R_MAX:R_MAX + 1]
-    ez_max_t = regs[:, R_MAXT:R_MAXT + 1]
-    ez_max_q = regs[:, R_MAXQ:R_MAXQ + 1]
-    upd_max = alive & (zH > ez_max)
-    if do_drop:
-        chk = alive & ~upd_max & (zt >= ez_max_t) & (r_b - zt >= ez_max_q)
-        dropped = chk & (ez_max - zH > zdrop) \
-            if zdrop >= 0 else jnp.zeros_like(chk)
-        regs[:, R_MAX:R_MAX + 1] = jnp.where(upd_max, zH, ez_max)
-        regs[:, R_MAXT:R_MAXT + 1] = jnp.where(upd_max, zt, ez_max_t)
-        regs[:, R_MAXQ:R_MAXQ + 1] = jnp.where(upd_max, r_b - zt, ez_max_q)
-        regs[:, R_ZDROP:R_ZDROP + 1] = jnp.where(
-            dropped, 1, regs[:, R_ZDROP:R_ZDROP + 1])
-    else:
-        dropped = jnp.zeros((B, 1), jnp.bool_)
+        # Z-drop with slope e=0 (ksw2_exts2_sse.c:382)
+        ez_max = regs[:, R_MAX:R_MAX + 1]
+        ez_max_t = regs[:, R_MAXT:R_MAXT + 1]
+        ez_max_q = regs[:, R_MAXQ:R_MAXQ + 1]
+        upd_max = alive & (zH > ez_max)
+        if do_drop:
+            chk = alive & ~upd_max & (zt >= ez_max_t) & (r_b - zt >= ez_max_q)
+            dropped = chk & (ez_max - zH > zdrop) \
+                if zdrop >= 0 else jnp.zeros_like(chk)
+            regs[:, R_MAX:R_MAX + 1] = jnp.where(upd_max, zH, ez_max)
+            regs[:, R_MAXT:R_MAXT + 1] = jnp.where(upd_max, zt, ez_max_t)
+            regs[:, R_MAXQ:R_MAXQ + 1] = jnp.where(upd_max, r_b - zt, ez_max_q)
+            regs[:, R_ZDROP:R_ZDROP + 1] = jnp.where(
+                dropped, 1, regs[:, R_ZDROP:R_ZDROP + 1])
+        else:
+            dropped = jnp.zeros((B, 1), jnp.bool_)
 
-    sc_c = alive & ~dropped & (r_b == qlen + tlen - 2) & (en0 == tlen - 1)
-    regs[:, R_SCORE:R_SCORE + 1] = jnp.where(
-        sc_c, zH if approx else _gather_col(H_s[:], tlen - 1),
-        regs[:, R_SCORE:R_SCORE + 1])
+        sc_c = alive & ~dropped & (r_b == qlen + tlen - 2) & (en0 == tlen - 1)
+        regs[:, R_SCORE:R_SCORE + 1] = jnp.where(
+            sc_c, zH if approx else _gather_col(H_s[:], tlen - 1),
+            regs[:, R_SCORE:R_SCORE + 1])
 
-    regs[:, R_BREAK:R_BREAK + 1] = jnp.where(
-        dropped, 1, regs[:, R_BREAK:R_BREAK + 1])
-    regs[:, R_PST:R_PST + 1] = jnp.where(alive, st, prev_st)
-    regs[:, R_PEN:R_PEN + 1] = jnp.where(alive, en, prev_en)
+        regs[:, R_BREAK:R_BREAK + 1] = jnp.where(
+            dropped, 1, regs[:, R_BREAK:R_BREAK + 1])
+        regs[:, R_PST:R_PST + 1] = jnp.where(alive, st, prev_st)
+        regs[:, R_PEN:R_PEN + 1] = jnp.where(alive, en, prev_en)
 
-    @pl.when(r == Rmax - 1)
+    for _u in range(rpp):
+        _row(g * rpp + _u, _u)
+
+    @pl.when(g == Rmax // rpp - 1)
     def _flush():
         ez_out[:, 0:128] = regs[:]
 
 
 @functools.partial(jax.jit, static_argnames=(
     "q", "e", "q2", "zdrop", "sc_mch", "sc_mis", "sc_N",
-    "right", "approx", "approx_drop", "Rmax", "interpret"))
+    "right", "approx", "approx_drop", "Rmax", "rpp", "interpret"))
 def exts2_device(lens, tsf, qcol, donor, acceptor, *, q: int, e: int,
                  q2: int, zdrop: int, sc_mch: int, sc_mis: int, sc_N: int,
                  right: bool, approx: bool, approx_drop: bool, Rmax: int,
-                 interpret: bool = False):
+                 rpp: int = 1, interpret: bool = False):
     """Batched splice-extension rows. Extra vs extd2_device: per-task
-    donor/acceptor site-score arrays (B, Tpad)."""
+    donor/acceptor site-score arrays (B, Tpad); rpp as in extd2_device."""
     B, Tpad = tsf.shape
+    assert Rmax % rpp == 0
     long_thres = (q2 - q) // e - 1
     if q2 > q + e + long_thres * e:
         long_thres += 1
     long_diff = long_thres * e - (q2 - q)
     kern = functools.partial(
         _exts2_kernel, q, e, q2, zdrop, sc_mch, sc_mis, sc_N,
-        long_thres, long_diff, right, approx, approx_drop, Tpad, Rmax)
+        long_thres, long_diff, right, approx, approx_drop, Tpad, Rmax, rpp)
     full = pl.BlockSpec((B, Tpad), lambda r: (0, 0), memory_space=pltpu.VMEM)
     d, ez = pl.pallas_call(
         kern,
-        grid=(Rmax,),
+        grid=(Rmax // rpp,),
         in_specs=[
             pl.BlockSpec((B, 2), lambda r: (0, 0), memory_space=pltpu.VMEM),
             full,
@@ -766,7 +805,7 @@ def exts2_device(lens, tsf, qcol, donor, acceptor, *, q: int, e: int,
             full,
         ],
         out_specs=[
-            pl.BlockSpec((1, B, Tpad), lambda r: (r, 0, 0),
+            pl.BlockSpec((rpp, B, Tpad), lambda r: (r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 128), lambda r: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -810,14 +849,14 @@ def exts2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
     if q2 > q + e + long_thres * e:
         long_thres += 1
     B = len(run_idx)
-    Bp = max(8, -(-B // 8) * 8)
-    Tpad = -(-max(len(tasks[i][1]) + 16 for i in run_idx) // 128) * 128
-    Rmax = max(len(tasks[i][0]) + len(tasks[i][1]) - 1 for i in run_idx)
+    Bp, Tpad, Rmax = quantize_shapes(
+        B, max(len(tasks[i][1]) + 16 for i in run_idx),
+        max(len(tasks[i][0]) + len(tasks[i][1]) - 1 for i in run_idx))
     lens = np.zeros((Bp, 2), np.int32)
     lens[:, 0] = 1
     lens[:, 1] = 1
     tsf = np.zeros((Bp, Tpad), np.int32)
-    qcol = np.zeros((Bp, -(-Rmax // 128) * 128), np.int32)
+    qcol = np.zeros((Bp, Rmax), np.int32)
     don = np.zeros((Bp, Tpad), np.int32)
     acc = np.zeros((Bp, Tpad), np.int32)
     for bi, i in enumerate(run_idx):
@@ -841,7 +880,7 @@ def exts2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
         sc_N=sc_N, right=bool(flag & KSW_EZ_RIGHT),
         approx=bool(flag & KSW_EZ_APPROX_MAX),
         approx_drop=bool(flag & KSW_EZ_APPROX_DROP),
-        Rmax=Rmax, interpret=bool(interpret))
+        Rmax=Rmax, rpp=ROWS_PER_PROGRAM, interpret=bool(interpret))
     d = np.asarray(d)
     ez = np.asarray(ez)
     rev_cigar = bool(flag & KSW_EZ_REV_CIGAR)
