@@ -5,8 +5,17 @@ The reference is single-node pthreads + one PCIe FPGA; the TPU-native
 equivalent shards read batches over a 1-D 'data' mesh axis with shard_map,
 keeps the minimizer index replicated in HBM on every chip, and gathers
 per-read results to the host for ordered emission. No collectives are
-needed on the hot path (pure data parallelism); index-sharded all-gather
-variants (ava-* modes at scale) layer on top later.
+needed on the hot path (pure data parallelism).
+
+For indexes that overflow a single chip's HBM when replicated (hg38-class
+probe arrays are ~10 GB; ava-* workloads add dense occurrence tails), the
+**index-sharded layout** (shard_index_arrays + sharded_probe_step) range-
+partitions the sorted CSR key space over the same axis: each chip holds
+1/D of (keys, start, cnt), queries all-gather over ICI, every chip probes
+its range (exactly one can hit — the partition is by key order), and the
+per-query results reduce-scatter back to the row shards. This is the
+SURVEY §5 'host-sharded with all-gather of candidate hits' variant; the
+pos payload arrays shard by the same ranges and hits are merged on host.
 """
 from __future__ import annotations
 
@@ -110,6 +119,66 @@ def lookup_index_device(khi: jnp.ndarray, klo: jnp.ndarray,
     hit = (khi[idx] == qhi) & (klo[idx] == qlo) & (lo_b < n)
     return (jnp.where(hit, start[idx], 0).astype(jnp.int32),
             jnp.where(hit, cnt[idx], 0).astype(jnp.int32))
+
+
+PAD_KHI = np.int32(0x7FFFFF7)  # sentinel key hi: > any real (< 2^24) key
+
+
+def shard_index_arrays(keys: np.ndarray, start: np.ndarray,
+                       cnt: np.ndarray, n_shards: int):
+    """Range-partition the sorted CSR key arrays for a D-way mesh: pads
+    the key count to a multiple of D with never-matching sentinels (cnt
+    0), keeps `start` GLOBAL (values index the global pos array, so no
+    per-shard rebasing is needed), and returns (khi, klo, start, cnt)
+    ready for P('data') sharding plus the per-shard key ranges
+    [lo, hi) for host-side pos distribution."""
+    n = len(keys)
+    npad = -(-max(n, n_shards) // n_shards) * n_shards
+    khi, klo = split_keys(keys)
+    khi_p = np.full(npad, PAD_KHI, np.int32)
+    klo_p = np.zeros(npad, np.int32)
+    start_p = np.zeros(npad, np.int64)
+    cnt_p = np.zeros(npad, np.int32)
+    khi_p[:n] = khi
+    klo_p[:n] = klo
+    start_p[:n] = start
+    cnt_p[:n] = cnt
+    per = npad // n_shards
+    ranges = [(min(d * per, n), min((d + 1) * per, n))
+              for d in range(n_shards)]
+    return khi_p, klo_p, start_p, cnt_p, ranges
+
+
+def sharded_probe_step(mesh: Mesh, axis: str = "data"):
+    """Index-sharded probe (mm_idx_get over a range-partitioned key
+    space): queries arrive row-sharded, all-gather to every chip, each
+    chip binary-searches its key shard, and the (start, cnt) results —
+    exactly one shard can hit per query — reduce-scatter back to the
+    row shards. Both collectives ride the mesh axis (ICI).
+
+    Returns jit(step)(khi, klo, start, cnt, qhi, qlo) -> (start, cnt)
+    with khi/klo/start/cnt sharded P(axis) (use shard_index_arrays) and
+    qhi/qlo sharded P(axis, None); B must be divisible by mesh size."""
+    D = mesh.shape[axis]
+
+    @functools.partial(shard_map, mesh=mesh, check_vma=False,
+                       in_specs=(P(axis), P(axis), P(axis), P(axis),
+                                 P(axis, None), P(axis, None)),
+                       out_specs=(P(axis, None), P(axis, None)))
+    def step(khi, klo, start, cnt, qhi, qlo):
+        qh = jax.lax.all_gather(qhi, axis, axis=0, tiled=True)
+        ql = jax.lax.all_gather(qlo, axis, axis=0, tiled=True)
+        B, M = qh.shape
+        s, c = lookup_index_device(khi, klo, start.astype(jnp.int32), cnt,
+                                   qh.reshape(-1), ql.reshape(-1))
+        s = s.reshape(B, M)
+        c = c.reshape(B, M)
+        s = jax.lax.psum_scatter(s, axis, scatter_dimension=0, tiled=True)
+        c = jax.lax.psum_scatter(c, axis, scatter_dimension=0, tiled=True)
+        return s, c
+
+    del D
+    return jax.jit(step)
 
 
 def sharded_map_step(mesh: Mesh, *, max_dist_x: int, max_dist_y: int,
