@@ -286,11 +286,29 @@ def build_index(names: Sequence[Optional[str]], seqs: Sequence[str],
         ex.shutdown()
     xs = [r[0] for r in results]
     ys = [r[1] for r in results]
+    finalize_index_parts(mi, xs, ys, n_threads=n_threads)
+    return mi
 
+
+def finalize_index_parts(mi: MMIndex, xs, ys, n_threads: int = 1) -> None:
+    """Finalize straight from per-contig sketch pieces. The native path
+    (mm2_finalize_pieces) skips the Python concatenation and the staging
+    copy — together ~3 full passes over the minimizer array, seconds at
+    genome scale on a bandwidth-limited host."""
+    if sum(len(x) for x in xs) == 0:
+        return
+    try:
+        from ..native import lib as native_lib
+        if native_lib.has_finalize_pieces():
+            mi.keys, mi.start, mi.cnt, mi.pos = \
+                native_lib.finalize_index_pieces(xs, ys, 2 * mi.k,
+                                                 n_threads)
+            return
+    except Exception:
+        pass
     x = np.concatenate(xs) if xs else np.zeros(0, np.uint64)
     y = np.concatenate(ys) if ys else np.zeros(0, np.uint64)
     finalize_index(mi, x, y, n_threads=n_threads)
-    return mi
 
 
 def finalize_index(mi: MMIndex, x: np.ndarray, y: np.ndarray,

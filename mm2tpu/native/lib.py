@@ -79,6 +79,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mm2_finalize_index.argtypes = [_I64, _VP, _VP, _VP, _VP, _VP,
                                            _VP, _I32]
         lib.mm2_finalize_index.restype = _I64
+    if hasattr(lib, "mm2_finalize_pieces"):
+        lib.mm2_finalize_pieces.argtypes = [_I32, _VP, _VP, _VP, _I32,
+                                            _VP, _VP, _VP, _VP, _I32]
+        lib.mm2_finalize_pieces.restype = _I64
     if hasattr(lib, "mm2_read_mmi_buckets"):
         lib.mm2_scan_mmi_buckets.argtypes = [
             _VP, _I64, _I32, ctypes.POINTER(_I64), ctypes.POINTER(_I64),
@@ -382,6 +386,36 @@ def finalize_index(x: np.ndarray, y: np.ndarray, n_threads: int = 1):
                                 n_threads)
     # views, not copies: this box's memory bandwidth makes 130MB of copies
     # cost seconds; the over-allocation tail is ~20% and freed with the part
+    return keys[:nk], start[:nk], cnt[:nk], pos
+
+
+def has_finalize_pieces() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_finalize_pieces")
+
+
+def finalize_index_pieces(xs, ys, key_bits: int, n_threads: int = 1):
+    """Native minimizer sort into CSR straight from the per-contig sketch
+    pieces — no concatenation pass (index.c:191-243 semantics; the piece
+    list is the analogue of the reference's per-bucket kvec scatter,
+    index.c:321-327). Returns (keys, start, cnt, pos)."""
+    import ctypes as _ct
+    lib = _load()
+    xs = [np.ascontiguousarray(x, np.uint64) for x in xs]
+    ys = [np.ascontiguousarray(y, np.uint64) for y in ys]
+    np_ = len(xs)
+    ns = np.array([len(x) for x in xs], np.int64)
+    xp = (_ct.c_void_p * np_)(*[x.ctypes.data for x in xs])
+    yp = (_ct.c_void_p * np_)(*[y.ctypes.data for y in ys])
+    n = int(ns.sum())
+    pos = np.empty(n, np.uint64)
+    keys = np.empty(n, np.uint64)
+    start = np.empty(n, np.int64)
+    cnt = np.empty(n, np.int32)
+    nk = lib.mm2_finalize_pieces(
+        np_, ns.ctypes.data, _ct.cast(xp, _ct.c_void_p),
+        _ct.cast(yp, _ct.c_void_p), int(key_bits), pos.ctypes.data,
+        keys.ctypes.data, start.ctypes.data, cnt.ctypes.data, n_threads)
     return keys[:nk], start[:nk], cnt[:nk], pos
 
 

@@ -1558,6 +1558,98 @@ static void msb_bucket_sort(std::vector<T> &v, int nthreads = 1) {
 extern "C" {
 
 // ---------------------------------------------------------------------------
+// Piece-wise finalize: consumes the per-contig sketch outputs directly —
+// no host-side concatenation, no (key, y) staging vector, and the key
+// width is known a priori (hash64 masks to 2k bits, sketch.c:30), so
+// there is no max-scan pass. On a memory-bandwidth-starved host this
+// saves ~3 full passes over the minimizer array vs mm2_finalize_index.
+// Emission is fused into the per-bucket sort walk (cache-hot), and keys
+// never straddle buckets (bucketing is by the key's top bits).
+int64_t mm2_finalize_pieces(int32_t npieces, const int64_t *ns,
+                            const uint64_t *const *xs,
+                            const uint64_t *const *ys, int32_t key_bits,
+                            uint64_t *pos_out, uint64_t *keys_out,
+                            int64_t *start_out, int32_t *cnt_out,
+                            int32_t n_threads) {
+    const int BB = 13;
+    int64_t n = 0;
+    for (int32_t p = 0; p < npieces; ++p) n += ns[p];
+    if (n <= 0) return 0;
+    int shift = key_bits > BB ? key_bits - BB : 0;
+    size_t nb = (size_t)1 << (key_bits > BB ? BB : key_bits);
+    std::vector<int64_t> off(nb + 1, 0);
+    for (int32_t p = 0; p < npieces; ++p) {
+        const uint64_t *x = xs[p];
+        for (int64_t i = 0; i < ns[p]; ++i)
+            ++off[(size_t)((x[i] >> 8) >> shift) + 1];
+    }
+    for (size_t b = 1; b <= nb; ++b) off[b] += off[b - 1];
+    std::vector<std::pair<uint64_t, uint64_t>> tmp((size_t)n);
+    {
+        std::vector<int64_t> cur(off.begin(), off.end() - 1);
+        for (int32_t p = 0; p < npieces; ++p) {
+            const uint64_t *x = xs[p], *y = ys[p];
+            for (int64_t i = 0; i < ns[p]; ++i)
+                tmp[cur[(size_t)((x[i] >> 8) >> shift)]++] = {x[i] >> 8,
+                                                              y[i]};
+        }
+    }
+    // per-bucket: sort, then emit pos + key runs while the range is hot.
+    // start_out/cnt_out slots are claimed per bucket by counting each
+    // bucket's distinct keys first, so buckets can run on threads.
+    std::vector<int64_t> koff(nb + 1, 0);
+    auto sort_bucket = [&](size_t b) {
+        std::sort(tmp.begin() + off[b], tmp.begin() + off[b + 1]);
+        int64_t nk = 0;
+        uint64_t prev = ~0ULL;
+        for (int64_t i = off[b]; i < off[b + 1]; ++i)
+            if (tmp[i].first != prev) { ++nk; prev = tmp[i].first; }
+        koff[b + 1] = nk;
+    };
+    auto emit_bucket = [&](size_t b) {
+        int64_t k = koff[b] - 1;
+        uint64_t prev = ~0ULL;
+        for (int64_t i = off[b]; i < off[b + 1]; ++i) {
+            pos_out[i] = tmp[i].second;
+            if (tmp[i].first != prev) {
+                ++k;
+                keys_out[k] = prev = tmp[i].first;
+                start_out[k] = i;
+                cnt_out[k] = 1;
+            } else {
+                ++cnt_out[k];
+            }
+        }
+    };
+    if (n_threads > 1) {
+        std::atomic<size_t> next{0};
+        std::vector<std::thread> ths;
+        for (int t = 0; t < n_threads; ++t)
+            ths.emplace_back([&]() {
+                size_t b;
+                while ((b = next.fetch_add(1)) < nb) sort_bucket(b);
+            });
+        for (auto &th : ths) th.join();
+        for (size_t b = 1; b <= nb; ++b) koff[b] += koff[b - 1];
+        std::atomic<size_t> next2{0};
+        std::vector<std::thread> ths2;
+        for (int t = 0; t < n_threads; ++t)
+            ths2.emplace_back([&]() {
+                size_t b;
+                while ((b = next2.fetch_add(1)) < nb) emit_bucket(b);
+            });
+        for (auto &th : ths2) th.join();
+    } else {
+        for (size_t b = 0; b < nb; ++b) {
+            sort_bucket(b);
+            koff[b + 1] += koff[b];
+            emit_bucket(b);
+        }
+    }
+    return koff[nb];
+}
+
+// ---------------------------------------------------------------------------
 int64_t mm2_finalize_index(int64_t n, const uint64_t *x, const uint64_t *y,
                            uint64_t *pos_out, uint64_t *keys_out,
                            int64_t *start_out, int32_t *cnt_out,
