@@ -27,11 +27,11 @@ class ChainRouter:
     static approximation."""
 
     def __init__(self, backend: str = "auto", tpu_min_anchors: int = 8192,
-                 cost_model=None, queue=None):
+                 cost_model=None, queue=None, preset: Optional[str] = None):
         self.backend = backend
         self.tpu_min_anchors = tpu_min_anchors
         self.cost_model = (cost_model if cost_model is not None
-                           else costmodel.get_default_model())
+                           else costmodel.get_default_model(preset))
         self.queue = queue if queue is not None \
             else costmodel.get_default_queue()
 
@@ -75,14 +75,15 @@ def _native():
 def chain_dp(max_dist_x: int, max_dist_y: int, bw: int, max_skip: int,
              max_iter: int, min_cnt: int, min_sc: int, gap_scale: float,
              is_cdna: bool, n_segs: int, a: np.ndarray,
-             backend: str = "auto") -> Tuple[np.ndarray, np.ndarray]:
+             backend: str = "auto",
+             preset: Optional[str] = None) -> Tuple[np.ndarray, np.ndarray]:
     """mm_chain_dp equivalent. a: (n,2) uint64 anchors sorted by x.
     Returns (anchors_compacted, u) with u[i] = score<<32 | cnt."""
     n = len(a)
     if n == 0:
         return np.zeros((0, 2), np.uint64), np.zeros(0, np.uint64)
 
-    router = ChainRouter(backend)
+    router = ChainRouter(backend, preset=preset)
     which = router.pick(n, a=a, max_dist_x=max_dist_x)
     if which == "tpu":
         from ..ops.chain_pallas_v2 import chain_scores_tpu_v2

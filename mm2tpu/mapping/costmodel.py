@@ -98,15 +98,34 @@ def fit_cost_model(rows: Sequence[Sequence[float]]) -> CostModel:
                      k_host=float(kh), c_host=float(ch))
 
 
-_DEFAULT_MODEL: Optional[CostModel] = None
+_DEFAULT_MODELS: dict = {}
 _DEFAULT_QUEUE = DeviceQueue()
-_AUTOLOAD_TRIED = False
+_FORCED_MODEL: Optional[CostModel] = None
+_FORCED = False
+
+# trained constant files per regime — the analogue of the reference's two
+# pasted-in parameter sets (ONT vs PacBio-CCS/asm, chain_hardware.h:18-30)
+_REGIME_FILES = {
+    "map": "router_params_v5e.json",
+    "asm": "router_params_v5e_asm20.json",
+}
+
+
+def regime_for_preset(preset: Optional[str]) -> str:
+    """Map a preset name to a trained-constant regime: asm-to-ref /
+    high-identity presets produce far denser, larger chaining tasks than
+    read mapping, so the reference fits them separately
+    (chain_hardware.h:24-30's PacBio-CCS/asm set)."""
+    if preset in ("asm5", "asm10", "asm20", "map-hifi", "map10k-ccs"):
+        return "asm"
+    return "map"
 
 
 def set_default_model(model: Optional[CostModel]) -> None:
-    global _DEFAULT_MODEL, _AUTOLOAD_TRIED
-    _DEFAULT_MODEL = model
-    _AUTOLOAD_TRIED = True
+    """Force one model for every regime (the --router-params override)."""
+    global _FORCED_MODEL, _FORCED
+    _FORCED_MODEL = model
+    _FORCED = True
 
 
 def backend_ready() -> bool:
@@ -152,16 +171,19 @@ def ensure_backend_async() -> None:
                      name="mm2tpu-backend-probe").start()
 
 
-def get_default_model() -> Optional[CostModel]:
-    """Explicitly-set model, else the in-tree trained constants
-    (mm2tpu/data/router_params_v5e.json — the analogue of the constants
-    the reference ships in chain_hardware.h:18-30). Auto-load only
-    applies once JAX is INITIALIZED on a real TPU — never initializes a
-    backend itself (that can block on an unreachable accelerator; see
+def get_default_model(preset: Optional[str] = None) -> Optional[CostModel]:
+    """Explicitly-set model, else the in-tree trained constants for the
+    preset's regime (mm2tpu/data/router_params_v5e*.json — the analogue
+    of the two constant sets the reference ships in
+    chain_hardware.h:18-30, selected per preset). Auto-load only applies
+    once JAX is INITIALIZED on a real TPU — never initializes a backend
+    itself (that can block on an unreachable accelerator; see
     ensure_backend_async): the constants describe device dispatch on
     that hardware."""
-    global _DEFAULT_MODEL, _AUTOLOAD_TRIED
-    if _DEFAULT_MODEL is None and not _AUTOLOAD_TRIED:
+    if _FORCED:
+        return _FORCED_MODEL
+    regime = regime_for_preset(preset)
+    if regime not in _DEFAULT_MODELS:
         import sys
         jax = sys.modules.get("jax")
         if jax is None:
@@ -169,17 +191,20 @@ def get_default_model() -> Optional[CostModel]:
         if not backend_ready():
             ensure_backend_async()
             return None  # retry once the probe brings a backend up
-        _AUTOLOAD_TRIED = True
+        model = None
         try:
             if jax.default_backend() == "tpu":
                 import pathlib
-                p = (pathlib.Path(__file__).resolve().parent.parent /
-                     "data" / "router_params_v5e.json")
+                data = pathlib.Path(__file__).resolve().parent.parent / "data"
+                p = data / _REGIME_FILES[regime]
+                if not p.exists():  # regime not fitted: fall back to base
+                    p = data / _REGIME_FILES["map"]
                 if p.exists():
-                    _DEFAULT_MODEL = CostModel.load(str(p))
+                    model = CostModel.load(str(p))
         except Exception:
             pass
-    return _DEFAULT_MODEL
+        _DEFAULT_MODELS[regime] = model
+    return _DEFAULT_MODELS[regime]
 
 
 def get_default_queue() -> DeviceQueue:

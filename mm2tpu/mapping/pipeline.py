@@ -78,7 +78,7 @@ def _chain_ctx_inner(ctx: _FragCtx, opt: MapOptions, anchors: np.ndarray):
     return chain_dp(ctx.gap_ref, ctx.gap_qry, opt.bw, opt.max_chain_skip,
                     opt.max_chain_iter, opt.min_cnt, opt.min_chain_score,
                     opt.chain_gap_scale, ctx.is_splice, ctx.n_segs,
-                    anchors, backend=opt.chain_backend)
+                    anchors, backend=opt.chain_backend, preset=opt.preset)
 
 
 def _needs_rechain(ctx: _FragCtx, opt: MapOptions, a: np.ndarray,

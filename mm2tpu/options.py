@@ -58,6 +58,11 @@ INT32_MAX = 2**31 - 1
 class MapOptions:
     """mm_mapopt_t equivalent; defaults = mm_mapopt_init (options.c:17-57)."""
     flag: int = 0
+    # preset name the options came from (None = raw defaults): the device
+    # router selects its trained constants per regime, mirroring the
+    # reference's two pasted-in parameter sets (chain_hardware.h:18-30,
+    # loaded per-preset in options.c:95-99,118-122)
+    preset: Optional[str] = None
     seed: int = 11
     sdust_thres: int = 0
     max_qlen: int = 0
@@ -148,6 +153,7 @@ def set_opt(preset: Optional[str], io: IdxOptions | None = None,
         return IdxOptions(), MapOptions()
     io = replace(io) if io else IdxOptions()
     mo = replace(mo) if mo else MapOptions()
+    mo.preset = preset
     if preset == "ava-ont":
         io.flag, io.k, io.w = 0, 15, 5
         mo.flag |= MM_F_ALL_CHAINS | MM_F_NO_DIAG | MM_F_NO_DUAL | MM_F_NO_LJOIN

@@ -37,11 +37,25 @@ def synth_task(n: int, density: float, rng) -> np.ndarray:
     return a
 
 
+# per-regime task distributions, mirroring the reference's two trained
+# constant sets (chain_hardware.h:18-30): read mapping (ONT-class) sees
+# moderate-density tasks over a spread of sizes; asm-to-ref (asm5/10/20,
+# HiFi-class) sees much denser near-collinear tasks (k=19 minimizers on
+# near-identical sequence -> an anchor every ~w bp) skewed to larger n.
+_REGIMES = {
+    "map": {"ns": (512, 1024, 2048, 4096, 8192, 16384, 32768),
+            "densities": (0.05, 0.3, 1.0)},
+    "asm20": {"ns": (2048, 4096, 8192, 16384, 32768, 65536),
+              "densities": (0.5, 1.0, 2.0)},
+}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-o", "--out", default="router_params.json")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--max-dist-x", type=int, default=5000)
+    ap.add_argument("--regime", choices=sorted(_REGIMES), default="map")
     args = ap.parse_args()
 
     from mm2tpu.mapping.costmodel import fit_cost_model
@@ -59,9 +73,10 @@ def main() -> int:
 
     rng = np.random.default_rng(0)
     rows = []
+    reg = _REGIMES[args.regime]
     print("n\tsubparts\ttripcount\tdev_ms\thost_ms", file=sys.stderr)
-    for n in (512, 1024, 2048, 4096, 8192, 16384, 32768):
-        for density in (0.05, 0.3, 1.0):
+    for n in reg["ns"]:
+        for density in reg["densities"]:
             a = synth_task(n, density, rng)
             _, total_sub, total_trip = chain_ref.num_subparts(
                 a, args.max_dist_x)

@@ -148,10 +148,15 @@ def test_default_model_not_autoloaded_on_cpu():
     """Auto-load is TPU-only: on the CPU test backend the default model
     stays None (interpret-mode timings would be meaningless)."""
     import mm2tpu.mapping.costmodel as cm
-    saved = (cm._DEFAULT_MODEL, cm._AUTOLOAD_TRIED)
-    cm._DEFAULT_MODEL, cm._AUTOLOAD_TRIED = None, False
+    saved = dict(cm._DEFAULT_MODELS)
+    saved_forced = (cm._FORCED_MODEL, cm._FORCED)
+    cm._DEFAULT_MODELS.clear()
+    cm._FORCED_MODEL, cm._FORCED = None, False
     try:
         import jax  # noqa: F401  (ensures jax is in sys.modules)
         assert cm.get_default_model() is None
+        assert cm.get_default_model("asm20") is None
     finally:
-        cm._DEFAULT_MODEL, cm._AUTOLOAD_TRIED = saved
+        cm._DEFAULT_MODELS.clear()
+        cm._DEFAULT_MODELS.update(saved)
+        cm._FORCED_MODEL, cm._FORCED = saved_forced

@@ -68,6 +68,49 @@ def test_device_seed_units():
     np.testing.assert_array_equal(a[:, 1], y)
 
 
+def test_device_seed_parity_asm20_fuzz(tmp_path):
+    """asm20 regime (k=19 w=10 minimizers, dense near-identical tasks)
+    through the batch and device-seed paths — the second trained-router
+    regime (chain_hardware.h:24-30) must keep byte parity there too."""
+    rng = np.random.default_rng(7)
+    bases = np.array(list("ACGT"))
+    genome = "".join(bases[rng.integers(0, 4, 120_000)])
+    ref = tmp_path / "ref.fa"
+    ref.write_text(f">c0\n{genome}\n")
+    reads = tmp_path / "contigs.fa"
+    with open(reads, "w") as f:
+        for i in range(4):
+            st = int(rng.integers(0, 60_000))
+            ln = int(rng.integers(15_000, 30_000))
+            s = np.array(list(genome[st:st + ln]))
+            # ~2% divergence: the asm20 design point
+            mut = rng.random(len(s)) < 0.02
+            s[mut] = bases[rng.integers(0, 4, int(mut.sum()))]
+            f.write(f">ctg{i}\n{''.join(s)}\n")
+    base = ["-x", "asm20", "-c", "--map-mode", "batch"]
+    tail = [str(ref), str(reads)]
+    host = _run(base + tail)
+    plain = _run(["-x", "asm20", "-c"] + tail)
+    assert host == plain
+    dev = _run(base + ["--seed-backend", "tpu"] + tail)
+    assert dev == host
+
+
+def test_router_regime_selection():
+    """Per-preset trained-constant selection (chain_hardware.h:18-30's
+    two sets): asm-class presets resolve to the asm regime file."""
+    from mm2tpu.mapping.costmodel import regime_for_preset
+    assert regime_for_preset("asm20") == "asm"
+    assert regime_for_preset("asm5") == "asm"
+    assert regime_for_preset("map-ont") == "map"
+    assert regime_for_preset(None) == "map"
+    from mm2tpu.options import set_opt
+    _, mo = set_opt("asm20")
+    assert mo.preset == "asm20"
+    _, mo = set_opt("map-ont")
+    assert mo.preset == "map-ont"
+
+
 @pytest.mark.parametrize("flagset", [["-r", "500"], ["-H"]])
 def test_device_seed_parity_flag_variants(flagset, tmp_path):
     seq = "".join(l.strip() for l in
