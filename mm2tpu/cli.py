@@ -155,6 +155,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coordinator", metavar="ADDR:PORT",
                    help="jax.distributed coordinator address "
                         "(host 0's address)")
+    p.add_argument("--host-timeout", type=int, default=600, metavar="SEC",
+                   help="multi-host rendezvous/barrier timeout: if any "
+                        "host dies, the others exit nonzero after SEC "
+                        "seconds with no merged output [600]")
     p.add_argument("--profile", action="store_true",
                    help="print a per-stage timing table on exit (the "
                         "MEASURE_* macros' equivalent, chain_hardware.h:39-45)")
@@ -453,7 +457,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     check_opt(io, mo)
 
     from .parallel.multihost import HostConfig, init_distributed
-    hostcfg = HostConfig(args.hosts or 1, args.host_id, args.coordinator)
+    hostcfg = HostConfig(args.hosts or 1, args.host_id, args.coordinator,
+                         timeout_s=args.host_timeout)
     if hostcfg.active:
         if not (0 <= hostcfg.host_id < hostcfg.n_hosts) or \
                 not hostcfg.coordinator:
@@ -760,12 +765,26 @@ def _map_all(query_paths, mi, mo: MapOptions, out, part_idx: int,
     if multihost:
         from .parallel import multihost as mh
         part_writer.close()
-        mh.barrier("map_done")
-        if hostcfg.host_id == 0:
-            with profiling.stage("merge"):
-                mh.merge_parts(out_path, hostcfg.n_hosts, out)
-            out.flush()
-        mh.barrier("merge_done")
+        try:
+            mh.barrier("map_done")
+            if hostcfg.host_id == 0:
+                with profiling.stage("merge"):
+                    mh.merge_parts(out_path, hostcfg.n_hosts, out)
+                out.flush()
+            mh.barrier("merge_done")
+        except Exception as e:
+            # a peer host died (or the shared FS lost a part): never emit
+            # a partial merged output — fail loudly on every survivor
+            print("[ERROR] multi-host run failed on host %d: %s"
+                  % (hostcfg.host_id, e), file=sys.stderr)
+            if hostcfg.host_id == 0:
+                import os as _os
+                try:  # don't leave a header-only/empty output behind
+                    out.close()
+                    _os.remove(out_path)
+                except OSError:
+                    pass
+            raise SystemExit(1)
         if hostcfg.host_id == 0:
             mh.cleanup_parts(out_path, hostcfg.n_hosts)
     return n_mapped

@@ -27,6 +27,24 @@ boundaries. On a real pod each process also drives its local chips via
 the usual local mesh (parallel/mesh.py); nothing here depends on
 cross-host XLA collectives, so the same code runs multi-process on CPU
 for testing (tests/test_multihost.py) and on TPU pod slices.
+
+SHARED-FILESYSTEM REQUIREMENT: the merge step has host 0 read every
+host's part file, so `-o OUTPUT` must live on a filesystem visible to
+all hosts (NFS/GCS-fuse on pod slices; any path on a single machine).
+This mirrors the reference's --split-prefix temp files, which likewise
+assume one filesystem (map.c:469-524). Host 0 raises a clear error
+naming this requirement if a part file is missing after the map_done
+barrier. Outputs stream through part files rather than the
+coordination-service KV store because mapping output is unbounded
+(gigabytes at genome scale) while the KV store is a control-plane
+channel.
+
+FAILURE MODE: if any host dies mid-run, the remaining hosts block at
+the next barrier and fail when it times out (cfg.timeout_s, default
+600 s; also applied to the initial rendezvous) — every surviving
+process exits nonzero and the merged output is never written, so a
+partial result can't be mistaken for a complete one (the degraded-mode
+stance of SURVEY §5 applied across hosts).
 """
 from __future__ import annotations
 
@@ -40,6 +58,7 @@ class HostConfig:
     n_hosts: int = 1
     host_id: int = 0
     coordinator: Optional[str] = None   # "ip:port"; None = single host
+    timeout_s: int = 600   # rendezvous + barrier timeout (failure bound)
 
     @property
     def active(self) -> bool:
@@ -47,24 +66,27 @@ class HostConfig:
 
 
 _CLIENT = None
+_TIMEOUT_MS = 600_000
 
 
 def init_distributed(cfg: HostConfig) -> None:
     """Bring up the JAX distributed runtime (no-op for a single host)."""
-    global _CLIENT
+    global _CLIENT, _TIMEOUT_MS
     if not cfg.active:
         return
     import jax
+    _TIMEOUT_MS = max(1, cfg.timeout_s) * 1000
     jax.distributed.initialize(coordinator_address=cfg.coordinator,
                                num_processes=cfg.n_hosts,
-                               process_id=cfg.host_id)
+                               process_id=cfg.host_id,
+                               initialization_timeout=max(1, cfg.timeout_s))
     from jax._src import distributed
     _CLIENT = distributed.global_state.client
 
 
-def barrier(name: str, timeout_ms: int = 600_000) -> None:
+def barrier(name: str, timeout_ms: Optional[int] = None) -> None:
     if _CLIENT is not None:
-        _CLIENT.wait_at_barrier(name, timeout_ms)
+        _CLIENT.wait_at_barrier(name, timeout_ms or _TIMEOUT_MS)
 
 
 def kv_set(key: str, value: str) -> None:
@@ -87,6 +109,13 @@ def merge_parts(out_path: str, n_hosts: int, out_fh) -> int:
     (map.c:671-714). Each part is a sequence of length-prefixed records,
     one per fragment mapped by that host (in stripe order). Returns the
     total record count."""
+    missing = [h for h in range(n_hosts)
+               if not os.path.exists(part_path(out_path, h))]
+    if missing:
+        raise RuntimeError(
+            "multi-host merge: part file(s) missing for host(s) %s — "
+            "-o OUTPUT must be on a filesystem shared by all hosts "
+            "(see mm2tpu/parallel/multihost.py)" % missing)
     readers = [open(part_path(out_path, h), "rb") for h in range(n_hosts)]
 
     def next_rec(f):

@@ -36,6 +36,10 @@ def _run_host(args, env_extra=None):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
+    # this box's PYTHONPATH injects a hardware-plugin sitecustomize that
+    # overrides JAX_PLATFORMS and blocks on an unreachable accelerator;
+    # the multi-host coordination path must stay CPU-pure
+    env["PYTHONPATH"] = ""
     if env_extra:
         env.update(env_extra)
     return subprocess.Popen([sys.executable, "-m", "mm2tpu.cli"] + args,
@@ -102,3 +106,55 @@ def test_multihost_flag_validation(tmp_path):
                    "-o", str(tmp_path / "x.paf"), f"{T}/MT-orang.fa",
                    f"{T}/MT-human.fa"])
     assert rc == 1
+
+
+def test_three_host_merge_uneven(tmp_path):
+    """3 processes, 151 reads (151 % 3 == 1: uneven stripes, the tail
+    host finishes a record short) — merged output byte-identical to a
+    single-host run. Exercises the round-robin merge's exhausted-reader
+    path (parallel/multihost.py::merge_parts) beyond the N=2 case."""
+    reads = _make_reads(tmp_path, n=151)
+    single = tmp_path / "single.paf"
+    merged = tmp_path / "merged.paf"
+    base = ["-x", "map-ont", "-t", "1", f"{T}/MT-orang.fa", str(reads)]
+
+    r = _run_host(base + ["-o", str(single)])
+    assert r.wait(timeout=600) == 0, r.stderr.read()[-2000:]
+
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    hosts = [_run_host(base + ["-o", str(merged), "--hosts", "3",
+                               "--host-id", str(h), "--coordinator", coord])
+             for h in range(3)]
+    for h, p in enumerate(hosts):
+        assert p.wait(timeout=600) == 0, (h, p.stderr.read()[-2000:])
+
+    assert merged.read_bytes() == single.read_bytes()
+    assert not list(tmp_path.glob("*.part"))
+
+
+def test_host_death_fails_all(tmp_path):
+    """Failure mode: one of three hosts is stopped/killed -> every
+    survivor exits nonzero within --host-timeout (rendezvous timeout if
+    the victim died pre-connect, map_done barrier timeout otherwise) and
+    the merged output is never left behind — a partial result can't
+    pass for a complete one."""
+    import signal
+    import time
+    reads = _make_reads(tmp_path, n=12)
+    merged = tmp_path / "merged.paf"
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    hosts = [_run_host(["-x", "map-ont", "-t", "1", "--hosts", "3",
+                        "--host-timeout", "25", "--host-id", str(h),
+                        "--coordinator", coord, "-o", str(merged),
+                        f"{T}/MT-orang.fa", str(reads)])
+             for h in range(3)]
+    time.sleep(5)  # freeze host 2 wherever it is (rendezvous or mapping)
+    hosts[2].send_signal(signal.SIGSTOP)
+    rcs = [hosts[h].wait(timeout=180) for h in range(2)]
+    hosts[2].kill()
+    hosts[2].wait(timeout=30)
+    assert all(rc != 0 for rc in rcs), \
+        [hosts[h].stderr.read()[-1000:] for h in range(2)]
+    assert not merged.exists(), "partial merged output left behind"
