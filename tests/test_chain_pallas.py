@@ -8,7 +8,6 @@ import numpy as np
 import pytest
 
 from mm2tpu.ops.chain_ref import chain_scores_window, chain_scores_exact
-from mm2tpu.ops.chain_pallas import chain_scores_tpu
 
 
 def synth_anchors(n, seed=0, n_rids=1, rev_frac=0.0, span=15, scale=50):
@@ -29,26 +28,6 @@ CASES = [
     dict(n=3000, seed=3, scale=2),     # dense: windows hit the 1024 cap
     dict(n=1024, seed=4, scale=1),     # ties and zero-distance cases
 ]
-
-
-@pytest.mark.parametrize("case", CASES)
-def test_kernel_matches_window_oracle(case):
-    a = synth_anchors(**case)
-    args = (5000, 5000, 500, 5000, 1.0, False, 1)
-    f1, p1, v1 = chain_scores_window(a, *args)
-    f2, p2, v2 = chain_scores_tpu(a, *args, interpret=True)
-    np.testing.assert_array_equal(f1, f2)
-    np.testing.assert_array_equal(p1, p2)
-    np.testing.assert_array_equal(v1, v2)
-
-
-def test_kernel_matches_window_oracle_cdna():
-    a = synth_anchors(n=800, seed=5)
-    args = (200000, 2000, 200000, 5000, 1.0, True, 1)
-    f1, p1, v1 = chain_scores_window(a, *args)
-    f2, p2, v2 = chain_scores_tpu(a, *args, interpret=True)
-    np.testing.assert_array_equal(f1, f2)
-    np.testing.assert_array_equal(p1, p2)
 
 
 def test_window_matches_exact_when_unconstrained():
