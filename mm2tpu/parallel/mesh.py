@@ -34,7 +34,12 @@ from ..ops.chain_pallas_v3 import chain_scores_device_v3
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data",
               devices=None) -> Mesh:
-    devs = devices if devices is not None else jax.devices()
+    """1-D data mesh over THIS process's chips. local_devices (not
+    jax.devices()): under jax.distributed the global list includes other
+    hosts' non-addressable devices — each host shards its own stripe
+    over its own chips (multihost.py handles the cross-host axis), so a
+    mesh must never span processes."""
+    devs = devices if devices is not None else jax.local_devices()
     n = n_devices or len(devs)
     return Mesh(np.array(devs[:n]), (axis,))
 

@@ -133,6 +133,34 @@ def test_three_host_merge_uneven(tmp_path):
     assert not list(tmp_path.glob("*.part"))
 
 
+def test_multihost_with_device_mesh(tmp_path):
+    """Multi-host x multi-chip composition: each of 2 host processes
+    drives its OWN 2-device virtual mesh (--mesh 2, batched sharded
+    chaining) — the pod-slice topology (one process per host, local
+    chips via shard_map, cross-host via jax.distributed striping).
+    Merged output must be byte-identical to a plain single-host,
+    non-mesh run."""
+    reads = _make_reads(tmp_path, n=16)
+    single = tmp_path / "single.paf"
+    merged = tmp_path / "merged.paf"
+    tail = ["-x", "map-ont", "-c", "-t", "1", f"{T}/MT-orang.fa",
+            str(reads)]
+
+    r = _run_host(tail + ["-o", str(single)])
+    assert r.wait(timeout=600) == 0, r.stderr.read()[-2000:]
+
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    mesh_env = {"XLA_FLAGS": "--xla_force_host_platform_device_count=2"}
+    hosts = [_run_host(["--mesh", "2", "--hosts", "2", "--host-id",
+                        str(h), "--coordinator", coord,
+                        "-o", str(merged)] + tail, env_extra=mesh_env)
+             for h in range(2)]
+    for h, p in enumerate(hosts):
+        assert p.wait(timeout=600) == 0, (h, p.stderr.read()[-2000:])
+    assert merged.read_bytes() == single.read_bytes()
+
+
 def test_host_death_fails_all(tmp_path):
     """Failure mode: one of three hosts is stopped/killed -> every
     survivor exits nonzero within --host-timeout (rendezvous timeout if
