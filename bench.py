@@ -247,12 +247,14 @@ def ksw2_kernel_bench():
     """extd2 wavefront kernel cells/s (chained-jit, banded w=400)."""
     import jax
     import jax.numpy as jnp
-    from mm2tpu.ops.ksw2_pallas import extd2_device, _sf_image
+    from mm2tpu.ops.ksw2_pallas import (ROWS_PER_PROGRAM, extd2_device,
+                                        _sf_image)
 
     rng = np.random.default_rng(0)
     B, L, w = 64, 2048, 751
     Tpad = -(-(L + 16) // 128) * 128
-    Rmax = 2 * L - 1
+    rpp = ROWS_PER_PROGRAM  # production config (extd2_batch)
+    Rmax = -(-(2 * L - 1) // (rpp * 128)) * (rpp * 128)
     lens = np.tile(np.array([[L, L]], np.int32), (B, 1))
     tsf = np.zeros((B, Tpad), np.int32)
     qcol = np.zeros((B, -(-Rmax // 128) * 128), np.int32)
@@ -266,7 +268,8 @@ def ksw2_kernel_bench():
     try:
         kw = dict(q=4, e=2, q2=24, e2=1, zdrop=-1, sc_mch=2, sc_mis=-4,
                   sc_N=-1, w=w, right=False, approx=True, approx_drop=True,
-                  Rmax=Rmax, interpret=jax.default_backend() != "tpu")
+                  Rmax=Rmax, rpp=rpp,
+                  interpret=jax.default_backend() != "tpu")
 
         def harness(reps):
             @jax.jit

@@ -6,6 +6,7 @@ first, exactly as main.c:131-145 does.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List, Optional
 
@@ -895,5 +896,21 @@ def emit(mi, mo: MapOptions, frag, res, out) -> None:
                                 rep_len, seq.comment), file=out)
 
 
+def cli_entry():
+    """Process entry point (python -m mm2tpu.cli / the mm2tpu script).
+    If the router's async backend probe is still wedged in device init
+    (unreachable accelerator), interpreter teardown would race the
+    device client's C++ initialization on that thread and abort
+    ("FATAL: exception not rethrown") — hard-exit instead. In-process
+    callers (tests, bench) use main() and are unaffected."""
+    rc = main()
+    from .mapping.costmodel import join_backend_probe
+    if not join_backend_probe(10.0):
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(rc)
+    sys.exit(rc)
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    cli_entry()

@@ -142,6 +142,20 @@ def backend_ready() -> bool:
 
 
 _PROBE_STARTED = False
+_PROBE_THREAD = None
+
+
+def join_backend_probe(timeout: float = 10.0) -> bool:
+    """Wait for the async backend probe to finish. Returns True when no
+    probe is running (or it finished in time); False when it is still
+    wedged in device init — the caller should then hard-exit
+    (os._exit) rather than let interpreter teardown race the device
+    client's C++ initialization on the probe thread."""
+    t = _PROBE_THREAD
+    if t is None or not t.is_alive():
+        return True
+    t.join(timeout)
+    return not t.is_alive()
 
 
 def ensure_backend_async() -> None:
@@ -167,8 +181,10 @@ def ensure_backend_async() -> None:
         except Exception:
             pass
 
-    threading.Thread(target=_probe, daemon=True,
-                     name="mm2tpu-backend-probe").start()
+    global _PROBE_THREAD
+    _PROBE_THREAD = threading.Thread(target=_probe, daemon=True,
+                                     name="mm2tpu-backend-probe")
+    _PROBE_THREAD.start()
 
 
 def get_default_model(preset: Optional[str] = None) -> Optional[CostModel]:

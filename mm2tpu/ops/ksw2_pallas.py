@@ -62,9 +62,12 @@ R_ZDROP, R_MAX, R_MAXQ, R_MAXT, R_MQE, R_MQET, R_MTE, R_MTEQ, \
     R_SCORE, R_H0, R_LAST, R_PST, R_PEN, R_BREAK = range(14)
 
 
-def _gather_col(arr, idx, valid=None):
-    """arr[b, idx[b]] as (B, 1) via a masked reduction (idx (B,1) int32)."""
-    col = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
+def _gather_col(arr, idx, valid=None, col=None):
+    """arr[b, idx[b]] as (B, 1) via a masked reduction (idx (B,1) int32).
+    col: global column ids per cell when `arr` is a window of a wider
+    array (idx is then matched against global positions)."""
+    if col is None:
+        col = jax.lax.broadcasted_iota(jnp.int32, arr.shape, 1)
     m = col == idx
     if valid is not None:
         m = m & valid
@@ -75,11 +78,15 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
                   sc_mch: int, sc_mis: int, sc_N: int, w_static: int,
                   long_thres: int, long_diff: int, right: bool, approx: bool,
                   approx_drop: bool, Tpad: int, Rmax: int, rpp: int,
+                  Wwin: int,
                   lens_ref, tsf_ref, qcol_ref, d_out, ez_out,
                   u_s, v_s, x_s, y_s, x2_s, y2_s, H_s, s_s, qrw_s, regs):
     g = pl.program_id(0)
     B = lens_ref.shape[0]
     qe = q + e
+    W = Wwin                    # static band-window width (== Tpad => full)
+    windowed = W < Tpad
+    Rcols = qcol_ref.shape[1]
 
     @pl.when(g == 0)
     def _init():
@@ -117,7 +124,21 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
         st = (st0 // 16) * 16
         en = ((en0 + 16) // 16) * 16 - 1
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1)
+        # Band window: every task's 16-aligned band [st, en] lies inside
+        # the 128-aligned global window [win, win+W) because
+        # st >= max(0,(r-w+1)>>1) - 15 and en <= ((r+w)>>1) + 15 with
+        # (hi-lo) <= w, so W = 128*ceil((w+176)/128) suffices (the -32
+        # guard plus <=127 align loss on the left, +16 blocks right).
+        # Cells outside the window keep their stale values — exactly the
+        # reference's stale-cell band semantics (ksw2_extd2_sse.c:115-124).
+        if windowed:
+            lo0 = jnp.maximum((jnp.int32(r) - w_static + 1) >> 1, 0)
+            win = jnp.clip((lo0 - 32) // 128 * 128, 0, Tpad - W)
+            win = pl.multiple_of(win, 128)
+        else:
+            win = 0
+
+        col = win + jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
         prev_st = regs[:, R_PST:R_PST + 1]
         prev_en = regs[:, R_PEN:R_PEN + 1]
         covered = (st > 0) & (prev_st <= st - 1) & (st - 1 <= prev_en)
@@ -129,31 +150,46 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
                                 long_diff, -e2)))
         v1_def = jnp.where(st > 0, -qe, row0_bnd)
 
+        # windowed loads: shifted (t-1) reads come from one aligned
+        # (W+128)-wide load per array; PADC keeps the -128 start >= 0
+        dsw = pl.ds(win, W)
+        dsp = pl.ds(PADC + win, W)
+
         # y[r]/y2[r]/u[r] boundary writes when the band reaches column r
         bnd_m = (col == r) & (en >= r) & alive
-        y_c = jnp.where(bnd_m, -qe, y_s[:, PADC:PADC + Tpad])
-        y2_c = jnp.where(bnd_m, -q2 - e2, y2_s[:, PADC:PADC + Tpad])
-        u_c = jnp.where(bnd_m, row0_bnd, u_s[:, PADC:PADC + Tpad])
+        y_c = jnp.where(bnd_m, -qe, y_s[:, dsp])
+        y2_c = jnp.where(bnd_m, -q2 - e2, y2_s[:, dsp])
+        u_c = jnp.where(bnd_m, row0_bnd, u_s[:, dsp])
 
-        # query shift register: window[t] = query[r - t] (0 past the ends);
-        # the inserted element query[r] is a masked-reduction gather
-        q_r = _gather_col(qcol_ref[:], jnp.full((B, 1), r, jnp.int32))
-        qrw = jnp.where(col == 0, q_r, qrw_s[:, PADC - 1:PADC - 1 + Tpad])
-        qrw_s[:, PADC:PADC + Tpad] = qrw
+        # query shift register (windowed): the value entering at the
+        # window's left edge is query[r - win] (== query[r] at col 0 when
+        # win == 0 — the original insertion); positions the window has
+        # passed are exactly those the band never revisits
+        r_ins = jnp.int32(r) - win
+        e_al = pl.multiple_of(r_ins // 128 * 128, 128)
+        icol = e_al + jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+        q_ins = jnp.sum(jnp.where(icol == r_ins, qcol_ref[:, pl.ds(e_al, 128)],
+                                  0), axis=1, keepdims=True)
+        qw = qrw_s[:, pl.ds(win, W + 128)]
+        qrw = jnp.where(col == win, q_ins, qw[:, 127:127 + W])
+        qrw_s[:, dsp] = qrw
 
         # score row: fresh 16-blocks from st0 (stale cells persist)
-        sq = tsf_ref[:]
+        sq = tsf_ref[:, dsw]
         wild = (sq == 4) | (qrw == 4)
         s_new = jnp.where(wild, sc_N, jnp.where(sq == qrw, sc_mch, sc_mis))
         fresh = (col >= st0) & (col < st0 + ((en0 - st0) // 16) * 16 + 16) & alive
-        s_row = jnp.where(fresh, s_new, s_s[:])
-        s_s[:] = s_row
+        s_row = jnp.where(fresh, s_new, s_s[:, dsw])
+        s_s[:, dsw] = s_row
 
         # shifted reads (t-1) with boundary insertion at col st
         at_st = col == st
-        x_sh = x_s[:, PADC - 1:PADC - 1 + Tpad]
-        v_sh = v_s[:, PADC - 1:PADC - 1 + Tpad]
-        x2_sh = x2_s[:, PADC - 1:PADC - 1 + Tpad]
+        xw = x_s[:, pl.ds(win, W + 128)]
+        vw = v_s[:, pl.ds(win, W + 128)]
+        x2w = x2_s[:, pl.ds(win, W + 128)]
+        x_sh = xw[:, 127:127 + W]
+        v_sh = vw[:, 127:127 + W]
+        x2_sh = x2w[:, 127:127 + W]
         xt1 = jnp.where(at_st & ~covered, -qe, x_sh)
         x2t1 = jnp.where(at_st & ~covered, -q2 - e2, x2_sh)
         vt1 = jnp.where(at_st, jnp.where(covered, v_sh, v1_def), v_sh)
@@ -202,32 +238,39 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
              | jnp.where(ga2, 0x20, 0) | jnp.where(gb2, 0x40, 0))
 
         bm = (col >= st) & (col <= en) & alive
-        d_out[slot] = jnp.where(bm, d, 0).astype(jnp.int8)
-        u_s[:, PADC:PADC + Tpad] = jnp.where(bm, u_new, u_c)
-        v_s[:, PADC:PADC + Tpad] = jnp.where(bm, v_new, v_s[:, PADC:PADC + Tpad])
-        x_s[:, PADC:PADC + Tpad] = jnp.where(bm, x_new, x_s[:, PADC:PADC + Tpad])
-        y_s[:, PADC:PADC + Tpad] = jnp.where(bm, y_new, y_c)
-        x2_s[:, PADC:PADC + Tpad] = jnp.where(
-            bm, x2_new, x2_s[:, PADC:PADC + Tpad])
-        y2_s[:, PADC:PADC + Tpad] = jnp.where(bm, y2_new, y2_c)
+        d8 = jnp.where(bm, d, 0).astype(jnp.int8)
+        if windowed:
+            d_out[slot] = jnp.zeros((B, Tpad), jnp.int8)
+            d_out[slot, :, dsw] = d8
+        else:
+            d_out[slot] = d8
+        u_w = jnp.where(bm, u_new, u_c)
+        v_w = jnp.where(bm, v_new, vw[:, 128:128 + W])
+        u_s[:, dsp] = u_w
+        v_s[:, dsp] = v_w
+        x_s[:, dsp] = jnp.where(bm, x_new, xw[:, 128:128 + W])
+        y_s[:, dsp] = jnp.where(bm, y_new, y_c)
+        x2_s[:, dsp] = jnp.where(bm, x2_new, x2w[:, 128:128 + W])
+        y2_s[:, dsp] = jnp.where(bm, y2_new, y2_c)
 
         is_r0 = r == 0
         r_b = jnp.full((B, 1), r, jnp.int32)
         if not approx:
             # exact max with the 32-bit H row (ksw2_extd2_sse.c:326-358)
-            H_old = H_s[:]
+            H_old = H_s[:, dsw]
             upd = (col >= st0) & (col < en0) & alive & (r > 0)
             H_new = jnp.where(upd, H_old + v_new, H_old)
-            H_pm1 = _gather_col(H_old, en0 - 1)
-            u_en0 = _gather_col(u_new, en0)
-            v_en0 = _gather_col(v_new, en0)
-            H_en0_old = _gather_col(H_old, en0)
+            H_pm1 = _gather_col(H_old, en0 - 1, col=col)
+            u_en0 = _gather_col(u_new, en0, col=col)
+            v_en0 = _gather_col(v_new, en0, col=col)
+            H_en0_old = _gather_col(H_old, en0, col=col)
             H_en0 = jnp.where(en0 > 0, H_pm1 + u_en0, H_en0_old + v_en0)
             if True:  # r == 0 special case: H[0] = v[0] - qe
-                v0 = _gather_col(v_new, jnp.zeros((B, 1), jnp.int32))
+                v0 = _gather_col(v_new, jnp.zeros((B, 1), jnp.int32),
+                                 col=col)
                 H_en0 = jnp.where(is_r0, v0 - qe, H_en0)
             H_new = jnp.where((col == en0) & alive, H_en0, H_new)
-            H_s[:] = H_new
+            H_s[:, dsw] = H_new
 
             # max scan with SSE tie-breaking: value first, then priority
             # (seed at en0 > 4-lane block by (lane, row-in-lane) > scalar tail)
@@ -253,7 +296,7 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
             regs[:, R_MTE:R_MTE + 1] = jnp.where(mte_c, H_en0, mte)
             regs[:, R_MTEQ:R_MTEQ + 1] = jnp.where(
                 mte_c, r_b - en, regs[:, R_MTEQ:R_MTEQ + 1])
-            H_st0 = _gather_col(H_new, st0)
+            H_st0 = _gather_col(H_new, st0, col=col)
             mqe = regs[:, R_MQE:R_MQE + 1]
             mqe_c = alive & (r_b - st0 == qlen - 1) & (H_st0 > mqe)
             regs[:, R_MQE:R_MQE + 1] = jnp.where(mqe_c, H_st0, mqe)
@@ -261,21 +304,24 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
                 mqe_c, st0, regs[:, R_MQET:R_MQET + 1])
             zH, zt, do_drop = max_H, max_t, True
         else:
-            # approximate max: walk H0 along the main diagonal
+            # approximate max: walk H0 along the main diagonal (the walk
+            # index `last` stays in [0, en0+1] ⊆ the window — from inside
+            # the band it can only advance via c2 which caps at en0, and
+            # from below it advances 1/row until it re-enters)
             last = regs[:, R_LAST:R_LAST + 1]
             H0 = regs[:, R_H0:R_H0 + 1]
-            u_full = u_s[:, PADC:PADC + Tpad]
-            v_full = v_s[:, PADC:PADC + Tpad]
+            u_full = u_w
+            v_full = v_w
             c1 = (last >= st0) & (last <= en0)
             c2 = (last + 1 >= st0) & (last + 1 <= en0)
-            d0 = _gather_col(v_full, last)
-            d1 = _gather_col(u_full, last + 1)
+            d0 = _gather_col(v_full, last, col=col)
+            d1 = _gather_col(u_full, last + 1, col=col)
             take1 = (c1 & c2 & (d1 >= d0)) | ~c1
             last_n = jnp.where(take1, last + 1, last)
-            u_at = _gather_col(u_full, last_n)
+            u_at = _gather_col(u_full, last_n, col=col)
             inc = jnp.where(c1 & c2, jnp.maximum(d0, d1),
                             jnp.where(c1, d0, u_at))
-            v0 = _gather_col(v_full, jnp.zeros((B, 1), jnp.int32))
+            v0 = _gather_col(v_full, jnp.zeros((B, 1), jnp.int32), col=col)
             H0_n = jnp.where(is_r0, v0 - qe, H0 + inc)
             last_n = jnp.where(is_r0, 0, last_n)
             regs[:, R_H0:R_H0 + 1] = jnp.where(alive, H0_n, H0)
@@ -305,7 +351,7 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
 
         sc_c = alive & ~dropped & (r_b == qlen + tlen - 2) & (en0 == tlen - 1)
         regs[:, R_SCORE:R_SCORE + 1] = jnp.where(
-            sc_c, zH if approx else _gather_col(H_s[:], tlen - 1),
+            sc_c, zH if approx else _gather_col(H_new, tlen - 1, col=col),
             regs[:, R_SCORE:R_SCORE + 1])
 
         regs[:, R_ZDROP:R_ZDROP + 1] = jnp.where(
@@ -339,15 +385,23 @@ def extd2_device(lens, tsf, qcol, *, q: int, e: int, q2: int, e2: int,
     Returns (d_rows (Rmax,B,Tpad) int8, ez (B,128) int32)."""
     B, Tpad = tsf.shape
     assert Rmax % rpp == 0
+    # the kernel's aligned-slice query gather reads 128-wide blocks
+    qpad = -(-max(qcol.shape[1], Rmax) // 128) * 128
+    if qcol.shape[1] != qpad:
+        qcol = jnp.pad(qcol, ((0, 0), (0, qpad - qcol.shape[1])))
     if q2 + e2 < q + e:  # reference swaps so (q,e) is the short-gap pair
         q, q2, e, e2 = q2, q, e2, e
     long_thres = (q2 - q) // (e - e2) - 1 if e != e2 else 0
     if q2 + e2 + long_thres * e2 > q + e + long_thres * e:
         long_thres += 1
     long_diff = long_thres * (e - e2) - (q2 - q) - e2
+    # static band-window width (see the coverage proof in _extd2_kernel);
+    # W == Tpad disables windowing (unbanded, or the band spans the row)
+    Wwin = Tpad if w < 0 else min(Tpad, -(-(w + 176) // 128) * 128)
     kern = functools.partial(
         _extd2_kernel, q, e, q2, e2, zdrop, sc_mch, sc_mis, sc_N, w,
-        long_thres, long_diff, right, approx, approx_drop, Tpad, Rmax, rpp)
+        long_thres, long_diff, right, approx, approx_drop, Tpad, Rmax, rpp,
+        Wwin)
     full = pl.BlockSpec((B, Tpad), lambda r: (0, 0), memory_space=pltpu.VMEM)
     d, ez = pl.pallas_call(
         kern,
@@ -498,7 +552,8 @@ def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
     lens[:, 0] = 1  # inert padding tasks
     lens[:, 1] = 1
     tsf = np.zeros((Bp, Tpad), np.int32)
-    qcol = np.zeros((Bp, Rmax), np.int32)
+    # width to a 128 multiple: the kernel's aligned-slice query gather
+    qcol = np.zeros((Bp, -(-Rmax // 128) * 128), np.int32)
     for bi, i in enumerate(run_idx):
         q8, t8 = tasks[i]
         qlen, tlen = len(q8), len(t8)

@@ -11,7 +11,12 @@ then measures and checks:
   4. -I multipart build + --split-prefix merge parity vs the single-part
      run (the reference's capacity-splitting semantics, index.c:586-605),
   5. HBM residency report for the device probe arrays (keys/start/cnt/pos
-     byte sizes vs the 16 GB of a v5e chip).
+     byte sizes vs the 16 GB of a v5e chip),
+  6. with --device (VERDICT r2 item 5): on-chip device-chaining
+     (--map-mode batch) and device-seeded (--seed-backend tpu) runs
+     against the same MMX — parity vs the host path, per-bucket dispatch
+     time from the --profile stage table, and live HBM bytes_in_use with
+     the probe arrays resident.
 
 Prints one JSON summary line; detailed timings on stderr.
 """
@@ -32,7 +37,7 @@ def log(msg):
     print("[scale] %s" % msg, file=sys.stderr, flush=True)
 
 
-def run_cli(args, out_path=None):
+def run_cli(args, out_path=None, return_stderr=False):
     """Run the CLI in a subprocess (isolates peak RSS per phase)."""
     cmd = [sys.executable, "-m", "mm2tpu.cli"] + args
     t0 = time.time()
@@ -42,7 +47,81 @@ def run_cli(args, out_path=None):
                                os.path.abspath(__file__))))
     if r.returncode != 0:
         raise RuntimeError(r.stderr[-2000:])
-    return time.time() - t0
+    dt = time.time() - t0
+    return (dt, r.stderr) if return_stderr else dt
+
+
+def parse_prof(stderr):
+    """[PROF] stage table -> {stage: (total_s, calls, ms_per_call)}."""
+    out = {}
+    for ln in stderr.splitlines():
+        if not ln.startswith("[PROF] ") or ln.startswith("[PROF] stage") \
+                or " SUM " in ln or "trace written" in ln:
+            continue
+        parts = ln.split()
+        if len(parts) == 5:
+            try:
+                out[parts[1]] = (float(parts[2]), int(parts[3]),
+                                 float(parts[4]))
+            except ValueError:
+                pass
+    return out
+
+
+def device_runs(res, idx, reads, paf1, out_dir):
+    """On-chip genome-scale runs (VERDICT r2 item 5): device-chaining and
+    device-seeded paths against a large MMX index on the real chip, with
+    HBM residency of the probe arrays and per-bucket dispatch timings
+    from the --profile stage table."""
+    import jax
+    if jax.default_backend() not in ("tpu", "axon"):
+        log("no TPU attached; skipping device runs")
+        return
+
+    # HBM residency: land the probe arrays on the chip, read live stats
+    from mm2tpu.index.build import load_index
+    mi = load_index(idx)
+    dev = jax.devices()[0]
+    bufs = [jax.device_put(a, dev) for a in
+            (mi.keys, mi.start, mi.cnt, mi.pos)]
+    for b in bufs:
+        b.block_until_ready()
+    try:
+        st = dev.memory_stats()
+        res["hbm_bytes_in_use"] = int(st.get("bytes_in_use", 0))
+        res["hbm_bytes_limit"] = int(st.get("bytes_limit", 0))
+    except Exception:
+        res["hbm_bytes_in_use"] = sum(int(a.nbytes) for a in bufs)
+    del bufs, mi
+
+    host_paf = open(paf1).read()
+
+    log("device-chaining batch run on chip (--map-mode batch)...")
+    pafd = os.path.join(out_dir, "device_batch.paf")
+    t_cold, _ = run_cli(["-x", "map-ont", "--map-mode", "batch", idx,
+                         reads], pafd, return_stderr=True)
+    t_dev, err = run_cli(["-x", "map-ont", "--map-mode", "batch",
+                          "--profile", idx, reads], pafd,
+                         return_stderr=True)
+    res["device_batch_cold_s"] = round(t_cold, 1)
+    res["device_batch_s"] = round(t_dev, 1)
+    res["device_batch_parity"] = open(pafd).read() == host_paf
+    prof = parse_prof(err)
+    if "chain.device" in prof:
+        sec, calls, ms = prof["chain.device"]
+        res["device_batch_dispatch_ms_per_bucket"] = ms
+        res["device_batch_dispatches"] = calls
+    res["device_batch_prof"] = {k: v[0] for k, v in prof.items()}
+
+    log("device-seeded run on chip (--seed-backend tpu)...")
+    pafs = os.path.join(out_dir, "device_seed.paf")
+    t_seed, err = run_cli(["-x", "map-ont", "--map-mode", "batch",
+                           "--seed-backend", "tpu", "--profile", idx,
+                           reads], pafs, return_stderr=True)
+    res["device_seed_s"] = round(t_seed, 1)
+    res["device_seed_parity"] = open(pafs).read() == host_paf
+    prof = parse_prof(err)
+    res["device_seed_prof"] = {k: v[0] for k, v in prof.items()}
 
 
 def main():
@@ -51,6 +130,10 @@ def main():
     ap.add_argument("--reads", type=int, default=300)
     ap.add_argument("--out-dir", default="/tmp/mm2tpu_scale")
     ap.add_argument("--skip-multipart", action="store_true")
+    ap.add_argument("--device", action="store_true",
+                    help="also run the device-chaining and device-seeded "
+                         "paths on the attached TPU chip (parity + "
+                         "per-bucket dispatch profile + HBM residency)")
     args = ap.parse_args()
 
     from make_workload import make
@@ -64,9 +147,10 @@ def main():
     res["workload_gen_s"] = round(time.time() - t0, 1)
 
     idx = os.path.join(args.out_dir, "scale.mmx")
-    log("index build from FASTA -> MMX...")
-    res["index_build_s"] = round(run_cli(["-x", "map-ont", "-d", idx, ref]),
-                                 1)
+    if not os.path.exists(idx):  # resumable: long runs on a shared box
+        log("index build from FASTA -> MMX...")
+        res["index_build_s"] = round(
+            run_cli(["-x", "map-ont", "-d", idx, ref]), 1)
     res["mmx_bytes"] = os.path.getsize(idx)
 
     log("MMX load + HBM residency...")
@@ -85,6 +169,9 @@ def main():
     paf1 = os.path.join(args.out_dir, "single.paf")
     res["map_mmx_s"] = round(
         run_cli(["-x", "map-ont", "-t", "1", idx, reads], paf1), 1)
+
+    if args.device:
+        device_runs(res, idx, reads, paf1, args.out_dir)
 
     log(".mmi dump + reload interop...")
     mmi = os.path.join(args.out_dir, "scale.mmi")
