@@ -112,6 +112,37 @@ def test_pallas_extd2_mixed_sizes():
     check(tasks, 4, 2, 24, 1, 151, 400, -1, 0)
 
 
+def test_pallas_extd2_windowed_long():
+    """Long banded fills where the band-window path engages (W < Tpad —
+    the kernel computes a moving 128-aligned window per row instead of
+    the full target width; ops/ksw2_pallas.py round-3 rewrite). Sizes
+    chosen so the window jumps several times and finally clamps at
+    Tpad - W, covering: approx-max walk gathers inside the window,
+    stale-cell persistence outside it, and the query shift-register's
+    left-edge insertion across jumps."""
+    rng = np.random.default_rng(70)
+    t8 = rng.integers(0, 4, 900).astype(np.uint8)
+    q8 = mutate(t8, rng, sub=0.08, ind=0.04)
+    # asymmetric: st0 driven by the r-qlen+1 term far above the global
+    # window base for late rows
+    t2 = rng.integers(0, 4, 1150).astype(np.uint8)
+    q2 = mutate(t2[:320], rng)
+    tasks = [(q8, t8), (q2, t2)]
+    # w=201 -> W=384; Tpad=1024/1280 -> windowed with multiple jumps
+    check(tasks, 4, 2, 24, 1, 201, 400, -1, 0)
+    check(tasks, 4, 2, 24, 1, 201, 200, -1,
+          K.KSW_EZ_APPROX_MAX | K.KSW_EZ_APPROX_DROP)
+
+
+def test_pallas_extd2_windowed_right_extonly():
+    """Windowed path x right-aligned gaps x extension-only backtrack."""
+    rng = np.random.default_rng(71)
+    t8 = rng.integers(0, 4, 1000).astype(np.uint8)
+    q8 = mutate(t8[:780], rng, sub=0.08, ind=0.04)
+    check([(q8, t8)], 4, 2, 24, 1, 151, 400, 10,
+          K.KSW_EZ_EXTZ_ONLY | K.KSW_EZ_RIGHT | K.KSW_EZ_REV_CIGAR)
+
+
 @pytest.mark.parametrize("flag", [0, K.KSW_EZ_EXTZ_ONLY,
                                   K.KSW_EZ_EXTZ_ONLY | K.KSW_EZ_REV_CIGAR,
                                   K.KSW_EZ_APPROX_MAX])
