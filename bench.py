@@ -396,7 +396,8 @@ def main():
 
     # host SAM (the -a mode; reference comparison single core)
     log("host SAM...")
-    t_sam, _ = run_cli_subprocess(["-ax", "map-ont", "-t", "1", idx, reads])
+    t_sam, out_host_sam = run_cli_subprocess(
+        ["-ax", "map-ont", "-t", "1", idx, reads])
     extra["host_sam_reads_per_s"] = round(n_reads / t_sam, 1)
     extra["ref_binary_sam_reads_per_s"] = round(n_reads / ref_sam_s, 1)
     extra["sam_vs_ref_binary"] = round(ref_sam_s / t_sam, 3)
@@ -464,6 +465,9 @@ def main():
                                     "--align-backend", "tpu", idx, reads])
         extra["e2e_device_sam_s"] = round(t_dsam, 2)
         extra["e2e_device_sam_reads_per_s"] = round(n_reads / t_dsam, 1)
+        strip = lambda s: "\n".join(  # noqa: E731  @PG embeds the cmdline
+            l for l in s.splitlines() if not l.startswith("@PG"))
+        extra["parity_devsam_vs_host"] = strip(out_dsam) == strip(out_host_sam)
     else:
         extra["e2e_device_sam_s"] = "skipped_budget"
     extra["bench_total_s"] = round(time.time() - t_start, 1)

@@ -61,11 +61,16 @@ def _read_part(f) -> MMIndex:
     except Exception:
         has_native = False
     if has_native:
-        # native parse: read the part in growing chunks (a multi-part
-        # file must not be slurped whole for every part), scan to find
-        # the region boundary, fill, then seek to the part boundary
+        # native parse. Chunk sizing: each ValueError retry re-parses
+        # from scratch AND copies the whole buffer, so undershooting is
+        # expensive at genome scale (a 1.4 GB part re-parsed 3x). When
+        # the remaining file is one part (the common case) slurp it all;
+        # otherwise start at the remaining size capped at 4 GB — still
+        # only over-reads into the next part's header, never re-parses.
         base = f.tell()
-        chunk = 256 << 20
+        import os as _os
+        remaining = _os.fstat(f.fileno()).st_size - base
+        chunk = max(64 << 20, min(remaining, 4 << 30))
         data = bytearray(f.read(chunk))
         while True:
             try:

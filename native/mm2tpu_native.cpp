@@ -1508,6 +1508,26 @@ void mm2_ksw_ll(int32_t qlen, const uint8_t *query, int32_t tlen,
 // the number of distinct keys.
 }  // extern "C" (bucket-sort template needs C++ linkage)
 
+#ifdef __linux__
+#include <sys/mman.h>
+#endif
+
+// Ask the kernel to back a large buffer with transparent hugepages:
+// GB-scale random scatters/gathers here are TLB-walk-bound under
+// virtualization (2-level EPT walks), and whether khugepaged happened
+// to promote the buffer was the difference between 5 s and 75 s for
+// the same sort on the same input. Async advice only — MADV_COLLAPSE's
+// synchronous compaction measured far worse on a fragmented host.
+static void advise_huge(void *p, size_t n) {
+#ifdef __linux__
+    uintptr_t a = ((uintptr_t)p + 4095) & ~(uintptr_t)4095;
+    uintptr_t e = ((uintptr_t)p + n) & ~(uintptr_t)4095;
+    if (e > a) madvise((void *)a, e - a, MADV_HUGEPAGE);
+#else
+    (void)p; (void)n;
+#endif
+}
+
 // MSB-bucket sort: counting-scatter by the key's top bits, then
 // cache-local std::sort per bucket. On low-memory-bandwidth hosts this
 // beats one global comparison sort by several passes (the reference gets
@@ -1530,6 +1550,8 @@ static void msb_bucket_sort(std::vector<T> &v, int nthreads = 1) {
     for (const auto &e : v) ++off[(size_t)(e.first >> shift) + 1];
     for (size_t b = 1; b <= nb; ++b) off[b] += off[b - 1];
     std::vector<T> tmp(n);
+    advise_huge(tmp.data(), n * sizeof(T));
+    advise_huge(v.data(), n * sizeof(T));
     {
         std::vector<int64_t> cur(off.begin(), off.end() - 1);
         for (const auto &e : v) tmp[cur[(size_t)(e.first >> shift)]++] = e;
@@ -1728,15 +1750,29 @@ int mm2_read_mmi_buckets(const uint8_t *buf, int64_t len, int32_t b,
                          int64_t n_entries, uint64_t *keys_out,
                          int64_t *start_out, int32_t *cnt_out,
                          uint64_t *pos_out) {
-    struct Entry {
-        int64_t src;  // byte offset of the run in buf; -1 = singleton
-        uint64_t val;
+    // One compact record per entry, sorted WHOLE (key embedded), via a
+    // two-pass radix partition. The original (key, idx) pair sort left
+    // the output pass with two unhideable random streams (a 300 Mb
+    // index took minutes; the reference loads it in ~2.6 s). Three
+    // things matter at this scale on a virtualized host:
+    //   1. records carry everything (no indirection) and singleton
+    //      payloads point INTO buf like runs do, so records are 24 B;
+    //   2. the radix runs in two passes (2^7 coarse then 2^7 fine
+    //      bins), keeping every pass's active write set TLB/cache
+    //      local — one giant scatter was page-walk-bound (EPT);
+    //   3. the output gather prefetches the single remaining random
+    //      stream (buf) ~24 records ahead.
+    struct Rec {
+        uint64_t first;  // reconstructed minier (sort key)
+        int64_t src;     // byte offset in buf: the run, or the
+                         // singleton's value word (cnt == 1)
         int32_t cnt;
+        bool operator<(const Rec &o) const { return first < o.first; }
     };
-    std::vector<Entry> entries;
-    std::vector<std::pair<uint64_t, uint32_t>> order;
-    entries.reserve(n_entries);
-    order.reserve(n_entries);
+    std::vector<Rec> recs;
+    recs.reserve(n_entries);
+    advise_huge(recs.data(), (size_t)n_entries * sizeof(Rec));
+    advise_huge((void *)buf, (size_t)len);
     const uint8_t *cur = buf, *end = buf + len;
     int64_t nb = (int64_t)1 << b;
     for (int64_t bucket = 0; bucket < nb; ++bucket) {
@@ -1756,10 +1792,10 @@ int mm2_read_mmi_buckets(const uint8_t *buf, int64_t len, int32_t b,
             memcpy(&key, cur, 8);
             memcpy(&val, cur + 8, 8);
             cur += 16;
-            Entry e;
-            e.val = val;
+            Rec e;
+            e.first = (key >> 1) << b | (uint64_t)bucket;
             if (key & 1) {
-                e.src = -1;
+                e.src = (cur - buf) - 8;  // the value word itself
                 e.cnt = 1;
             } else {
                 uint64_t st = val >> 32, c = val & 0xFFFFFFFFu;
@@ -1767,25 +1803,77 @@ int mm2_read_mmi_buckets(const uint8_t *buf, int64_t len, int32_t b,
                 e.src = p_base + (int64_t)st * 8;
                 e.cnt = (int32_t)c;
             }
-            order.push_back({(key >> 1) << b | (uint64_t)bucket,
-                             (uint32_t)entries.size()});
-            entries.push_back(e);
+            recs.push_back(e);
         }
     }
-    if ((int64_t)entries.size() != n_entries) return -1;
-    msb_bucket_sort(order);
+    if ((int64_t)recs.size() != n_entries) return -1;
+    // two-pass radix partition + per-fine-bin sorts
+    if (n_entries < (int64_t)1 << 16) {
+        std::sort(recs.begin(), recs.end());
+    } else {
+        uint64_t maxk = 0;
+        for (const auto &e : recs) if (e.first > maxk) maxk = e.first;
+        int bits = 64 - __builtin_clzll(maxk | 1);
+        const int C = 7, F = 7;
+        int cs = bits > C ? bits - C : 0;
+        size_t nc = ((size_t)(maxk >> cs)) + 1;
+        std::vector<int64_t> coff(nc + 1, 0);
+        for (const auto &e : recs) ++coff[(size_t)(e.first >> cs) + 1];
+        for (size_t k = 1; k <= nc; ++k) coff[k] += coff[k - 1];
+        std::vector<Rec> tmp(n_entries);
+        advise_huge(tmp.data(), (size_t)n_entries * sizeof(Rec));
+        {
+            std::vector<int64_t> curo(coff.begin(), coff.end() - 1);
+            for (const auto &e : recs)
+                tmp[curo[(size_t)(e.first >> cs)]++] = e;
+        }
+        int fs = cs > F ? cs - F : 0;
+        size_t nfmax = ((size_t)1 << (cs - fs)) + 1;
+        std::vector<int64_t> foff(nfmax + 1);
+        for (size_t c = 0; c < nc; ++c) {
+            int64_t lo = coff[c], hi = coff[c + 1];
+            if (hi - lo < 2) {
+                if (hi > lo) recs[lo] = tmp[lo];
+                continue;
+            }
+            if (fs == cs) {  // tiny key range left: sort directly
+                std::copy(tmp.begin() + lo, tmp.begin() + hi,
+                          recs.begin() + lo);
+                std::sort(recs.begin() + lo, recs.begin() + hi);
+                continue;
+            }
+            uint64_t base = (uint64_t)c << cs;
+            size_t nf = 0;
+            for (int64_t i = lo; i < hi; ++i) {
+                size_t fbin = (size_t)((tmp[i].first - base) >> fs);
+                if (fbin + 1 > nf) nf = fbin + 1;
+            }
+            std::fill(foff.begin(), foff.begin() + nf + 1, 0);
+            for (int64_t i = lo; i < hi; ++i)
+                ++foff[(size_t)((tmp[i].first - base) >> fs) + 1];
+            for (size_t k = 1; k <= nf; ++k) foff[k] += foff[k - 1];
+            {
+                std::vector<int64_t> curo(foff.begin(), foff.begin() + nf);
+                for (int64_t i = lo; i < hi; ++i)
+                    recs[lo + curo[(size_t)((tmp[i].first - base)
+                                            >> fs)]++] = tmp[i];
+            }
+            for (size_t k = 0; k < nf; ++k)
+                std::sort(recs.begin() + lo + foff[k],
+                          recs.begin() + lo + foff[k + 1]);
+        }
+    }
+    const int64_t PF = 24;  // prefetch distance for the buf run stream
     int64_t o = 0;
     for (int64_t i = 0; i < n_entries; ++i) {
-        const Entry &e = entries[order[i].second];
-        keys_out[i] = order[i].first;
+        if (i + PF < n_entries)
+            __builtin_prefetch(buf + recs[i + PF].src);
+        const Rec &e = recs[i];
+        keys_out[i] = e.first;
         start_out[i] = o;
         cnt_out[i] = e.cnt;
-        if (e.src < 0)
-            pos_out[o++] = e.val;
-        else {
-            memcpy(pos_out + o, buf + e.src, (size_t)e.cnt * 8);
-            o += e.cnt;
-        }
+        memcpy(pos_out + o, buf + e.src, (size_t)e.cnt * 8);
+        o += e.cnt;
     }
     return 0;
 }

@@ -96,32 +96,57 @@ def device_runs(res, idx, reads, paf1, out_dir):
 
     host_paf = open(paf1).read()
 
+    # in-process runs: compiled XLA/Mosaic programs stay loaded between
+    # the cold and steady passes (on the axon tunnel attachment the
+    # persistent compile cache does not cover the remote Mosaic
+    # compiles, so a fresh subprocess re-pays ~25 s per kernel shape —
+    # the steady numbers here are what a resident service sees)
+    import io as _io
+    import time as _time
+    from contextlib import redirect_stdout
+
+    from mm2tpu.cli import main as cli_main
+    from mm2tpu.utils import profiling
+
+    def run_inproc(cli_args, profile=False):
+        if profile:
+            profiling.enable()
+        buf = _io.StringIO()
+        t0 = _time.time()
+        with redirect_stdout(buf):
+            rc = cli_main(cli_args)
+        dt = _time.time() - t0
+        assert rc == 0, cli_args
+        prof = {}
+        if profile:
+            prof = {k: v for k, v in profiling.snapshot().items()}
+            profiling.disable()
+        return dt, buf.getvalue(), prof
+
     log("device-chaining batch run on chip (--map-mode batch)...")
-    pafd = os.path.join(out_dir, "device_batch.paf")
-    t_cold, _ = run_cli(["-x", "map-ont", "--map-mode", "batch", idx,
-                         reads], pafd, return_stderr=True)
-    t_dev, err = run_cli(["-x", "map-ont", "--map-mode", "batch",
-                          "--profile", idx, reads], pafd,
-                         return_stderr=True)
+    t_cold, out_cold, _ = run_inproc(
+        ["-x", "map-ont", "--map-mode", "batch", idx, reads])
+    t_dev, out_dev, prof = run_inproc(
+        ["-x", "map-ont", "--map-mode", "batch", idx, reads], profile=True)
     res["device_batch_cold_s"] = round(t_cold, 1)
     res["device_batch_s"] = round(t_dev, 1)
-    res["device_batch_parity"] = open(pafd).read() == host_paf
-    prof = parse_prof(err)
+    res["device_batch_parity"] = out_dev == host_paf and out_cold == host_paf
     if "chain.device" in prof:
-        sec, calls, ms = prof["chain.device"]
-        res["device_batch_dispatch_ms_per_bucket"] = ms
+        sec, calls = prof["chain.device"]
+        res["device_batch_dispatch_ms_per_bucket"] = round(
+            sec * 1e3 / max(calls, 1), 1)
         res["device_batch_dispatches"] = calls
-    res["device_batch_prof"] = {k: v[0] for k, v in prof.items()}
+    res["device_batch_prof"] = {k: round(v[0], 3) for k, v in prof.items()}
 
     log("device-seeded run on chip (--seed-backend tpu)...")
-    pafs = os.path.join(out_dir, "device_seed.paf")
-    t_seed, err = run_cli(["-x", "map-ont", "--map-mode", "batch",
-                           "--seed-backend", "tpu", "--profile", idx,
-                           reads], pafs, return_stderr=True)
+    run_inproc(["-x", "map-ont", "--map-mode", "batch", "--seed-backend",
+                "tpu", idx, reads])
+    t_seed, out_seed, prof = run_inproc(
+        ["-x", "map-ont", "--map-mode", "batch", "--seed-backend", "tpu",
+         idx, reads], profile=True)
     res["device_seed_s"] = round(t_seed, 1)
-    res["device_seed_parity"] = open(pafs).read() == host_paf
-    prof = parse_prof(err)
-    res["device_seed_prof"] = {k: v[0] for k, v in prof.items()}
+    res["device_seed_parity"] = out_seed == host_paf
+    res["device_seed_prof"] = {k: round(v[0], 3) for k, v in prof.items()}
 
 
 def main():
@@ -130,6 +155,7 @@ def main():
     ap.add_argument("--reads", type=int, default=300)
     ap.add_argument("--out-dir", default="/tmp/mm2tpu_scale")
     ap.add_argument("--skip-multipart", action="store_true")
+    ap.add_argument("--skip-mmi", action="store_true")
     ap.add_argument("--device", action="store_true",
                     help="also run the device-chaining and device-seeded "
                          "paths on the attached TPU chip (parity + "
@@ -173,13 +199,15 @@ def main():
     if args.device:
         device_runs(res, idx, reads, paf1, args.out_dir)
 
-    log(".mmi dump + reload interop...")
-    mmi = os.path.join(args.out_dir, "scale.mmi")
-    res["mmi_dump_s"] = round(run_cli(["-x", "map-ont", "-d", mmi, ref]), 1)
-    paf2 = os.path.join(args.out_dir, "mmi.paf")
-    res["map_mmi_s"] = round(
-        run_cli(["-x", "map-ont", "-t", "1", mmi, reads], paf2), 1)
-    res["mmi_parity"] = open(paf1).read() == open(paf2).read()
+    if not args.skip_mmi:
+        log(".mmi dump + reload interop...")
+        mmi = os.path.join(args.out_dir, "scale.mmi")
+        res["mmi_dump_s"] = round(run_cli(["-x", "map-ont", "-d", mmi,
+                                           ref]), 1)
+        paf2 = os.path.join(args.out_dir, "mmi.paf")
+        res["map_mmi_s"] = round(
+            run_cli(["-x", "map-ont", "-t", "1", mmi, reads], paf2), 1)
+        res["mmi_parity"] = open(paf1).read() == open(paf2).read()
 
     if not args.skip_multipart:
         part_mb = max(32, int(args.genome_mb / 4))
