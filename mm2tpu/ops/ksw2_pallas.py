@@ -107,14 +107,42 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
             init = jnp.where(rcol == k, KSW_NEG_INF, init)
         regs[:] = init
 
-    def _row(r, slot):
+    # Band window (per PROGRAM, from its first row r0 = g*rpp): every
+    # task's 16-aligned band [st, en] of every row in the program lies
+    # inside the 128-aligned global window [win, win+W) because
+    # st >= max(0,(r-w+1)>>1) - 15 and en <= ((r+w)>>1) + 15 with
+    # (hi-lo) <= w, en grows by <= ceil((rpp-1)/2) over the program's
+    # rows, and lo only grows with r — so W = 128*ceil((w+176+rpp//2+1)
+    # /128) suffices (the -32 guard plus <=127 align loss on the left,
+    # +16 blocks right, +rpp//2+1 right growth; extd2_device sets Wwin).
+    # Cells outside the window keep their stale values — exactly the
+    # reference's stale-cell band semantics (ksw2_extd2_sse.c:115-124).
+    if windowed:
+        lo0_p = jnp.maximum((g * rpp - w_static + 1) >> 1, 0)
+        win = jnp.clip((lo0_p - 32) // 128 * 128, 0, Tpad - W)
+        win = pl.multiple_of(win, 128)
+    else:
+        win = 0
+    col = win + jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
+    dsw = pl.ds(win, W)          # [win, win+W) in the W-wide arrays
+    dsp = pl.ds(PADC + win, W)   # the window in the PADC-padded arrays
+    dsl = pl.ds(win, W + 128)    # [win-128, win+W) in the padded arrays
+
+    # Value-carried row fusion: the rpp rows of one program chain their
+    # u/v/x/y/x2/y2/qrw/s/H/regs state as VALUES (loaded from scratch
+    # once per program, stored back once), so the sequential per-row VMEM
+    # round trip — the latency bound of the windowed kernel
+    # (docs/ROOFLINE.md) — is paid once per rpp rows. The 128-col prefix
+    # [win-128, win) feeds the shifted (t-1) reads and is never written:
+    # fresh updates only land at cols >= st >= win (coverage proof above).
+    def _row(r, slot, cu, cv, cx, cy, cx2, cy2, cq, cs, cH, rg):
         qlen = lens_ref[:, 0:1]
         tlen = lens_ref[:, 1:2]
         wl = jnp.full((B, 1), w_static, jnp.int32) if w_static >= 0 \
             else jnp.maximum(qlen, tlen)
         wr = wl
 
-        brk = regs[:, R_BREAK:R_BREAK + 1]
+        brk = rg[:, R_BREAK:R_BREAK + 1]
         alive0 = (r < qlen + tlen - 1) & (brk == 0)
 
         st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - wr + 1) >> 1)
@@ -124,23 +152,8 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
         st = (st0 // 16) * 16
         en = ((en0 + 16) // 16) * 16 - 1
 
-        # Band window: every task's 16-aligned band [st, en] lies inside
-        # the 128-aligned global window [win, win+W) because
-        # st >= max(0,(r-w+1)>>1) - 15 and en <= ((r+w)>>1) + 15 with
-        # (hi-lo) <= w, so W = 128*ceil((w+176)/128) suffices (the -32
-        # guard plus <=127 align loss on the left, +16 blocks right).
-        # Cells outside the window keep their stale values — exactly the
-        # reference's stale-cell band semantics (ksw2_extd2_sse.c:115-124).
-        if windowed:
-            lo0 = jnp.maximum((jnp.int32(r) - w_static + 1) >> 1, 0)
-            win = jnp.clip((lo0 - 32) // 128 * 128, 0, Tpad - W)
-            win = pl.multiple_of(win, 128)
-        else:
-            win = 0
-
-        col = win + jax.lax.broadcasted_iota(jnp.int32, (B, W), 1)
-        prev_st = regs[:, R_PST:R_PST + 1]
-        prev_en = regs[:, R_PEN:R_PEN + 1]
+        prev_st = rg[:, R_PST:R_PST + 1]
+        prev_en = rg[:, R_PEN:R_PEN + 1]
         covered = (st > 0) & (prev_st <= st - 1) & (st - 1 <= prev_en)
         # first-column boundary decay (ksw2_extd2_sse.c:190,194)
         row0_bnd = jnp.where(
@@ -150,16 +163,11 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
                                 long_diff, -e2)))
         v1_def = jnp.where(st > 0, -qe, row0_bnd)
 
-        # windowed loads: shifted (t-1) reads come from one aligned
-        # (W+128)-wide load per array; PADC keeps the -128 start >= 0
-        dsw = pl.ds(win, W)
-        dsp = pl.ds(PADC + win, W)
-
         # y[r]/y2[r]/u[r] boundary writes when the band reaches column r
         bnd_m = (col == r) & (en >= r) & alive
-        y_c = jnp.where(bnd_m, -qe, y_s[:, dsp])
-        y2_c = jnp.where(bnd_m, -q2 - e2, y2_s[:, dsp])
-        u_c = jnp.where(bnd_m, row0_bnd, u_s[:, dsp])
+        y_c = jnp.where(bnd_m, -qe, cy[:, 128:])
+        y2_c = jnp.where(bnd_m, -q2 - e2, cy2[:, 128:])
+        u_c = jnp.where(bnd_m, row0_bnd, cu[:, 128:])
 
         # query shift register (windowed): the value entering at the
         # window's left edge is query[r - win] (== query[r] at col 0 when
@@ -170,26 +178,22 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
         icol = e_al + jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
         q_ins = jnp.sum(jnp.where(icol == r_ins, qcol_ref[:, pl.ds(e_al, 128)],
                                   0), axis=1, keepdims=True)
-        qw = qrw_s[:, pl.ds(win, W + 128)]
-        qrw = jnp.where(col == win, q_ins, qw[:, 127:127 + W])
-        qrw_s[:, dsp] = qrw
+        qrw = jnp.where(col == win, q_ins, cq[:, 127:127 + W])
+        cq = jnp.concatenate([cq[:, :128], qrw], axis=1)
 
         # score row: fresh 16-blocks from st0 (stale cells persist)
         sq = tsf_ref[:, dsw]
         wild = (sq == 4) | (qrw == 4)
         s_new = jnp.where(wild, sc_N, jnp.where(sq == qrw, sc_mch, sc_mis))
         fresh = (col >= st0) & (col < st0 + ((en0 - st0) // 16) * 16 + 16) & alive
-        s_row = jnp.where(fresh, s_new, s_s[:, dsw])
-        s_s[:, dsw] = s_row
+        s_row = jnp.where(fresh, s_new, cs)
+        cs = s_row
 
         # shifted reads (t-1) with boundary insertion at col st
         at_st = col == st
-        xw = x_s[:, pl.ds(win, W + 128)]
-        vw = v_s[:, pl.ds(win, W + 128)]
-        x2w = x2_s[:, pl.ds(win, W + 128)]
-        x_sh = xw[:, 127:127 + W]
-        v_sh = vw[:, 127:127 + W]
-        x2_sh = x2w[:, 127:127 + W]
+        x_sh = cx[:, 127:127 + W]
+        v_sh = cv[:, 127:127 + W]
+        x2_sh = cx2[:, 127:127 + W]
         xt1 = jnp.where(at_st & ~covered, -qe, x_sh)
         x2t1 = jnp.where(at_st & ~covered, -q2 - e2, x2_sh)
         vt1 = jnp.where(at_st, jnp.where(covered, v_sh, v1_def), v_sh)
@@ -245,19 +249,23 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
         else:
             d_out[slot] = d8
         u_w = jnp.where(bm, u_new, u_c)
-        v_w = jnp.where(bm, v_new, vw[:, 128:128 + W])
-        u_s[:, dsp] = u_w
-        v_s[:, dsp] = v_w
-        x_s[:, dsp] = jnp.where(bm, x_new, xw[:, 128:128 + W])
-        y_s[:, dsp] = jnp.where(bm, y_new, y_c)
-        x2_s[:, dsp] = jnp.where(bm, x2_new, x2w[:, 128:128 + W])
-        y2_s[:, dsp] = jnp.where(bm, y2_new, y2_c)
+        v_w = jnp.where(bm, v_new, cv[:, 128:])
+        x_w = jnp.where(bm, x_new, cx[:, 128:])
+        y_w = jnp.where(bm, y_new, y_c)
+        x2_w = jnp.where(bm, x2_new, cx2[:, 128:])
+        y2_w = jnp.where(bm, y2_new, y2_c)
+        cu = jnp.concatenate([cu[:, :128], u_w], axis=1)
+        cv = jnp.concatenate([cv[:, :128], v_w], axis=1)
+        cx = jnp.concatenate([cx[:, :128], x_w], axis=1)
+        cy = jnp.concatenate([cy[:, :128], y_w], axis=1)
+        cx2 = jnp.concatenate([cx2[:, :128], x2_w], axis=1)
+        cy2 = jnp.concatenate([cy2[:, :128], y2_w], axis=1)
 
         is_r0 = r == 0
         r_b = jnp.full((B, 1), r, jnp.int32)
         if not approx:
             # exact max with the 32-bit H row (ksw2_extd2_sse.c:326-358)
-            H_old = H_s[:, dsw]
+            H_old = cH
             upd = (col >= st0) & (col < en0) & alive & (r > 0)
             H_new = jnp.where(upd, H_old + v_new, H_old)
             H_pm1 = _gather_col(H_old, en0 - 1, col=col)
@@ -270,7 +278,7 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
                                  col=col)
                 H_en0 = jnp.where(is_r0, v0 - qe, H_en0)
             H_new = jnp.where((col == en0) & alive, H_en0, H_new)
-            H_s[:, dsw] = H_new
+            cH = H_new
 
             # max scan with SSE tie-breaking: value first, then priority
             # (seed at en0 > 4-lane block by (lane, row-in-lane) > scalar tail)
@@ -291,25 +299,25 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
             max_t = jnp.where(is_r0, 0, max_t)
             max_H = jnp.where(is_r0, H_en0, M)
 
-            mte = regs[:, R_MTE:R_MTE + 1]
+            mte = rg[:, R_MTE:R_MTE + 1]
             mte_c = alive & (en0 == tlen - 1) & (H_en0 > mte)
-            regs[:, R_MTE:R_MTE + 1] = jnp.where(mte_c, H_en0, mte)
-            regs[:, R_MTEQ:R_MTEQ + 1] = jnp.where(
-                mte_c, r_b - en, regs[:, R_MTEQ:R_MTEQ + 1])
+            rg = rg.at[:, R_MTE:R_MTE + 1].set(jnp.where(mte_c, H_en0, mte))
+            rg = rg.at[:, R_MTEQ:R_MTEQ + 1].set(jnp.where(
+                mte_c, r_b - en, rg[:, R_MTEQ:R_MTEQ + 1]))
             H_st0 = _gather_col(H_new, st0, col=col)
-            mqe = regs[:, R_MQE:R_MQE + 1]
+            mqe = rg[:, R_MQE:R_MQE + 1]
             mqe_c = alive & (r_b - st0 == qlen - 1) & (H_st0 > mqe)
-            regs[:, R_MQE:R_MQE + 1] = jnp.where(mqe_c, H_st0, mqe)
-            regs[:, R_MQET:R_MQET + 1] = jnp.where(
-                mqe_c, st0, regs[:, R_MQET:R_MQET + 1])
+            rg = rg.at[:, R_MQE:R_MQE + 1].set(jnp.where(mqe_c, H_st0, mqe))
+            rg = rg.at[:, R_MQET:R_MQET + 1].set(jnp.where(
+                mqe_c, st0, rg[:, R_MQET:R_MQET + 1]))
             zH, zt, do_drop = max_H, max_t, True
         else:
             # approximate max: walk H0 along the main diagonal (the walk
             # index `last` stays in [0, en0+1] ⊆ the window — from inside
             # the band it can only advance via c2 which caps at en0, and
             # from below it advances 1/row until it re-enters)
-            last = regs[:, R_LAST:R_LAST + 1]
-            H0 = regs[:, R_H0:R_H0 + 1]
+            last = rg[:, R_LAST:R_LAST + 1]
+            H0 = rg[:, R_H0:R_H0 + 1]
             u_full = u_w
             v_full = v_w
             c1 = (last >= st0) & (last <= en0)
@@ -324,14 +332,15 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
             v0 = _gather_col(v_full, jnp.zeros((B, 1), jnp.int32), col=col)
             H0_n = jnp.where(is_r0, v0 - qe, H0 + inc)
             last_n = jnp.where(is_r0, 0, last_n)
-            regs[:, R_H0:R_H0 + 1] = jnp.where(alive, H0_n, H0)
-            regs[:, R_LAST:R_LAST + 1] = jnp.where(alive, last_n, last)
+            rg = rg.at[:, R_H0:R_H0 + 1].set(jnp.where(alive, H0_n, H0))
+            rg = rg.at[:, R_LAST:R_LAST + 1].set(
+                jnp.where(alive, last_n, last))
             zH, zt, do_drop = H0_n, last_n, approx_drop
 
         # ksw_apply_zdrop (ksw2.h:160-176), e2 as the drop slope
-        ez_max = regs[:, R_MAX:R_MAX + 1]
-        ez_max_t = regs[:, R_MAXT:R_MAXT + 1]
-        ez_max_q = regs[:, R_MAXQ:R_MAXQ + 1]
+        ez_max = rg[:, R_MAX:R_MAX + 1]
+        ez_max_t = rg[:, R_MAXT:R_MAXT + 1]
+        ez_max_q = rg[:, R_MAXQ:R_MAXQ + 1]
         upd_max = alive & (zH > ez_max) & (True if do_drop or not approx
                                            else False)
         if do_drop:
@@ -341,28 +350,46 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
             ldiff = jnp.abs(tl - ql)
             dropped = chk & (ez_max - zH > zdrop + ldiff * e2) \
                 if zdrop >= 0 else jnp.zeros_like(chk)
-            regs[:, R_MAX:R_MAX + 1] = jnp.where(upd_max, zH, ez_max)
-            regs[:, R_MAXT:R_MAXT + 1] = jnp.where(upd_max, zt, ez_max_t)
-            regs[:, R_MAXQ:R_MAXQ + 1] = jnp.where(upd_max, r_b - zt, ez_max_q)
-            regs[:, R_ZDROP:R_ZDROP + 1] = jnp.where(
-                dropped, 1, regs[:, R_ZDROP:R_ZDROP + 1])
+            rg = rg.at[:, R_MAX:R_MAX + 1].set(jnp.where(upd_max, zH, ez_max))
+            rg = rg.at[:, R_MAXT:R_MAXT + 1].set(
+                jnp.where(upd_max, zt, ez_max_t))
+            rg = rg.at[:, R_MAXQ:R_MAXQ + 1].set(
+                jnp.where(upd_max, r_b - zt, ez_max_q))
+            rg = rg.at[:, R_ZDROP:R_ZDROP + 1].set(jnp.where(
+                dropped, 1, rg[:, R_ZDROP:R_ZDROP + 1]))
         else:
             dropped = jnp.zeros((B, 1), jnp.bool_)
 
         sc_c = alive & ~dropped & (r_b == qlen + tlen - 2) & (en0 == tlen - 1)
-        regs[:, R_SCORE:R_SCORE + 1] = jnp.where(
+        rg = rg.at[:, R_SCORE:R_SCORE + 1].set(jnp.where(
             sc_c, zH if approx else _gather_col(H_new, tlen - 1, col=col),
-            regs[:, R_SCORE:R_SCORE + 1])
+            rg[:, R_SCORE:R_SCORE + 1]))
 
-        regs[:, R_ZDROP:R_ZDROP + 1] = jnp.where(
-            band_brk, 1, regs[:, R_ZDROP:R_ZDROP + 1])
-        regs[:, R_BREAK:R_BREAK + 1] = jnp.where(
-            band_brk | dropped, 1, regs[:, R_BREAK:R_BREAK + 1])
-        regs[:, R_PST:R_PST + 1] = jnp.where(alive, st, prev_st)
-        regs[:, R_PEN:R_PEN + 1] = jnp.where(alive, en, prev_en)
+        rg = rg.at[:, R_ZDROP:R_ZDROP + 1].set(jnp.where(
+            band_brk, 1, rg[:, R_ZDROP:R_ZDROP + 1]))
+        rg = rg.at[:, R_BREAK:R_BREAK + 1].set(jnp.where(
+            band_brk | dropped, 1, rg[:, R_BREAK:R_BREAK + 1]))
+        rg = rg.at[:, R_PST:R_PST + 1].set(jnp.where(alive, st, prev_st))
+        rg = rg.at[:, R_PEN:R_PEN + 1].set(jnp.where(alive, en, prev_en))
+        return cu, cv, cx, cy, cx2, cy2, cq, cs, cH, rg
 
+    carry = (u_s[:, dsl], v_s[:, dsl], x_s[:, dsl], y_s[:, dsl],
+             x2_s[:, dsl], y2_s[:, dsl], qrw_s[:, dsl],
+             s_s[:, dsw], H_s[:, dsw], regs[:])
     for _u in range(rpp):
-        _row(g * rpp + _u, _u)
+        carry = _row(g * rpp + _u, _u, *carry)
+    cu, cv, cx, cy, cx2, cy2, cq, cs, cH, rg = carry
+    u_s[:, dsp] = cu[:, 128:]
+    v_s[:, dsp] = cv[:, 128:]
+    x_s[:, dsp] = cx[:, 128:]
+    y_s[:, dsp] = cy[:, 128:]
+    x2_s[:, dsp] = cx2[:, 128:]
+    y2_s[:, dsp] = cy2[:, 128:]
+    qrw_s[:, dsp] = cq[:, 128:]
+    s_s[:, dsw] = cs
+    if not approx:
+        H_s[:, dsw] = cH
+    regs[:] = rg
 
     @pl.when(g == Rmax // rpp - 1)
     def _flush():
@@ -379,12 +406,13 @@ def extd2_device(lens, tsf, qcol, *, q: int, e: int, q2: int, e2: int,
     """Batched extd2 rows. lens (B,2)=[qlen,tlen]; tsf (B,Tpad) sf image;
     qcol (B,Rmax) queries zero-padded past qlen.
     rpp = wavefront rows computed per Pallas program instance (Rmax must
-    be a multiple): the rows chain through VMEM scratch within one
-    program, so the per-program grid/prologue overhead — the latency
-    bound for thin bands (docs/ROOFLINE.md) — is paid once per rpp rows.
-    Returns (d_rows (Rmax,B,Tpad) int8, ez (B,128) int32)."""
+    be a multiple): the rows chain their DP state as VALUES within one
+    program (value-carried row fusion), so the per-program grid/prologue
+    overhead AND the sequential VMEM scratch round trip — the latency
+    bounds for thin bands (docs/ROOFLINE.md) — are paid once per rpp
+    rows. Returns (d_rows (Rmax,B,Tpad) int8, ez (B,128) int32)."""
     B, Tpad = tsf.shape
-    assert Rmax % rpp == 0
+    assert Rmax % rpp == 0 and rpp <= 128
     # the kernel's aligned-slice query gather reads 128-wide blocks
     qpad = -(-max(qcol.shape[1], Rmax) // 128) * 128
     if qcol.shape[1] != qpad:
@@ -396,8 +424,10 @@ def extd2_device(lens, tsf, qcol, *, q: int, e: int, q2: int, e2: int,
         long_thres += 1
     long_diff = long_thres * (e - e2) - (q2 - q) - e2
     # static band-window width (see the coverage proof in _extd2_kernel);
-    # W == Tpad disables windowing (unbanded, or the band spans the row)
-    Wwin = Tpad if w < 0 else min(Tpad, -(-(w + 176) // 128) * 128)
+    # W == Tpad disables windowing (unbanded, or the band spans the row);
+    # +rpp//2+1 covers the band's right-edge growth over a fused program
+    Wwin = Tpad if w < 0 else min(
+        Tpad, -(-(w + 176 + rpp // 2 + 1) // 128) * 128)
     kern = functools.partial(
         _extd2_kernel, q, e, q2, e2, zdrop, sc_mch, sc_mis, sc_N, w,
         long_thres, long_diff, right, approx, approx_drop, Tpad, Rmax, rpp,
@@ -634,11 +664,20 @@ def _exts2_kernel(q: int, e: int, q2: int, zdrop: int,
             init = jnp.where(rcol == k, KSW_NEG_INF, init)
         regs[:] = init
 
-    def _row(r, slot):
+    col = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1)
+    dsl = pl.ds(PADC - 128, 128 + Tpad)   # [-128, Tpad) in padded arrays
+    dsp = pl.ds(PADC, Tpad)
+
+    # Value-carried row fusion (see _extd2_kernel): the rpp rows of one
+    # program chain u/v/x/y/x2/qrw/s/H/regs as VALUES; scratch is read
+    # once per program and written once. The 128-col prefix feeds the
+    # shifted (t-1) reads and is never written (fresh updates land at
+    # cols >= st >= 0).
+    def _row(r, slot, cu, cv, cx, cy, cx2, cq, cs, cH, rg):
         qlen = lens_ref[:, 0:1]
         tlen = lens_ref[:, 1:2]
 
-        brk = regs[:, R_BREAK:R_BREAK + 1]
+        brk = rg[:, R_BREAK:R_BREAK + 1]
         alive = (r < qlen + tlen - 1) & (brk == 0)
 
         # no band in the splice kernel (ksw2_exts2_sse.c:179-181)
@@ -647,9 +686,8 @@ def _exts2_kernel(q: int, e: int, q2: int, zdrop: int,
         st = (st0 // 16) * 16
         en = ((en0 + 16) // 16) * 16 - 1
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, Tpad), 1)
-        prev_st = regs[:, R_PST:R_PST + 1]
-        prev_en = regs[:, R_PEN:R_PEN + 1]
+        prev_st = rg[:, R_PST:R_PST + 1]
+        prev_en = rg[:, R_PEN:R_PEN + 1]
         covered = (st > 0) & (prev_st <= st - 1) & (st - 1 <= prev_en)
         # first-column boundary decay (ksw2_exts2_sse.c:190-199): past
         # long_thres it is 0 (free intron extension), not -e2
@@ -661,24 +699,24 @@ def _exts2_kernel(q: int, e: int, q2: int, zdrop: int,
         v1_def = jnp.where(st > 0, -qe, row0_bnd)
 
         bnd_m = (col == r) & (en >= r) & alive
-        y_c = jnp.where(bnd_m, -qe, y_s[:, PADC:PADC + Tpad])
-        u_c = jnp.where(bnd_m, row0_bnd, u_s[:, PADC:PADC + Tpad])
+        y_c = jnp.where(bnd_m, -qe, cy[:, 128:])
+        u_c = jnp.where(bnd_m, row0_bnd, cu[:, 128:])
 
         q_r = _gather_col(qcol_ref[:], jnp.full((B, 1), r, jnp.int32))
-        qrw = jnp.where(col == 0, q_r, qrw_s[:, PADC - 1:PADC - 1 + Tpad])
-        qrw_s[:, PADC:PADC + Tpad] = qrw
+        qrw = jnp.where(col == 0, q_r, cq[:, 127:127 + Tpad])
+        cq = jnp.concatenate([cq[:, :128], qrw], axis=1)
 
         sq = tsf_ref[:]
         wild = (sq == 4) | (qrw == 4)
         s_new = jnp.where(wild, sc_N, jnp.where(sq == qrw, sc_mch, sc_mis))
         fresh = (col >= st0) & (col < st0 + ((en0 - st0) // 16) * 16 + 16) & alive
-        s_row = jnp.where(fresh, s_new, s_s[:])
-        s_s[:] = s_row
+        s_row = jnp.where(fresh, s_new, cs)
+        cs = s_row
 
         at_st = col == st
-        x_sh = x_s[:, PADC - 1:PADC - 1 + Tpad]
-        v_sh = v_s[:, PADC - 1:PADC - 1 + Tpad]
-        x2_sh = x2_s[:, PADC - 1:PADC - 1 + Tpad]
+        x_sh = cx[:, 127:127 + Tpad]
+        v_sh = cv[:, 127:127 + Tpad]
+        x2_sh = cx2[:, 127:127 + Tpad]
         xt1 = jnp.where(at_st & ~covered, -qe, x_sh)
         x2t1 = jnp.where(at_st & ~covered, -q2, x2_sh)
         vt1 = jnp.where(at_st, jnp.where(covered, v_sh, v1_def), v_sh)
@@ -722,16 +760,20 @@ def _exts2_kernel(q: int, e: int, q2: int, zdrop: int,
 
         bm = (col >= st) & (col <= en) & alive
         d_out[slot] = jnp.where(bm, d, 0).astype(jnp.int8)
-        u_s[:, PADC:PADC + Tpad] = jnp.where(bm, u_new, u_c)
-        v_s[:, PADC:PADC + Tpad] = jnp.where(bm, v_new, v_s[:, PADC:PADC + Tpad])
-        x_s[:, PADC:PADC + Tpad] = jnp.where(bm, x_new, x_s[:, PADC:PADC + Tpad])
-        y_s[:, PADC:PADC + Tpad] = jnp.where(bm, y_new, y_c)
-        x2_s[:, PADC:PADC + Tpad] = jnp.where(
-            bm, x2_new, x2_s[:, PADC:PADC + Tpad])
+        u_w = jnp.where(bm, u_new, u_c)
+        v_w = jnp.where(bm, v_new, cv[:, 128:])
+        x_w = jnp.where(bm, x_new, cx[:, 128:])
+        y_w = jnp.where(bm, y_new, y_c)
+        x2_w = jnp.where(bm, x2_new, cx2[:, 128:])
+        cu = jnp.concatenate([cu[:, :128], u_w], axis=1)
+        cv = jnp.concatenate([cv[:, :128], v_w], axis=1)
+        cx = jnp.concatenate([cx[:, :128], x_w], axis=1)
+        cy = jnp.concatenate([cy[:, :128], y_w], axis=1)
+        cx2 = jnp.concatenate([cx2[:, :128], x2_w], axis=1)
 
         is_r0 = r == 0
         if not approx:
-            H_old = H_s[:]
+            H_old = cH
             upd = (col >= st0) & (col < en0) & alive & (r > 0)
             H_new = jnp.where(upd, H_old + v_new, H_old)
             H_pm1 = _gather_col(H_old, en0 - 1)
@@ -742,7 +784,7 @@ def _exts2_kernel(q: int, e: int, q2: int, zdrop: int,
             v0 = _gather_col(v_new, jnp.zeros((B, 1), jnp.int32))
             H_en0 = jnp.where(is_r0, v0 - qe, H_en0)
             H_new = jnp.where((col == en0) & alive, H_en0, H_new)
-            H_s[:] = H_new
+            cH = H_new
 
             valid = (col >= st0) & (col <= en0) & alive
             en1 = st0 + ((en0 - st0) // 4) * 4
@@ -761,23 +803,23 @@ def _exts2_kernel(q: int, e: int, q2: int, zdrop: int,
             max_t = jnp.where(is_r0, 0, max_t)
             max_H = jnp.where(is_r0, H_en0, M)
 
-            mte = regs[:, R_MTE:R_MTE + 1]
+            mte = rg[:, R_MTE:R_MTE + 1]
             mte_c = alive & (en0 == tlen - 1) & (H_en0 > mte)
-            regs[:, R_MTE:R_MTE + 1] = jnp.where(mte_c, H_en0, mte)
-            regs[:, R_MTEQ:R_MTEQ + 1] = jnp.where(
-                mte_c, r_b - en, regs[:, R_MTEQ:R_MTEQ + 1])
+            rg = rg.at[:, R_MTE:R_MTE + 1].set(jnp.where(mte_c, H_en0, mte))
+            rg = rg.at[:, R_MTEQ:R_MTEQ + 1].set(jnp.where(
+                mte_c, r_b - en, rg[:, R_MTEQ:R_MTEQ + 1]))
             H_st0 = _gather_col(H_new, st0)
-            mqe = regs[:, R_MQE:R_MQE + 1]
+            mqe = rg[:, R_MQE:R_MQE + 1]
             mqe_c = alive & (r_b - st0 == qlen - 1) & (H_st0 > mqe)
-            regs[:, R_MQE:R_MQE + 1] = jnp.where(mqe_c, H_st0, mqe)
-            regs[:, R_MQET:R_MQET + 1] = jnp.where(
-                mqe_c, st0, regs[:, R_MQET:R_MQET + 1])
+            rg = rg.at[:, R_MQE:R_MQE + 1].set(jnp.where(mqe_c, H_st0, mqe))
+            rg = rg.at[:, R_MQET:R_MQET + 1].set(jnp.where(
+                mqe_c, st0, rg[:, R_MQET:R_MQET + 1]))
             zH, zt, do_drop = max_H, max_t, True
         else:
-            last = regs[:, R_LAST:R_LAST + 1]
-            H0 = regs[:, R_H0:R_H0 + 1]
-            u_full = u_s[:, PADC:PADC + Tpad]
-            v_full = v_s[:, PADC:PADC + Tpad]
+            last = rg[:, R_LAST:R_LAST + 1]
+            H0 = rg[:, R_H0:R_H0 + 1]
+            u_full = u_w
+            v_full = v_w
             c1 = (last >= st0) & (last <= en0)
             c2 = (last + 1 >= st0) & (last + 1 <= en0)
             d0 = _gather_col(v_full, last)
@@ -790,39 +832,56 @@ def _exts2_kernel(q: int, e: int, q2: int, zdrop: int,
             v0 = _gather_col(v_full, jnp.zeros((B, 1), jnp.int32))
             H0_n = jnp.where(is_r0, v0 - qe, H0 + inc)
             last_n = jnp.where(is_r0, 0, last_n)
-            regs[:, R_H0:R_H0 + 1] = jnp.where(alive, H0_n, H0)
-            regs[:, R_LAST:R_LAST + 1] = jnp.where(alive, last_n, last)
+            rg = rg.at[:, R_H0:R_H0 + 1].set(jnp.where(alive, H0_n, H0))
+            rg = rg.at[:, R_LAST:R_LAST + 1].set(
+                jnp.where(alive, last_n, last))
             zH, zt, do_drop = H0_n, last_n, approx_drop
 
         # Z-drop with slope e=0 (ksw2_exts2_sse.c:382)
-        ez_max = regs[:, R_MAX:R_MAX + 1]
-        ez_max_t = regs[:, R_MAXT:R_MAXT + 1]
-        ez_max_q = regs[:, R_MAXQ:R_MAXQ + 1]
+        ez_max = rg[:, R_MAX:R_MAX + 1]
+        ez_max_t = rg[:, R_MAXT:R_MAXT + 1]
+        ez_max_q = rg[:, R_MAXQ:R_MAXQ + 1]
         upd_max = alive & (zH > ez_max)
         if do_drop:
             chk = alive & ~upd_max & (zt >= ez_max_t) & (r_b - zt >= ez_max_q)
             dropped = chk & (ez_max - zH > zdrop) \
                 if zdrop >= 0 else jnp.zeros_like(chk)
-            regs[:, R_MAX:R_MAX + 1] = jnp.where(upd_max, zH, ez_max)
-            regs[:, R_MAXT:R_MAXT + 1] = jnp.where(upd_max, zt, ez_max_t)
-            regs[:, R_MAXQ:R_MAXQ + 1] = jnp.where(upd_max, r_b - zt, ez_max_q)
-            regs[:, R_ZDROP:R_ZDROP + 1] = jnp.where(
-                dropped, 1, regs[:, R_ZDROP:R_ZDROP + 1])
+            rg = rg.at[:, R_MAX:R_MAX + 1].set(jnp.where(upd_max, zH, ez_max))
+            rg = rg.at[:, R_MAXT:R_MAXT + 1].set(
+                jnp.where(upd_max, zt, ez_max_t))
+            rg = rg.at[:, R_MAXQ:R_MAXQ + 1].set(
+                jnp.where(upd_max, r_b - zt, ez_max_q))
+            rg = rg.at[:, R_ZDROP:R_ZDROP + 1].set(jnp.where(
+                dropped, 1, rg[:, R_ZDROP:R_ZDROP + 1]))
         else:
             dropped = jnp.zeros((B, 1), jnp.bool_)
 
         sc_c = alive & ~dropped & (r_b == qlen + tlen - 2) & (en0 == tlen - 1)
-        regs[:, R_SCORE:R_SCORE + 1] = jnp.where(
-            sc_c, zH if approx else _gather_col(H_s[:], tlen - 1),
-            regs[:, R_SCORE:R_SCORE + 1])
+        rg = rg.at[:, R_SCORE:R_SCORE + 1].set(jnp.where(
+            sc_c, zH if approx else _gather_col(cH, tlen - 1),
+            rg[:, R_SCORE:R_SCORE + 1]))
 
-        regs[:, R_BREAK:R_BREAK + 1] = jnp.where(
-            dropped, 1, regs[:, R_BREAK:R_BREAK + 1])
-        regs[:, R_PST:R_PST + 1] = jnp.where(alive, st, prev_st)
-        regs[:, R_PEN:R_PEN + 1] = jnp.where(alive, en, prev_en)
+        rg = rg.at[:, R_BREAK:R_BREAK + 1].set(jnp.where(
+            dropped, 1, rg[:, R_BREAK:R_BREAK + 1]))
+        rg = rg.at[:, R_PST:R_PST + 1].set(jnp.where(alive, st, prev_st))
+        rg = rg.at[:, R_PEN:R_PEN + 1].set(jnp.where(alive, en, prev_en))
+        return cu, cv, cx, cy, cx2, cq, cs, cH, rg
 
+    carry = (u_s[:, dsl], v_s[:, dsl], x_s[:, dsl], y_s[:, dsl],
+             x2_s[:, dsl], qrw_s[:, dsl], s_s[:], H_s[:], regs[:])
     for _u in range(rpp):
-        _row(g * rpp + _u, _u)
+        carry = _row(g * rpp + _u, _u, *carry)
+    cu, cv, cx, cy, cx2, cq, cs, cH, rg = carry
+    u_s[:, dsp] = cu[:, 128:]
+    v_s[:, dsp] = cv[:, 128:]
+    x_s[:, dsp] = cx[:, 128:]
+    y_s[:, dsp] = cy[:, 128:]
+    x2_s[:, dsp] = cx2[:, 128:]
+    qrw_s[:, dsp] = cq[:, 128:]
+    s_s[:] = cs
+    if not approx:
+        H_s[:] = cH
+    regs[:] = rg
 
     @pl.when(g == Rmax // rpp - 1)
     def _flush():
