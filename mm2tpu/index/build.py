@@ -384,7 +384,10 @@ def save_index(mi: MMIndex, path: str) -> None:
         for nm in order:
             pos = f.tell() - base
             f.write(b"\0" * (meta["arrays"][nm]["offset"] - pos))
-            f.write(arrays[nm].tobytes())
+            # zero-copy write via the buffer protocol: .tobytes() would
+            # materialize a second multi-GB copy per array, which on THP-
+            # challenged virtualized hosts costs minutes at hg38 scale
+            f.write(memoryview(arrays[nm]).cast("B"))
 
 
 def load_index(path: str) -> MMIndex:

@@ -86,7 +86,6 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
     qe = q + e
     W = Wwin                    # static band-window width (== Tpad => full)
     windowed = W < Tpad
-    Rcols = qcol_ref.shape[1]
 
     @pl.when(g == 0)
     def _init():
