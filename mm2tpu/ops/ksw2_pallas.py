@@ -62,6 +62,15 @@ R_ZDROP, R_MAX, R_MAXQ, R_MAXT, R_MQE, R_MQET, R_MTE, R_MTEQ, \
     R_SCORE, R_H0, R_LAST, R_PST, R_PEN, R_BREAK = range(14)
 
 
+def _rset(rg, k, val):
+    """regs row with column k replaced by val (B,1). jnp's
+    ``.at[:, k:k+1].set`` lowers through XLA scatter, which the Mosaic
+    TPU backend cannot lower inside a kernel (interpret mode hides it);
+    a lane-mask select is a single VPU op on the (B, 128) register row."""
+    rcol = jax.lax.broadcasted_iota(jnp.int32, rg.shape, 1)
+    return jnp.where(rcol == k, val, rg)
+
+
 def _gather_col(arr, idx, valid=None, col=None):
     """arr[b, idx[b]] as (B, 1) via a masked reduction (idx (B,1) int32).
     col: global column ids per cell when `arr` is a window of a wider
@@ -300,14 +309,14 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
 
             mte = rg[:, R_MTE:R_MTE + 1]
             mte_c = alive & (en0 == tlen - 1) & (H_en0 > mte)
-            rg = rg.at[:, R_MTE:R_MTE + 1].set(jnp.where(mte_c, H_en0, mte))
-            rg = rg.at[:, R_MTEQ:R_MTEQ + 1].set(jnp.where(
+            rg = _rset(rg, R_MTE, jnp.where(mte_c, H_en0, mte))
+            rg = _rset(rg, R_MTEQ, jnp.where(
                 mte_c, r_b - en, rg[:, R_MTEQ:R_MTEQ + 1]))
             H_st0 = _gather_col(H_new, st0, col=col)
             mqe = rg[:, R_MQE:R_MQE + 1]
             mqe_c = alive & (r_b - st0 == qlen - 1) & (H_st0 > mqe)
-            rg = rg.at[:, R_MQE:R_MQE + 1].set(jnp.where(mqe_c, H_st0, mqe))
-            rg = rg.at[:, R_MQET:R_MQET + 1].set(jnp.where(
+            rg = _rset(rg, R_MQE, jnp.where(mqe_c, H_st0, mqe))
+            rg = _rset(rg, R_MQET, jnp.where(
                 mqe_c, st0, rg[:, R_MQET:R_MQET + 1]))
             zH, zt, do_drop = max_H, max_t, True
         else:
@@ -331,8 +340,8 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
             v0 = _gather_col(v_full, jnp.zeros((B, 1), jnp.int32), col=col)
             H0_n = jnp.where(is_r0, v0 - qe, H0 + inc)
             last_n = jnp.where(is_r0, 0, last_n)
-            rg = rg.at[:, R_H0:R_H0 + 1].set(jnp.where(alive, H0_n, H0))
-            rg = rg.at[:, R_LAST:R_LAST + 1].set(
+            rg = _rset(rg, R_H0, jnp.where(alive, H0_n, H0))
+            rg = _rset(rg, R_LAST, 
                 jnp.where(alive, last_n, last))
             zH, zt, do_drop = H0_n, last_n, approx_drop
 
@@ -349,27 +358,27 @@ def _extd2_kernel(q: int, e: int, q2: int, e2: int, zdrop: int,
             ldiff = jnp.abs(tl - ql)
             dropped = chk & (ez_max - zH > zdrop + ldiff * e2) \
                 if zdrop >= 0 else jnp.zeros_like(chk)
-            rg = rg.at[:, R_MAX:R_MAX + 1].set(jnp.where(upd_max, zH, ez_max))
-            rg = rg.at[:, R_MAXT:R_MAXT + 1].set(
+            rg = _rset(rg, R_MAX, jnp.where(upd_max, zH, ez_max))
+            rg = _rset(rg, R_MAXT, 
                 jnp.where(upd_max, zt, ez_max_t))
-            rg = rg.at[:, R_MAXQ:R_MAXQ + 1].set(
+            rg = _rset(rg, R_MAXQ, 
                 jnp.where(upd_max, r_b - zt, ez_max_q))
-            rg = rg.at[:, R_ZDROP:R_ZDROP + 1].set(jnp.where(
+            rg = _rset(rg, R_ZDROP, jnp.where(
                 dropped, 1, rg[:, R_ZDROP:R_ZDROP + 1]))
         else:
             dropped = jnp.zeros((B, 1), jnp.bool_)
 
         sc_c = alive & ~dropped & (r_b == qlen + tlen - 2) & (en0 == tlen - 1)
-        rg = rg.at[:, R_SCORE:R_SCORE + 1].set(jnp.where(
+        rg = _rset(rg, R_SCORE, jnp.where(
             sc_c, zH if approx else _gather_col(H_new, tlen - 1, col=col),
             rg[:, R_SCORE:R_SCORE + 1]))
 
-        rg = rg.at[:, R_ZDROP:R_ZDROP + 1].set(jnp.where(
+        rg = _rset(rg, R_ZDROP, jnp.where(
             band_brk, 1, rg[:, R_ZDROP:R_ZDROP + 1]))
-        rg = rg.at[:, R_BREAK:R_BREAK + 1].set(jnp.where(
+        rg = _rset(rg, R_BREAK, jnp.where(
             band_brk | dropped, 1, rg[:, R_BREAK:R_BREAK + 1]))
-        rg = rg.at[:, R_PST:R_PST + 1].set(jnp.where(alive, st, prev_st))
-        rg = rg.at[:, R_PEN:R_PEN + 1].set(jnp.where(alive, en, prev_en))
+        rg = _rset(rg, R_PST, jnp.where(alive, st, prev_st))
+        rg = _rset(rg, R_PEN, jnp.where(alive, en, prev_en))
         return cu, cv, cx, cy, cx2, cy2, cq, cs, cH, rg
 
     carry = (u_s[:, dsl], v_s[:, dsl], x_s[:, dsl], y_s[:, dsl],
@@ -504,8 +513,11 @@ def _backtrack_abs(rows, off, off_end, i0, j0, rev_cigar,
     return cigar
 
 
-# wavefront rows per Pallas program instance (extd2_device rpp)
-ROWS_PER_PROGRAM = 2
+# wavefront rows per Pallas program instance (extd2_device rpp). On-chip
+# sweep of the value-carried row-fusion kernel (B=64, L=2048, w=751):
+# rpp 1/2/4/8/16 = 12.7/12.9/8.9/20.3/5.9 Gcells/s — 8 amortizes the
+# per-program VMEM round trip best before scratch pressure bites.
+ROWS_PER_PROGRAM = 8
 
 # 1.5x-geometric row-count ladder: coarse enough that a whole mapping run
 # compiles only a handful of (B, Tpad, Rmax) programs (a cold XLA cache
@@ -804,14 +816,14 @@ def _exts2_kernel(q: int, e: int, q2: int, zdrop: int,
 
             mte = rg[:, R_MTE:R_MTE + 1]
             mte_c = alive & (en0 == tlen - 1) & (H_en0 > mte)
-            rg = rg.at[:, R_MTE:R_MTE + 1].set(jnp.where(mte_c, H_en0, mte))
-            rg = rg.at[:, R_MTEQ:R_MTEQ + 1].set(jnp.where(
+            rg = _rset(rg, R_MTE, jnp.where(mte_c, H_en0, mte))
+            rg = _rset(rg, R_MTEQ, jnp.where(
                 mte_c, r_b - en, rg[:, R_MTEQ:R_MTEQ + 1]))
             H_st0 = _gather_col(H_new, st0)
             mqe = rg[:, R_MQE:R_MQE + 1]
             mqe_c = alive & (r_b - st0 == qlen - 1) & (H_st0 > mqe)
-            rg = rg.at[:, R_MQE:R_MQE + 1].set(jnp.where(mqe_c, H_st0, mqe))
-            rg = rg.at[:, R_MQET:R_MQET + 1].set(jnp.where(
+            rg = _rset(rg, R_MQE, jnp.where(mqe_c, H_st0, mqe))
+            rg = _rset(rg, R_MQET, jnp.where(
                 mqe_c, st0, rg[:, R_MQET:R_MQET + 1]))
             zH, zt, do_drop = max_H, max_t, True
         else:
@@ -831,8 +843,8 @@ def _exts2_kernel(q: int, e: int, q2: int, zdrop: int,
             v0 = _gather_col(v_full, jnp.zeros((B, 1), jnp.int32))
             H0_n = jnp.where(is_r0, v0 - qe, H0 + inc)
             last_n = jnp.where(is_r0, 0, last_n)
-            rg = rg.at[:, R_H0:R_H0 + 1].set(jnp.where(alive, H0_n, H0))
-            rg = rg.at[:, R_LAST:R_LAST + 1].set(
+            rg = _rset(rg, R_H0, jnp.where(alive, H0_n, H0))
+            rg = _rset(rg, R_LAST, 
                 jnp.where(alive, last_n, last))
             zH, zt, do_drop = H0_n, last_n, approx_drop
 
@@ -845,25 +857,25 @@ def _exts2_kernel(q: int, e: int, q2: int, zdrop: int,
             chk = alive & ~upd_max & (zt >= ez_max_t) & (r_b - zt >= ez_max_q)
             dropped = chk & (ez_max - zH > zdrop) \
                 if zdrop >= 0 else jnp.zeros_like(chk)
-            rg = rg.at[:, R_MAX:R_MAX + 1].set(jnp.where(upd_max, zH, ez_max))
-            rg = rg.at[:, R_MAXT:R_MAXT + 1].set(
+            rg = _rset(rg, R_MAX, jnp.where(upd_max, zH, ez_max))
+            rg = _rset(rg, R_MAXT, 
                 jnp.where(upd_max, zt, ez_max_t))
-            rg = rg.at[:, R_MAXQ:R_MAXQ + 1].set(
+            rg = _rset(rg, R_MAXQ, 
                 jnp.where(upd_max, r_b - zt, ez_max_q))
-            rg = rg.at[:, R_ZDROP:R_ZDROP + 1].set(jnp.where(
+            rg = _rset(rg, R_ZDROP, jnp.where(
                 dropped, 1, rg[:, R_ZDROP:R_ZDROP + 1]))
         else:
             dropped = jnp.zeros((B, 1), jnp.bool_)
 
         sc_c = alive & ~dropped & (r_b == qlen + tlen - 2) & (en0 == tlen - 1)
-        rg = rg.at[:, R_SCORE:R_SCORE + 1].set(jnp.where(
+        rg = _rset(rg, R_SCORE, jnp.where(
             sc_c, zH if approx else _gather_col(cH, tlen - 1),
             rg[:, R_SCORE:R_SCORE + 1]))
 
-        rg = rg.at[:, R_BREAK:R_BREAK + 1].set(jnp.where(
+        rg = _rset(rg, R_BREAK, jnp.where(
             dropped, 1, rg[:, R_BREAK:R_BREAK + 1]))
-        rg = rg.at[:, R_PST:R_PST + 1].set(jnp.where(alive, st, prev_st))
-        rg = rg.at[:, R_PEN:R_PEN + 1].set(jnp.where(alive, en, prev_en))
+        rg = _rset(rg, R_PST, jnp.where(alive, st, prev_st))
+        rg = _rset(rg, R_PEN, jnp.where(alive, en, prev_en))
         return cu, cv, cx, cy, cx2, cq, cs, cH, rg
 
     carry = (u_s[:, dsl], v_s[:, dsl], x_s[:, dsl], y_s[:, dsl],
