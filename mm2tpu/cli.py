@@ -443,8 +443,16 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from .utils import timing
     timing.verbose = args.v
-    from .utils import jaxcache
-    jaxcache.enable()
+    # jax is imported LAZILY: a host-placed run must not pay the jax
+    # import (~1 s) or the accelerator-client handshake. Only modes that
+    # certainly dispatch to the device bring it up here; the auto router
+    # starts an async backend probe on its own the first time its cost
+    # model predicts a task would win on the device (mapping/costmodel.py)
+    if (args.map_mode == "batch" or args.mesh or args.hosts or
+            args.profile_trace or args.chain_backend == "tpu" or
+            args.seed_backend == "tpu" or args.align_backend == "tpu"):
+        from .utils import jaxcache
+        jaxcache.enable()
     from .utils import profiling
     if args.profile or args.profile_trace:
         profiling.enable(args.profile_trace)

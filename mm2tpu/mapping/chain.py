@@ -30,26 +30,60 @@ class ChainRouter:
                  cost_model=None, queue=None, preset: Optional[str] = None):
         self.backend = backend
         self.tpu_min_anchors = tpu_min_anchors
+        # an explicitly-passed model is trusted as-is (tests, --router-
+        # params); the default-loaded constants describe REAL device
+        # dispatch, so routing through them additionally requires the
+        # accelerator to be up (device_ready) — see pick()
+        self._default_model = cost_model is None
         self.cost_model = (cost_model if cost_model is not None
                            else costmodel.get_default_model(preset))
         self.queue = queue if queue is not None \
             else costmodel.get_default_queue()
+        self._n_min_dev = self._feasible_n(self.cost_model)
+
+    @staticmethod
+    def _feasible_n(m) -> float:
+        """Smallest task size at which the device could POSSIBLY win under
+        model m, assuming the densest window (MAX_TRIPCOUNT trips per
+        anchor). Below it pick() skips the per-task feature pass
+        (num_subparts) entirely — the placement answer is already known."""
+        if m is None:
+            return 0.0
+        from ..ops.chain_ref import MAX_TRIPCOUNT, TRIPCOUNT_PER_SUBPART
+        max_sub = MAX_TRIPCOUNT // TRIPCOUNT_PER_SUBPART
+        s_m = max_sub if m.k2_dev < 0 else 1  # minimizes t_dev
+        d = MAX_TRIPCOUNT * m.k_host - m.k1_dev - m.k2_dev * s_m
+        gap = m.c_dev - m.c_host
+        if gap <= 0:
+            return 0.0  # no dispatch floor: always consult the model
+        if d <= 0:
+            return float("inf")  # device can never win: pure host
+        return gap / d
 
     def pick(self, n: int, a: Optional[np.ndarray] = None,
              max_dist_x: int = 5000) -> str:
         if self.backend != "auto":
             return self.backend
         if self.cost_model is not None and a is not None:
+            if n < self._n_min_dev:
+                return "native"  # device infeasible: skip the feature pass
             _, total_sub, total_trip = chain_ref.num_subparts(a, max_dist_x)
             t_dev = self.cost_model.predict_dev(n, total_sub)
             t_host = self.cost_model.predict_host(total_trip)
-            if t_dev < t_host and self.queue.admit(t_dev, t_host):
-                return "tpu"
+            if t_dev < t_host:
+                if not self._default_model or costmodel.device_ready():
+                    if self.queue.admit(t_dev, t_host):
+                        return "tpu"
+                else:
+                    # the model WANTS the device but it is not up yet:
+                    # bring it up asynchronously and place this task on
+                    # the host (chain_hardware.cpp:54-92's SW-if-HW-busy,
+                    # applied to accelerator init)
+                    costmodel.ensure_backend_async()
             return "native"
         if n >= self.tpu_min_anchors and costmodel.backend_ready():
             # never block a host-capable task on accelerator init: until
             # the async probe brings the backend up, place on host
-            # (chain_hardware.cpp:54-92's SW-if-HW-busy, applied to init)
             return "tpu"
         return "native"
 

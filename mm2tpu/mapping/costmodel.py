@@ -141,6 +141,20 @@ def backend_ready() -> bool:
         return False
 
 
+def device_ready() -> bool:
+    """True once an initialized backend is an actual accelerator. The
+    default-loaded router constants describe device dispatch; routing a
+    task to the 'device' on a CPU backend would run the Pallas kernels
+    in interpret mode — never what the trained split means."""
+    if not backend_ready():
+        return False
+    try:
+        import jax
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 _PROBE_STARTED = False
 _PROBE_THREAD = None
 
@@ -159,7 +173,8 @@ def join_backend_probe(timeout: float = 10.0) -> bool:
 
 
 def ensure_backend_async() -> None:
-    """Bring the default JAX backend up on a daemon thread. Until it is
+    """Bring the default JAX backend up on a daemon thread (including the
+    jax import itself — a host-placed run never pays it). Until it is
     ready, the router places every task on the host (the reference's
     PROCESS_ON_SW_IF_HW_BUSY stance, chain_hardware.cpp:54-92, applied
     to device init); if the accelerator is unreachable the probe hangs
@@ -169,13 +184,12 @@ def ensure_backend_async() -> None:
     if _PROBE_STARTED or backend_ready():
         return
     _PROBE_STARTED = True
-    import sys
     import threading
-    if sys.modules.get("jax") is None:
-        return
 
     def _probe():
         try:
+            from ..utils import jaxcache
+            jaxcache.enable()
             import jax
             jax.default_backend()
         except Exception:
@@ -191,32 +205,23 @@ def get_default_model(preset: Optional[str] = None) -> Optional[CostModel]:
     """Explicitly-set model, else the in-tree trained constants for the
     preset's regime (mm2tpu/data/router_params_v5e*.json — the analogue
     of the two constant sets the reference ships in
-    chain_hardware.h:18-30, selected per preset). Auto-load only applies
-    once JAX is INITIALIZED on a real TPU — never initializes a backend
-    itself (that can block on an unreachable accelerator; see
-    ensure_backend_async): the constants describe device dispatch on
-    that hardware."""
+    chain_hardware.h:18-30, selected per preset). Loaded from JSON with
+    NO jax dependency: the router uses the predictions to decide when
+    bringing the accelerator up is even worthwhile (ensure_backend_async)
+    — placement intent must not require paying device init first."""
     if _FORCED:
         return _FORCED_MODEL
     regime = regime_for_preset(preset)
     if regime not in _DEFAULT_MODELS:
-        import sys
-        jax = sys.modules.get("jax")
-        if jax is None:
-            return None  # keep trying until jax appears
-        if not backend_ready():
-            ensure_backend_async()
-            return None  # retry once the probe brings a backend up
         model = None
         try:
-            if jax.default_backend() == "tpu":
-                import pathlib
-                data = pathlib.Path(__file__).resolve().parent.parent / "data"
-                p = data / _REGIME_FILES[regime]
-                if not p.exists():  # regime not fitted: fall back to base
-                    p = data / _REGIME_FILES["map"]
-                if p.exists():
-                    model = CostModel.load(str(p))
+            import pathlib
+            data = pathlib.Path(__file__).resolve().parent.parent / "data"
+            p = data / _REGIME_FILES[regime]
+            if not p.exists():  # regime not fitted: fall back to base
+                p = data / _REGIME_FILES["map"]
+            if p.exists():
+                model = CostModel.load(str(p))
         except Exception:
             pass
         _DEFAULT_MODELS[regime] = model

@@ -53,6 +53,25 @@ def collect_seed_hits(mi: MMIndex, opt: MapOptions, max_occ: int,
     n_mv = len(mv)
     if n_mv == 0:
         return SeedResult(np.zeros((0, 2), U64), 0, np.zeros(0, U64), 0)
+
+    # native one-pass fast path (probe + anchors + radix sort); the
+    # qname-dependent ava-* rules (NO_DIAG/NO_DUAL) stay below
+    if not (qname is not None and
+            (opt.flag & (MM_F_NO_DIAG | MM_F_NO_DUAL))) and \
+            not ((opt.flag & MM_F_FOR_ONLY) and (opt.flag & MM_F_REV_ONLY)) \
+            and len(mi.keys) >= 512:
+        try:
+            from ..native import lib as native_lib
+            if native_lib.has_seed_hits():
+                skip_mode = (1 if (opt.flag & MM_F_FOR_ONLY) else
+                             2 if (opt.flag & MM_F_REV_ONLY) else 0)
+                bits, shift, lut = mi._native_lut()
+                a, rep_len, mini_pos = native_lib.seed_hits(
+                    mv, mi.keys, mi.start, mi.cnt, bits, shift, lut,
+                    mi.pos, max_occ, qlen, skip_mode)
+                return SeedResult(a, rep_len, mini_pos, n_mv)
+        except Exception:
+            pass
     miniers = mv[:, 0] >> U64(8)
     q_pos = (mv[:, 1] & U64(0xFFFFFFFF)).astype(np.int64)
     q_span = (mv[:, 0] & U64(0xFF)).astype(np.int64)

@@ -105,6 +105,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mm2_lookup_many.argtypes = [
             _I64, _VP, _I64, _VP, _VP, _VP, _I32, _I32, _VP, _VP, _VP]
         lib.mm2_lookup_many.restype = None
+    if hasattr(lib, "mm2_seed_hits"):
+        lib.mm2_seed_hits.argtypes = [
+            _I64, _VP, _I64, _VP, _VP, _VP, _I32, _I32, _VP, _VP,
+            _I32, _I64, _I32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint64)),
+            ctypes.POINTER(_I64), ctypes.POINTER(_I64)]
+        lib.mm2_seed_hits.restype = _I64
     if hasattr(lib, "mm2_set_parent_select"):
         lib.mm2_set_parent_select.argtypes = [
             _I64] + [_VP] * 7 + [ctypes.c_float, _I32, _I32, _I32,
@@ -536,6 +544,48 @@ def pack_seq4(codes: np.ndarray, S: np.ndarray, offset: int) -> None:
 def has_lookup() -> bool:
     lib = _load()
     return lib is not None and hasattr(lib, "mm2_lookup_many")
+
+
+def has_seed_hits() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_seed_hits")
+
+
+def seed_hits(mv: np.ndarray, keys: np.ndarray, start: np.ndarray,
+              cnt: np.ndarray, lut_bits: int, shift: int, lut: np.ndarray,
+              pos: np.ndarray, max_occ: int, qlen: int, skip_mode: int
+              ) -> Tuple[np.ndarray, int, np.ndarray]:
+    """One-pass native seeding (collect_matches + collect_seed_hits +
+    radix_sort_128x, map.c:90-247): index probe, repeat accounting,
+    anchor construction and stable x-sort. skip_mode: 0 none,
+    1 forward-only, 2 reverse-only. Returns (anchors (n,2) u64,
+    rep_len, mini_pos u64)."""
+    lib = _load()
+    mva, mvp = _ptr(np.ascontiguousarray(mv), np.uint64)
+    ka, kp = _ptr(keys, np.uint64)
+    sa, sp = _ptr(start, np.int64)
+    ca, cp = _ptr(cnt, np.int32)
+    la, lp = _ptr(lut, np.int64)
+    pa, pp = _ptr(pos, np.uint64)
+    out_a = ctypes.POINTER(ctypes.c_uint64)()
+    out_m = ctypes.POINTER(ctypes.c_uint64)()
+    n_mini = _I64(0)
+    rep = _I64(0)
+    na = lib.mm2_seed_hits(len(mva), mvp, len(ka), kp, sp, cp, lut_bits,
+                           shift, lp, pp, max_occ, qlen, skip_mode,
+                           ctypes.byref(out_a), ctypes.byref(out_m),
+                           ctypes.byref(n_mini), ctypes.byref(rep))
+    # outputs point into per-thread native scratch (valid until this
+    # thread's next call): copy out, do NOT free
+    if na > 0:
+        a = np.ctypeslib.as_array(out_a, shape=(na, 2)).copy()
+    else:
+        a = np.zeros((0, 2), np.uint64)
+    if n_mini.value > 0:
+        mini = np.ctypeslib.as_array(out_m, shape=(n_mini.value,)).copy()
+    else:
+        mini = np.zeros(0, np.uint64)
+    return a.view(np.uint64), int(rep.value), mini.view(np.uint64)
 
 
 def lookup_many(q: np.ndarray, keys: np.ndarray, start: np.ndarray,

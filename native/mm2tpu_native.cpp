@@ -15,6 +15,9 @@
 #include <utility>
 #include <thread>
 #include <atomic>
+#if defined(__BMI2__)
+#include <immintrin.h>
+#endif
 
 extern "C" {
 
@@ -2542,6 +2545,183 @@ void mm2_lookup_many(int64_t nq, const uint64_t *q, int64_t nk,
             }
         }
     }
+}
+
+// grow-only per-thread scratch for the seeding fast path (the kalloc
+// arena idea: repeated ~170 KB mallocs would mmap/munmap per read)
+static thread_local std::vector<uint64_t> g_seed_b1, g_seed_b2, g_seed_b3,
+    g_seed_b4;
+static uint64_t *seed_scratch(size_t n) {
+    if (g_seed_b1.size() < n) g_seed_b1.resize(n);
+    return g_seed_b1.data();
+}
+static uint64_t *seed_scratch2(size_t n) {
+    if (g_seed_b2.size() < n) g_seed_b2.resize(n);
+    return g_seed_b2.data();
+}
+
+// ---------------------------------------------------------------------------
+// Seeding fast path: index probe -> repeat accounting -> anchor
+// construction -> stable radix sort by x. One native pass replacing
+// collect_matches + collect_seed_hits (map.c:90-123, 215-247; anchor
+// encoding map.c:232-241, radix_sort_128x map.c:245). Covers the default
+// seed rules plus for-only/rev-only (skip_mode 1/2); the qname-dependent
+// NO_DIAG/NO_DUAL (ava-*) rules stay in the Python path.
+// mv: (n_mv,2) u64 query minimizers [hash<<8|span, seg<<32|pos<<1|strand].
+// Outputs *out_anchors (2*n_a u64 pairs) and *out_mini_pos (n_mini u64)
+// point into per-thread scratch: valid until this thread's next call,
+// caller copies out and must NOT free. Returns n_a.
+int64_t mm2_seed_hits(int64_t n_mv, const uint64_t *mv,
+                      int64_t nk, const uint64_t *keys, const int64_t *start,
+                      const int32_t *cnt, int32_t lut_bits, int32_t shift,
+                      const int64_t *lut, const uint64_t *pos,
+                      int32_t max_occ, int64_t qlen, int32_t skip_mode,
+                      uint64_t **out_anchors, uint64_t **out_mini_pos,
+                      int64_t *out_n_mini, int64_t *out_rep_len) {
+    const uint64_t TANDEM = 1ULL << 42;   // MM_SEED_TANDEM (mmpriv.h:18)
+    const int SEG_SHIFT = 48;             // MM_SEED_SEG_SHIFT
+    std::vector<uint64_t> q((size_t)n_mv);
+    for (int64_t i = 0; i < n_mv; ++i) q[(size_t)i] = mv[2 * i] >> 8;
+    std::vector<int64_t> st((size_t)n_mv);
+    std::vector<int32_t> c((size_t)n_mv);
+    if (n_mv)
+        mm2_lookup_many(n_mv, q.data(), nk, keys, start, cnt, lut_bits,
+                        shift, lut, st.data(), c.data());
+    // repeat-length accounting over dropped minimizers (map.c:104-110)
+    int64_t rep_len = 0, rep_st = 0, rep_en = 0, total = 0, n_mini = 0;
+    for (int64_t i = 0; i < n_mv; ++i) {
+        if (c[(size_t)i] >= max_occ) {
+            int64_t qp = (int64_t)(mv[2 * i + 1] & 0xFFFFFFFFULL);
+            int64_t span = (int64_t)(mv[2 * i] & 0xFF);
+            int64_t en = (qp >> 1) + 1, s2 = en - span;
+            if (s2 > rep_en) {
+                rep_len += rep_en - rep_st;
+                rep_st = s2;
+                rep_en = en;
+            } else {
+                rep_en = en;
+            }
+        } else {
+            total += c[(size_t)i];
+            ++n_mini;
+        }
+    }
+    rep_len += rep_en - rep_st;
+    if (g_seed_b3.size() < (size_t)(n_mini ? n_mini : 1))
+        g_seed_b3.resize((size_t)(n_mini ? n_mini : 1));
+    if (g_seed_b4.size() < 2 * (size_t)(total ? total : 1))
+        g_seed_b4.resize(2 * (size_t)(total ? total : 1));
+    uint64_t *mp = g_seed_b3.data();
+    uint64_t *an = g_seed_b4.data();
+    int64_t na = 0, nm = 0;
+    for (int64_t i = 0; i < n_mv; ++i) {
+        if (c[(size_t)i] >= max_occ) continue;
+        const uint64_t xi = mv[2 * i], yi = mv[2 * i + 1];
+        const int64_t qp = (int64_t)(yi & 0xFFFFFFFFULL);
+        const uint64_t span = xi & 0xFF;
+        const uint64_t seg = yi >> 32;
+        mp[nm++] = (span << 32) | (uint64_t)(qp >> 1);
+        // tandem: same hash as a neighbouring query minimizer
+        // (map.c:114-115; computed over ALL minimizers, pre-filter)
+        const bool tandem =
+            (i > 0 && (mv[2 * (i - 1)] >> 8) == (xi >> 8)) ||
+            (i + 1 < n_mv && (mv[2 * (i + 1)] >> 8) == (xi >> 8));
+        const uint64_t ybase = (span << 32) | (seg << SEG_SHIFT) |
+                               (tandem ? TANDEM : 0);
+        const int q_strand = (int)(qp & 1);
+        const uint64_t y_rev =
+            ybase | (uint64_t)(qlen - ((qp >> 1) + 1 - (int64_t)span) - 1);
+        const uint64_t y_fwd = ybase | (uint64_t)(qp >> 1);
+        const uint64_t *pp = pos + st[(size_t)i];
+        const int32_t ci = c[(size_t)i];
+        if (skip_mode == 0) {
+            for (int32_t j = 0; j < ci; ++j) {  // branchless hot loop
+                const uint64_t r = pp[j];
+                const uint64_t fwd = (uint64_t)0 - ((r & 1) == (uint64_t)q_strand);
+                const uint64_t x = ((r >> 32) << 32) | ((r & 0xFFFFFFFFULL) >> 1);
+                an[2 * na] = x | ((~fwd) & (1ULL << 63));
+                an[2 * na + 1] = y_rev ^ ((y_fwd ^ y_rev) & fwd);
+                ++na;
+            }
+        } else {
+            for (int32_t j = 0; j < ci; ++j) {
+                const uint64_t r = pp[j];
+                const int fwd = ((int)(r & 1) == q_strand);
+                if (skip_mode == 1 && !fwd) continue;
+                if (skip_mode == 2 && fwd) continue;
+                uint64_t x = ((r >> 32) << 32) | ((r & 0xFFFFFFFFULL) >> 1);
+                an[2 * na] = fwd ? x : (x | (1ULL << 63));
+                an[2 * na + 1] = fwd ? y_fwd : y_rev;
+                ++na;
+            }
+        }
+    }
+    // stable sort by x (radix_sort_128x equivalent; stability keeps
+    // emission order on ties). Only the bits of x that actually vary
+    // matter for order: compress them into a dense key (pext) and LSD-
+    // radix the key with 11-bit digits — ~3 passes for a typical genome
+    // instead of 6 byte passes over full (x, y) pairs.
+    if (na > 1) {
+        uint64_t diff = 0;
+        const uint64_t x0 = an[0];
+        for (int64_t i = 1; i < na; ++i) diff |= an[2 * i] ^ x0;
+#if defined(__BMI2__)
+        const int kb = __builtin_popcountll(diff);
+        if (kb > 0 && kb <= 32 && na < (int64_t)1 << 31) {
+            uint64_t *kk = seed_scratch(2 * (size_t)na);  // key<<32 | idx
+            uint64_t *tmp = kk + na;
+            for (int64_t i = 0; i < na; ++i)
+                kk[i] = (_pext_u64(an[2 * i], diff) << 32) | (uint64_t)i;
+            uint64_t *src = kk, *dst = tmp;
+            for (int sh = 32; sh < 32 + kb; sh += 11) {
+                int64_t cnts[2049] = {0};
+                for (int64_t i = 0; i < na; ++i)
+                    ++cnts[((src[i] >> sh) & 0x7FF) + 1];
+                for (int k = 0; k < 2048; ++k) cnts[k + 1] += cnts[k];
+                for (int64_t i = 0; i < na; ++i)
+                    dst[cnts[(src[i] >> sh) & 0x7FF]++] = src[i];
+                uint64_t *t = src;
+                src = dst;
+                dst = t;
+            }
+            uint64_t *out = seed_scratch2(2 * (size_t)na);
+            for (int64_t i = 0; i < na; ++i) {
+                const uint64_t j = src[i] & 0xFFFFFFFFULL;
+                out[2 * i] = an[2 * j];
+                out[2 * i + 1] = an[2 * j + 1];
+            }
+            memcpy(an, out, sizeof(uint64_t) * 2 * (size_t)na);
+            diff = 0;  // sorted: skip the generic path below
+        }
+#endif
+        if (diff) {  // generic stable byte radix over (x, y) pairs
+            uint64_t *buf = seed_scratch(2 * (size_t)na);
+            uint64_t *src = an, *dst = buf;
+            for (int b = 0; b < 8; ++b) {
+                if (!((diff >> (8 * b)) & 0xFF)) continue;
+                int64_t cnts[257] = {0};
+                const int sh = 8 * b;
+                for (int64_t i = 0; i < na; ++i)
+                    ++cnts[((src[2 * i] >> sh) & 0xFF) + 1];
+                for (int k = 0; k < 256; ++k) cnts[k + 1] += cnts[k];
+                for (int64_t i = 0; i < na; ++i) {
+                    const int64_t d = cnts[(src[2 * i] >> sh) & 0xFF]++;
+                    dst[2 * d] = src[2 * i];
+                    dst[2 * d + 1] = src[2 * i + 1];
+                }
+                uint64_t *t = src;
+                src = dst;
+                dst = t;
+            }
+            if (src != an)
+                memcpy(an, src, sizeof(uint64_t) * 2 * (size_t)na);
+        }
+    }
+    *out_anchors = an;
+    *out_mini_pos = mp;
+    *out_n_mini = n_mini;
+    *out_rep_len = rep_len;
+    return na;
 }
 
 }  // extern "C"
