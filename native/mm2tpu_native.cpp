@@ -15,7 +15,7 @@
 #include <utility>
 #include <thread>
 #include <atomic>
-#if defined(__BMI2__)
+#if defined(__BMI2__) || defined(__AVX512BW__)
 #include <immintrin.h>
 #endif
 
@@ -305,6 +305,48 @@ static void exact_max_scan(int64_t *H, const T *u, const T *v,
     *out_t = max_t;
 }
 
+
+// band score-profile row s[t] = score(sf[t], qr[qoff+t]) with N handling.
+// int8 uses masked 64-byte AVX-512 blocks (the varying-trip-count fix of
+// extd2_row_i8_avx512: loads overrun into padded scratch, stores masked);
+// other widths keep the auto-vectorized form.
+template <typename T>
+__attribute__((always_inline)) static inline void profile_row(
+    int32_t st0, int32_t en0, const T *__restrict sfp,
+    const T *__restrict qrq, T *__restrict sp, T nval, T sN, T sM, T sX) {
+#if defined(__AVX512BW__)
+    if constexpr (sizeof(T) == 1) {
+        const __m512i vn_ = _mm512_set1_epi8((int8_t)nval);
+        const __m512i vN = _mm512_set1_epi8((int8_t)sN);
+        const __m512i vM = _mm512_set1_epi8((int8_t)sM);
+        const __m512i vX = _mm512_set1_epi8((int8_t)sX);
+        for (int32_t t = st0; t <= en0; t += 64) {
+            const int32_t rem = en0 - t + 1;
+            const __mmask64 k = rem >= 64
+                                    ? ~(__mmask64)0
+                                    : (~(__mmask64)0 >> (64 - rem));
+            const __m512i sq = _mm512_loadu_si512((const int8_t *)sfp + t);
+            const __m512i stq = _mm512_loadu_si512((const int8_t *)qrq + t);
+            const __mmask64 isn = _mm512_cmpeq_epi8_mask(sq, vn_) |
+                                  _mm512_cmpeq_epi8_mask(stq, vn_);
+            const __mmask64 eq = _mm512_cmpeq_epi8_mask(sq, stq);
+            __m512i val = _mm512_mask_mov_epi8(vX, eq, vM);
+            val = _mm512_mask_mov_epi8(val, isn, vN);
+            _mm512_mask_storeu_epi8((int8_t *)sp + t, k, val);
+        }
+        return;
+    }
+#endif
+    int32_t en16 = (en0 - st0) / 16 * 16 + st0 + 15;
+    for (int32_t t = st0; t <= en16; ++t) {
+        T sq = sfp[t];
+        T stq = qrq[t];
+        T isn = (T)-(int32_t)((sq == nval) | (stq == nval));
+        T eq = (T)-(int32_t)(sq == stq);
+        sp[t] = (T)((isn & sN) | (T)(~isn & (T)((eq & sM) | (T)(~eq & sX))));
+    }
+}
+
 // One anti-diagonal of the extd2 difference DP, elementwise over the band.
 // Old-row values arrive via scratch copies (xs/vs/x2s are shifted by one:
 // index i holds the t-1 slot, with the band-edge boundary in slot 0), so
@@ -388,6 +430,130 @@ __attribute__((always_inline)) static inline void extd2_row(int32_t W, const T *
             pr[i] = (uint8_t)(d | (ga ? 0x08 : 0) | (gb ? 0x10 : 0) |
                               (ga2 ? 0x20 : 0) | (gb2 ? 0x40 : 0));
     }
+}
+
+#if defined(__AVX512BW__)
+// AVX-512BW int8 row: fixed 64-byte blocks with a masked tail store.
+// The auto-vectorized template above is fast only at a CONSTANT trip
+// count; in a real fill the band width changes every row and its
+// prologue/epilogue branches mispredict (~200 ns/row measured vs 18 ns
+// at constant width). Masked stores make the trip count uniform per
+// block: loads may read up to 63 B past W into adjacent arena scratch
+// (reserve() keeps tail slack), every store is masked. Semantics are
+// bit-identical to extd2_row<.,.,int8_t> (wrapping int8 arithmetic,
+// envelope-guarded by the caller's datapath selection).
+template <bool WITH_CIGAR, bool RIGHT>
+static inline void extd2_row_i8_avx512(
+    int32_t W, const int8_t *__restrict sr, const int8_t *__restrict xs,
+    const int8_t *__restrict vs, const int8_t *__restrict x2s,
+    const int8_t *__restrict uo, const int8_t *__restrict yo,
+    const int8_t *__restrict y2o, int8_t *__restrict un,
+    int8_t *__restrict vn, int8_t *__restrict xn, int8_t *__restrict yn,
+    int8_t *__restrict x2n, int8_t *__restrict y2n,
+    uint8_t *__restrict pr, int8_t sc_mch, int8_t q, int8_t e, int8_t q2,
+    int8_t e2) {
+    const __m512i vsc = _mm512_set1_epi8(sc_mch);
+    const __m512i vq = _mm512_set1_epi8(q);
+    const __m512i vq2 = _mm512_set1_epi8(q2);
+    const __m512i vqe = _mm512_set1_epi8((int8_t)(q + e));
+    const __m512i vq2e2 = _mm512_set1_epi8((int8_t)(q2 + e2));
+    const __m512i zero = _mm512_setzero_si512();
+    const __m512i one = _mm512_set1_epi8(1), two = _mm512_set1_epi8(2);
+    const __m512i three = _mm512_set1_epi8(3), four = _mm512_set1_epi8(4);
+    const __m512i f08 = _mm512_set1_epi8(0x08), f10 = _mm512_set1_epi8(0x10);
+    const __m512i f20 = _mm512_set1_epi8(0x20), f40 = _mm512_set1_epi8(0x40);
+    // ties: !RIGHT keeps the current state (new wins only on >, NLE);
+    // RIGHT prefers the later state (new wins on >=, NLT)
+    const int CMP = RIGHT ? _MM_CMPINT_NLT : _MM_CMPINT_NLE;
+    for (int32_t i = 0; i < W; i += 64) {
+        const __mmask64 k =
+            (W - i >= 64) ? ~(__mmask64)0
+                          : (~(__mmask64)0 >> (64 - (W - i)));
+        __m512i z = _mm512_loadu_si512(sr + i);
+        const __m512i xv = _mm512_loadu_si512(xs + i);
+        const __m512i vv = _mm512_loadu_si512(vs + i);
+        const __m512i x2v = _mm512_loadu_si512(x2s + i);
+        const __m512i uv = _mm512_loadu_si512(uo + i);
+        const __m512i yv = _mm512_loadu_si512(yo + i);
+        const __m512i y2v = _mm512_loadu_si512(y2o + i);
+        __m512i a = _mm512_add_epi8(xv, vv);
+        __m512i b = _mm512_add_epi8(yv, uv);
+        __m512i a2 = _mm512_add_epi8(x2v, vv);
+        __m512i b2 = _mm512_add_epi8(y2v, uv);
+        __m512i dv = zero;
+        {
+            const __mmask64 m1 = _mm512_cmp_epi8_mask(a, z, CMP);
+            z = _mm512_mask_mov_epi8(z, m1, a);
+            if (WITH_CIGAR) dv = _mm512_mask_mov_epi8(dv, m1, one);
+            const __mmask64 m2 = _mm512_cmp_epi8_mask(b, z, CMP);
+            z = _mm512_mask_mov_epi8(z, m2, b);
+            if (WITH_CIGAR) dv = _mm512_mask_mov_epi8(dv, m2, two);
+            const __mmask64 m3 = _mm512_cmp_epi8_mask(a2, z, CMP);
+            z = _mm512_mask_mov_epi8(z, m3, a2);
+            if (WITH_CIGAR) dv = _mm512_mask_mov_epi8(dv, m3, three);
+            const __mmask64 m4 = _mm512_cmp_epi8_mask(b2, z, CMP);
+            z = _mm512_mask_mov_epi8(z, m4, b2);
+            if (WITH_CIGAR) dv = _mm512_mask_mov_epi8(dv, m4, four);
+        }
+        z = _mm512_min_epi8(z, vsc);
+        _mm512_mask_storeu_epi8(un + i, k, _mm512_sub_epi8(z, vv));
+        _mm512_mask_storeu_epi8(vn + i, k, _mm512_sub_epi8(z, uv));
+        const __m512i t1 = _mm512_sub_epi8(z, vq);
+        const __m512i t2 = _mm512_sub_epi8(z, vq2);
+        a = _mm512_sub_epi8(a, t1);
+        b = _mm512_sub_epi8(b, t1);
+        a2 = _mm512_sub_epi8(a2, t2);
+        b2 = _mm512_sub_epi8(b2, t2);
+        // gap-open gates: !RIGHT keeps the gap only on > 0, RIGHT on >= 0
+        const int GC = RIGHT ? _MM_CMPINT_NLT : _MM_CMPINT_NLE;
+        const __mmask64 ga = _mm512_cmp_epi8_mask(a, zero, GC);
+        const __mmask64 gb = _mm512_cmp_epi8_mask(b, zero, GC);
+        const __mmask64 ga2 = _mm512_cmp_epi8_mask(a2, zero, GC);
+        const __mmask64 gb2 = _mm512_cmp_epi8_mask(b2, zero, GC);
+        _mm512_mask_storeu_epi8(
+            xn + i, k,
+            _mm512_sub_epi8(_mm512_maskz_mov_epi8(ga, a), vqe));
+        _mm512_mask_storeu_epi8(
+            yn + i, k,
+            _mm512_sub_epi8(_mm512_maskz_mov_epi8(gb, b), vqe));
+        _mm512_mask_storeu_epi8(
+            x2n + i, k,
+            _mm512_sub_epi8(_mm512_maskz_mov_epi8(ga2, a2), vq2e2));
+        _mm512_mask_storeu_epi8(
+            y2n + i, k,
+            _mm512_sub_epi8(_mm512_maskz_mov_epi8(gb2, b2), vq2e2));
+        if (WITH_CIGAR) {
+            __m512i p8 = _mm512_or_si512(dv, _mm512_maskz_mov_epi8(ga, f08));
+            p8 = _mm512_or_si512(p8, _mm512_maskz_mov_epi8(gb, f10));
+            p8 = _mm512_or_si512(p8, _mm512_maskz_mov_epi8(ga2, f20));
+            p8 = _mm512_or_si512(p8, _mm512_maskz_mov_epi8(gb2, f40));
+            _mm512_mask_storeu_epi8(pr + i, k, p8);
+        }
+    }
+}
+#endif  // __AVX512BW__
+
+// dispatch: int8 rows take the masked-store AVX-512 kernel when the
+// build has it; everything else uses the generic template
+template <bool WITH_CIGAR, bool RIGHT, typename T>
+__attribute__((always_inline)) static inline void extd2_row_d(
+    int32_t W, const T *sr, const T *xs, const T *vs, const T *x2s,
+    const T *uo, const T *yo, const T *y2o, T *un, T *vn, T *xn, T *yn,
+    T *x2n, T *y2n, uint8_t *pr, T sc_mch, T q, T e, T q2, T e2) {
+#if defined(__AVX512BW__)
+    if constexpr (sizeof(T) == 1) {
+        extd2_row_i8_avx512<WITH_CIGAR, RIGHT>(
+            W, (const int8_t *)sr, (const int8_t *)xs, (const int8_t *)vs,
+            (const int8_t *)x2s, (const int8_t *)uo, (const int8_t *)yo,
+            (const int8_t *)y2o, (int8_t *)un, (int8_t *)vn, (int8_t *)xn,
+            (int8_t *)yn, (int8_t *)x2n, (int8_t *)y2n, pr, (int8_t)sc_mch,
+            (int8_t)q, (int8_t)e, (int8_t)q2, (int8_t)e2);
+        return;
+    }
+#endif
+    extd2_row<WITH_CIGAR, RIGHT, T>(W, sr, xs, vs, x2s, uo, yo, y2o, un,
+                                    vn, xn, yn, x2n, y2n, pr, sc_mch, q, e,
+                                    q2, e2);
 }
 
 // One anti-diagonal of the exts2 (splice) difference DP. Same snapshot
@@ -732,20 +898,8 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
             // __restrict + all-T arithmetic: without them gcc sees a
             // possible alias between s and sf/qr and leaves this loop
             // scalar (~100 ns/row on narrow bands — the dominant cost)
-            const T *__restrict qrq = qr + qoff;
-            const T *__restrict sfp = sf;
-            T *__restrict sp = s;
-            const T nval = (T)(m - 1);
-            const T sN = (T)sc_N, sM = (T)sc_mch, sX = (T)sc_mis;
-            int32_t en16 = (en0 - st0) / 16 * 16 + st0 + 15;
-            for (int32_t t = st0; t <= en16; ++t) {
-                T sq = sfp[t];
-                T stq = qrq[t];
-                T isn = (T)-(int32_t)((sq == nval) | (stq == nval));
-                T eq = (T)-(int32_t)(sq == stq);
-                sp[t] = (T)((isn & sN) |
-                            (T)(~isn & (T)((eq & sM) | (T)(~eq & sX))));
-            }
+            profile_row<T>(st0, en0, sf, qr + qoff, s, (T)(m - 1),
+                           (T)sc_N, (T)sc_mch, (T)sc_mis);
         } else {
             for (int32_t t = st0; t <= en0; ++t)
                 s[t] = mat[sf[t] * m + (qoff + t >= 0 ? qr[qoff + t] : 0)];
@@ -767,25 +921,25 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
             v_o[st - 1] = (T)v1;
             x2_o[st - 1] = (T)x21;
             if (with_cigar && !right)
-                extd2_row<true, false, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                extd2_row_d<true, false, T>(W, s + st, x_o + st - 1, v_o + st - 1,
                                        x2_o + st - 1, u_o + st, y_o + st,
                                        y2_o + st, u_n + st, v_n + st, x_n + st,
                                        y_n + st, x2_n + st, y2_n + st, pr,
                                        (T)sc_mch, (T)q, (T)e, (T)q2, (T)e2);
             else if (with_cigar)
-                extd2_row<true, true, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                extd2_row_d<true, true, T>(W, s + st, x_o + st - 1, v_o + st - 1,
                                       x2_o + st - 1, u_o + st, y_o + st,
                                       y2_o + st, u_n + st, v_n + st, x_n + st,
                                       y_n + st, x2_n + st, y2_n + st, pr,
                                       (T)sc_mch, (T)q, (T)e, (T)q2, (T)e2);
             else if (!right)
-                extd2_row<false, false, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                extd2_row_d<false, false, T>(W, s + st, x_o + st - 1, v_o + st - 1,
                                         x2_o + st - 1, u_o + st, y_o + st,
                                         y2_o + st, u_n + st, v_n + st, x_n + st,
                                         y_n + st, x2_n + st, y2_n + st, nullptr,
                                         (T)sc_mch, (T)q, (T)e, (T)q2, (T)e2);
             else
-                extd2_row<false, true, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                extd2_row_d<false, true, T>(W, s + st, x_o + st - 1, v_o + st - 1,
                                        x2_o + st - 1, u_o + st, y_o + st,
                                        y2_o + st, u_n + st, v_n + st, x_n + st,
                                        y_n + st, x2_n + st, y2_n + st, nullptr,
@@ -1129,20 +1283,8 @@ static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
             // __restrict + all-T arithmetic: without them gcc sees a
             // possible alias between s and sf/qr and leaves this loop
             // scalar (~100 ns/row on narrow bands — the dominant cost)
-            const T *__restrict qrq = qr + qoff;
-            const T *__restrict sfp = sf;
-            T *__restrict sp = s;
-            const T nval = (T)(m - 1);
-            const T sN = (T)sc_N, sM = (T)sc_mch, sX = (T)sc_mis;
-            int32_t en16 = (en0 - st0) / 16 * 16 + st0 + 15;
-            for (int32_t t = st0; t <= en16; ++t) {
-                T sq = sfp[t];
-                T stq = qrq[t];
-                T isn = (T)-(int32_t)((sq == nval) | (stq == nval));
-                T eq = (T)-(int32_t)(sq == stq);
-                sp[t] = (T)((isn & sN) |
-                            (T)(~isn & (T)((eq & sM) | (T)(~eq & sX))));
-            }
+            profile_row<T>(st0, en0, sf, qr + qoff, s, (T)(m - 1),
+                           (T)sc_N, (T)sc_mch, (T)sc_mis);
         } else {
             for (int32_t t = st0; t <= en0; ++t)
                 s[t] = mat[sf[t] * m + (qoff + t >= 0 ? qr[qoff + t] : 0)];
