@@ -860,17 +860,30 @@ def align1(opt: MapOptions, mi, qlen: int, qseq0, r: Region, n_a: int,
     re1, qe1 = rs, qs
     assert qs1 >= 0 and rs1 >= 0
 
+    # seed-walk precompute: python-int lists instead of per-iteration
+    # numpy scalar indexing, and the non-HPC adjust_minier (a constant
+    # k/2 shift, align.c:361-363) vectorized over the chain's seeds
+    ax_l = a[as1: as1 + cnt1, 0].tolist()
+    ay_l = a[as1: as1 + cnt1, 1].tolist()
+    if not (mi.flag & 0x1):
+        rv_l = (_i32v(a[as1: as1 + cnt1, 0]) - (mi.k >> 1)).tolist()
+        qv_l = (_i32v(a[as1: as1 + cnt1, 1]) - (mi.k >> 1)).tolist()
+    else:
+        rv_l = qv_l = None
+
     i = cnt1 - 1 if is_sr else 1
     while i < cnt1:  # gap filling
-        ay = int(a[as1 + i, 1])
+        ay = ay_l[i]
         if (ay & (MM_SEED_IGNORE | MM_SEED_TANDEM)) and i != cnt1 - 1:
             i += 1
             continue
         if is_sr and not (mi.flag & 0x1):
-            re = _i32(a[as1 + i, 0]) + 1
-            qe = _i32(a[as1 + i, 1]) + 1
+            re = _i32(ax_l[i]) + 1
+            qe = _i32(ay) + 1
+        elif rv_l is not None:
+            re, qe = rv_l[i], qv_l[i]
         else:
-            re, qe = adjust_minier(mi, qseq0, int(a[as1 + i, 0]), ay)
+            re, qe = adjust_minier(mi, qseq0, ax_l[i], ay)
         re1, qe1 = re, qe
         if i == cnt1 - 1 or (ay & MM_SEED_LONG_JOIN) or \
                 (qe - qs >= opt.min_ksw_len and re - rs >= opt.min_ksw_len):
@@ -932,7 +945,7 @@ def align1(opt: MapOptions, mi, qlen: int, qseq0, r: Region, n_a: int,
                     r.p = Extra()
                 j = i - 1
                 while j >= 0:
-                    if _i32(a[as1 + j, 0]) <= rs + ez.max_t:
+                    if _i32(ax_l[j]) <= rs + ez.max_t:
                         break
                     j -= 1
                 dropped = True

@@ -37,6 +37,101 @@ void mm2_chain_exact(int64_t n, int32_t max_dist_x, int32_t max_dist_y,
 
     std::vector<int64_t> t(n, 0);
     const bool multi_other = (n_segs > 1) && !is_cdna;
+#if defined(__AVX512F__) && defined(__AVX512CD__)
+    // Vector fast path for the hot regime (uniseg, non-cDNA, unit gap
+    // scale — the map/ava presets): predecessor scores for 16 j's are
+    // computed branch-free in AVX-512 (the ~20-op scoring body), then a
+    // short scalar pass applies the order-dependent max_skip/t[]
+    // bookkeeping (chain.c:150-159) on the buffered scores — identical
+    // results, including which j's the heuristic visits.
+    if (!is_cdna && n_segs == 1 && gap_scale == 1.0f) {
+        std::vector<int32_t> axl((size_t)n), qyl((size_t)n);
+        for (int64_t k2 = 0; k2 < n; ++k2) {
+            axl[(size_t)k2] = (int32_t)(uint32_t)a_x[k2];
+            qyl[(size_t)k2] = (int32_t)a_y[k2];
+        }
+        const __m512i vzero = _mm512_setzero_si512();
+        const __m512i vNEG = _mm512_set1_epi32(INT32_MIN);
+        const __m512 vavg = _mm512_set1_ps(avg_qspan);
+        const __m512i vmdy = _mm512_set1_epi32(max_dist_y);
+        const __m512i vmdx = _mm512_set1_epi32(max_dist_x);
+        const __m512i vbw = _mm512_set1_epi32(bw);
+        int32_t scbuf[16];
+        int64_t st_v = 0;
+        for (int64_t i = 0; i < n; ++i) {
+            const int32_t axi = (int32_t)(uint32_t)a_x[i];
+            const uint64_t ri = a_x[i];
+            const int32_t qi = qyl[(size_t)i];
+            const int32_t q_span = (int32_t)((a_y[i] >> 32) & 0xff);
+            int32_t max_f = q_span, n_skip = 0;
+            int64_t max_j = -1;
+            while (st_v < i && ri > a_x[st_v] + (uint64_t)max_dist_x)
+                ++st_v;
+            int64_t lo = st_v;
+            if (i - lo > max_iter) lo = i - max_iter;
+            const __m512i vaxi = _mm512_set1_epi32(axi);
+            const __m512i vqi = _mm512_set1_epi32(qi);
+            const __m512i vspan = _mm512_set1_epi32(q_span);
+            bool stop = false;
+            for (int64_t b_hi = i; b_hi > lo && !stop;) {
+                int64_t b_lo = b_hi - 16 > lo ? b_hi - 16 : lo;
+                const int w = (int)(b_hi - b_lo);
+                const __mmask16 km =
+                    (__mmask16)((w >= 16) ? 0xFFFF : ((1u << w) - 1));
+                const __m512i axv = _mm512_maskz_loadu_epi32(
+                    km, &axl[(size_t)b_lo]);
+                const __m512i qyv = _mm512_maskz_loadu_epi32(
+                    km, &qyl[(size_t)b_lo]);
+                const __m512i dr = _mm512_sub_epi32(vaxi, axv);
+                const __m512i dq = _mm512_sub_epi32(vqi, qyv);
+                // dr==0 or dq<=0 skips (same-seg rules): require both > 0
+                __mmask16 ok = km & _mm512_cmpgt_epi32_mask(dr, vzero) &
+                               _mm512_cmpgt_epi32_mask(dq, vzero);
+                ok &= ~_mm512_cmpgt_epi32_mask(dq, vmdy);
+                ok &= ~_mm512_cmpgt_epi32_mask(dq, vmdx);
+                const __m512i dd = _mm512_abs_epi32(_mm512_sub_epi32(dr, dq));
+                ok &= ~_mm512_cmpgt_epi32_mask(dd, vbw);
+                // sc = min(min(dq, dr), q_span) - (dd*avg + (log2(dd)>>1))
+                __m512i sc = _mm512_min_epi32(_mm512_min_epi32(dq, dr),
+                                              vspan);
+                const __m512i c_lin = _mm512_cvttps_epi32(
+                    _mm512_mul_ps(_mm512_cvtepi32_ps(dd), vavg));
+                // log_dd = dd ? 31 - lzcnt(dd) : 0
+                const __m512i lz = _mm512_lzcnt_epi32(dd);
+                const __m512i log_dd = _mm512_maskz_sub_epi32(
+                    _mm512_cmpgt_epi32_mask(dd, vzero),
+                    _mm512_set1_epi32(31), lz);
+                sc = _mm512_sub_epi32(
+                    sc, _mm512_add_epi32(c_lin,
+                                         _mm512_srli_epi32(log_dd, 1)));
+                sc = _mm512_add_epi32(
+                    sc, _mm512_maskz_loadu_epi32(km, &f[b_lo]));
+                sc = _mm512_mask_mov_epi32(vNEG, ok, sc);
+                _mm512_storeu_si512(scbuf, sc);
+                for (int64_t j = b_hi - 1; j >= b_lo; --j) {
+                    const int32_t scj = scbuf[j - b_lo];
+                    if (scj == INT32_MIN) continue;
+                    if (scj > max_f) {
+                        max_f = scj;
+                        max_j = j;
+                        if (n_skip > 0) --n_skip;
+                    } else if (t[j] == i) {
+                        if (++n_skip > max_skip) {
+                            stop = true;
+                            break;
+                        }
+                    }
+                    if (p[j] >= 0) t[p[j]] = i;
+                }
+                b_hi = b_lo;
+            }
+            f[i] = max_f;
+            p[i] = (int32_t)max_j;
+            v[i] = (max_j >= 0 && v[max_j] > max_f) ? v[max_j] : max_f;
+        }
+        return;
+    }
+#endif
     int64_t st = 0;
     for (int64_t i = 0; i < n; ++i) {
         uint64_t ri = a_x[i];
