@@ -592,33 +592,40 @@ def fix_bad_ends(r: Region, a, bw: int, min_match: int) -> Tuple[int, int]:
     as_, cnt = r.as_, r.cnt
     if r.cnt < 3:
         return as_, cnt
-    m = l = _span(int(a[r.as_, 1]))
-    for i in range(r.as_ + 1, r.as_ + r.cnt - 1):
-        q_span = _span(int(a[i, 1]))
-        if int(a[i, 1]) & MM_SEED_LONG_JOIN:
+    # python-int lists: the scans walk O(bw/spacing) anchors with 4
+    # element reads per step — numpy scalar indexing dominates otherwise
+    xs = a[r.as_: r.as_ + r.cnt, 0].tolist()
+    ys = a[r.as_: r.as_ + r.cnt, 1].tolist()
+    base = r.as_
+    m = l = (ys[0] >> 32) & 0xFF
+    for i in range(1, r.cnt - 1):
+        yi = ys[i]
+        q_span = (yi >> 32) & 0xFF
+        if yi & MM_SEED_LONG_JOIN:
             break
-        lr = _i32(a[i, 0]) - _i32(a[i - 1, 0])
-        lq = _i32(a[i, 1]) - _i32(a[i - 1, 1])
-        mn, mx = min(lr, lq), max(lr, lq)
+        lr = _i32(xs[i]) - _i32(xs[i - 1])
+        lq = _i32(yi) - _i32(ys[i - 1])
+        mn, mx = (lr, lq) if lr < lq else (lq, lr)
         if mx - mn > l >> 1:
-            as_ = i
+            as_ = base + i
         l += mn
-        m += min(mn, q_span)
+        m += mn if mn < q_span else q_span
         if l >= bw << 1 or (m >= min_match and m >= bw) or m >= r.mlen >> 1:
             break
-    cnt = r.as_ + r.cnt - as_
-    m = l = _span(int(a[r.as_ + r.cnt - 1, 1]))
-    for i in range(r.as_ + r.cnt - 2, as_, -1):
-        q_span = _span(int(a[i + 1, 1]))
-        if int(a[i + 1, 1]) & MM_SEED_LONG_JOIN:
+    cnt = base + r.cnt - as_
+    m = l = (ys[r.cnt - 1] >> 32) & 0xFF
+    for i in range(r.cnt - 2, as_ - base, -1):
+        y1 = ys[i + 1]
+        q_span = (y1 >> 32) & 0xFF
+        if y1 & MM_SEED_LONG_JOIN:
             break
-        lr = _i32(a[i + 1, 0]) - _i32(a[i, 0])
-        lq = _i32(a[i + 1, 1]) - _i32(a[i, 1])
-        mn, mx = min(lr, lq), max(lr, lq)
+        lr = _i32(xs[i + 1]) - _i32(xs[i])
+        lq = _i32(y1) - _i32(ys[i])
+        mn, mx = (lr, lq) if lr < lq else (lq, lr)
         if mx - mn > l >> 1:
-            cnt = i + 1 - as_
+            cnt = base + i + 1 - as_
         l += mn
-        m += min(mn, q_span)
+        m += mn if mn < q_span else q_span
         if l >= bw << 1 or (m >= min_match and m >= bw) or m >= r.mlen >> 1:
             break
     return as_, cnt
@@ -870,6 +877,31 @@ def align1(opt: MapOptions, mi, qlen: int, qseq0, r: Region, n_a: int,
         qv_l = (_i32v(a[as1: as1 + cnt1, 1]) - (mi.k >> 1)).tolist()
     else:
         rv_l = qv_l = None
+    # hoist the fused-fill eligibility invariants out of the fill loop
+    # (_fill_fused_ok's per-call module/flag/threadlocal lookups)
+    _fused_const = (_native_has("has_fill") and not opt.dbg_print_aln_seq
+                    and not (opt.flag & MM_F_SPLICE) and mi.S is not None)
+    _fused_mat_cap = opt.max_sw_mat if opt.max_sw_mat > 0 else None
+    _fused_tpu_cap = (opt.align_tpu_min_mat
+                      if opt.align_backend == "tpu" else None)
+    if _fused_const:
+        from . import extbatch as _eb
+        _b = _eb.current()
+        _fused_batch_cap = _b.min_cells if _b is not None else None
+    else:
+        _fused_batch_cap = None
+
+    def _fused_ok_fast(qlen_, tlen_):
+        if not _fused_const:
+            return False
+        cells = qlen_ * tlen_
+        if _fused_mat_cap is not None and cells > _fused_mat_cap:
+            return False
+        if _fused_tpu_cap is not None and cells >= _fused_tpu_cap:
+            return False
+        if _fused_batch_cap is not None and cells >= _fused_batch_cap:
+            return False
+        return True
 
     i = cnt1 - 1 if is_sr else 1
     while i < cnt1:  # gap filling
@@ -891,8 +923,7 @@ def align1(opt: MapOptions, mi, qlen: int, qseq0, r: Region, n_a: int,
             if ay & MM_SEED_LONG_JOIN:
                 bw1 = max(qe - qs, re - rs)
             zdrop_code = None
-            if not is_sr and _fill_fused_ok(opt, qe - qs, re - rs) and \
-                    mi.S is not None:
+            if not is_sr and _fused_ok_fast(qe - qs, re - rs):
                 # fused native fill: approx extd2 + mm_test_zdrop (incl.
                 # inversion probe) + exact re-run in ONE FFI call, with
                 # the target unpacked in C from the 4-bit reference and

@@ -926,11 +926,12 @@ static int ksw_extd2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
     memset(s, 0, sizeof(T) * (tpad + 16));
     memset(qr, 0, sizeof(T) * (qlen_ * 16 + 16));
     memset(sf, 0, sizeof(T) * ((size_t)tpad + qlen_ * 16 + 16));
-    for (int g = 0; g < 2; ++g)
-        for (int32_t t = -1; t < tpad; ++t) {
-            U[g][t] = V[g][t] = X[g][t] = Y[g][t] = (T)(-q - e);
-            X2[g][t] = Y2[g][t] = (T)(-q2 - e2);
-        }
+    for (int g = 0; g < 2; ++g) {
+        // stripes are contiguous (base-1, dstride apart): two fills
+        // instead of a 6-way interleaved scalar loop
+        std::fill(U[g] - 1, U[g] - 1 + 4 * dstride, (T)(-q - e));
+        std::fill(X2[g] - 1, X2[g] - 1 + 2 * dstride, (T)(-q2 - e2));
+    }
     if (H)
         for (int32_t t = 0; t < tpad; ++t) H[t] = MM2_NEG_INF;
     int cur = 0;
@@ -1315,11 +1316,10 @@ static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
     memset(qr, 0, sizeof(T) * (qlen_ * 16 + 16));
     memset(sf, 0, sizeof(T) * ((size_t)tpad + qlen_ * 16 + 16));
     T *donor = sites, *acceptor = sites + tpad;
-    for (int g = 0; g < 2; ++g)
-        for (int32_t t = -1; t < tpad; ++t) {
-            U[g][t] = V[g][t] = X[g][t] = Y[g][t] = (T)(-q - e);
-            X2[g][t] = (T)(-q2);
-        }
+    for (int g = 0; g < 2; ++g) {
+        std::fill(U[g] - 1, U[g] - 1 + 4 * dstride, (T)(-q - e));
+        std::fill(X2[g] - 1, X2[g] - 1 + dstride, (T)(-q2));
+    }
     if (H)
         for (int32_t t = 0; t < tpad; ++t) H[t] = MM2_NEG_INF;
     int cur = 0;
