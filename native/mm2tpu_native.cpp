@@ -651,6 +651,91 @@ __attribute__((always_inline)) static inline void extd2_row_d(
                                     q2, e2);
 }
 
+#if defined(__AVX512BW__)
+// AVX-512BW int8 splice row — same uniform-block/masked-store rationale
+// as extd2_row_i8_avx512 (the band moves every row; auto-vectorized
+// prologue/epilogue branches mispredict on the varying trip count).
+// Bit-identical to exts2_row<.,.,int8_t>.
+template <bool WITH_CIGAR, bool RIGHT>
+static inline void exts2_row_i8_avx512(
+    int32_t W, const int8_t *__restrict sr, const int8_t *__restrict xs,
+    const int8_t *__restrict vs, const int8_t *__restrict x2s,
+    const int8_t *__restrict uo, const int8_t *__restrict yo,
+    const int8_t *__restrict dn, const int8_t *__restrict ac,
+    int8_t *__restrict un, int8_t *__restrict vn, int8_t *__restrict xn,
+    int8_t *__restrict yn, int8_t *__restrict x2n,
+    uint8_t *__restrict pr, int8_t q, int8_t e, int8_t q2) {
+    const __m512i vq = _mm512_set1_epi8(q);
+    const __m512i vq2 = _mm512_set1_epi8(q2);
+    const __m512i vqe = _mm512_set1_epi8((int8_t)(q + e));
+    const __m512i zero = _mm512_setzero_si512();
+    const __m512i one = _mm512_set1_epi8(1), two = _mm512_set1_epi8(2);
+    const __m512i three = _mm512_set1_epi8(3);
+    const __m512i f08 = _mm512_set1_epi8(0x08), f10 = _mm512_set1_epi8(0x10);
+    const __m512i f20 = _mm512_set1_epi8(0x20);
+    const int CMP = RIGHT ? _MM_CMPINT_NLT : _MM_CMPINT_NLE;
+    for (int32_t i = 0; i < W; i += 64) {
+        const __mmask64 k =
+            (W - i >= 64) ? ~(__mmask64)0
+                          : (~(__mmask64)0 >> (64 - (W - i)));
+        __m512i z = _mm512_loadu_si512(sr + i);
+        const __m512i xv = _mm512_loadu_si512(xs + i);
+        const __m512i vv = _mm512_loadu_si512(vs + i);
+        const __m512i x2v = _mm512_loadu_si512(x2s + i);
+        const __m512i uv = _mm512_loadu_si512(uo + i);
+        const __m512i yv = _mm512_loadu_si512(yo + i);
+        const __m512i dnv = _mm512_loadu_si512(dn + i);
+        const __m512i acv = _mm512_loadu_si512(ac + i);
+        __m512i a = _mm512_add_epi8(xv, vv);
+        __m512i b = _mm512_add_epi8(yv, uv);
+        __m512i a2 = _mm512_add_epi8(x2v, vv);
+        const __m512i a2a = _mm512_add_epi8(a2, acv);
+        __m512i dv = zero;
+        {
+            const __mmask64 m1 = _mm512_cmp_epi8_mask(a, z, CMP);
+            z = _mm512_mask_mov_epi8(z, m1, a);
+            if (WITH_CIGAR) dv = _mm512_mask_mov_epi8(dv, m1, one);
+            const __mmask64 m2 = _mm512_cmp_epi8_mask(b, z, CMP);
+            z = _mm512_mask_mov_epi8(z, m2, b);
+            if (WITH_CIGAR) dv = _mm512_mask_mov_epi8(dv, m2, two);
+            const __mmask64 m3 = _mm512_cmp_epi8_mask(a2a, z, CMP);
+            z = _mm512_mask_mov_epi8(z, m3, a2a);
+            if (WITH_CIGAR) dv = _mm512_mask_mov_epi8(dv, m3, three);
+        }
+        _mm512_mask_storeu_epi8(un + i, k, _mm512_sub_epi8(z, vv));
+        _mm512_mask_storeu_epi8(vn + i, k, _mm512_sub_epi8(z, uv));
+        const __m512i t1 = _mm512_sub_epi8(z, vq);
+        a = _mm512_sub_epi8(a, t1);
+        b = _mm512_sub_epi8(b, t1);
+        a2 = _mm512_sub_epi8(a2, _mm512_sub_epi8(z, vq2));
+        const int GC = RIGHT ? _MM_CMPINT_NLT : _MM_CMPINT_NLE;
+        const __mmask64 ga = _mm512_cmp_epi8_mask(a, zero, GC);
+        const __mmask64 gb = _mm512_cmp_epi8_mask(b, zero, GC);
+        const __mmask64 ga2 = _mm512_cmp_epi8_mask(a2, dnv, GC);
+        _mm512_mask_storeu_epi8(
+            xn + i, k,
+            _mm512_sub_epi8(_mm512_maskz_mov_epi8(ga, a), vqe));
+        _mm512_mask_storeu_epi8(
+            yn + i, k,
+            _mm512_sub_epi8(_mm512_maskz_mov_epi8(gb, b), vqe));
+        // x2n = max(a2, dn) - q2; the keep-gap flag is a2 > dn (or >= on
+        // RIGHT), but the stored value uses plain max in both variants
+        _mm512_mask_storeu_epi8(
+            x2n + i, k,
+            _mm512_sub_epi8(
+                _mm512_mask_mov_epi8(
+                    dnv, _mm512_cmpgt_epi8_mask(a2, dnv), a2),
+                vq2));
+        if (WITH_CIGAR) {
+            __m512i p8 = _mm512_or_si512(dv, _mm512_maskz_mov_epi8(ga, f08));
+            p8 = _mm512_or_si512(p8, _mm512_maskz_mov_epi8(gb, f10));
+            p8 = _mm512_or_si512(p8, _mm512_maskz_mov_epi8(ga2, f20));
+            _mm512_mask_storeu_epi8(pr + i, k, p8);
+        }
+    }
+}
+#endif  // __AVX512BW__
+
 // One anti-diagonal of the exts2 (splice) difference DP. Same snapshot
 // scheme as extd2_row; the second gap state is the intron: opening pays
 // q2 at donor sites, closing adds the acceptor score, extension is free,
@@ -719,6 +804,27 @@ __attribute__((always_inline)) static inline void exts2_row(int32_t W, const T *
             pr[i] = (uint8_t)(d | (ga ? 0x08 : 0) | (gb ? 0x10 : 0) |
                               (ga2 ? 0x20 : 0));
     }
+}
+
+// dispatch: int8 splice rows take the masked-store AVX-512 kernel
+template <bool WITH_CIGAR, bool RIGHT, typename T>
+__attribute__((always_inline)) static inline void exts2_row_d(
+    int32_t W, const T *sr, const T *xs, const T *vs, const T *x2s,
+    const T *uo, const T *yo, const T *dn, const T *ac, T *un, T *vn,
+    T *xn, T *yn, T *x2n, uint8_t *pr, T q, T e, T q2) {
+#if defined(__AVX512BW__)
+    if constexpr (sizeof(T) == 1) {
+        exts2_row_i8_avx512<WITH_CIGAR, RIGHT>(
+            W, (const int8_t *)sr, (const int8_t *)xs, (const int8_t *)vs,
+            (const int8_t *)x2s, (const int8_t *)uo, (const int8_t *)yo,
+            (const int8_t *)dn, (const int8_t *)ac, (int8_t *)un,
+            (int8_t *)vn, (int8_t *)xn, (int8_t *)yn, (int8_t *)x2n, pr,
+            (int8_t)q, (int8_t)e, (int8_t)q2);
+        return;
+    }
+#endif
+    exts2_row<WITH_CIGAR, RIGHT, T>(W, sr, xs, vs, x2s, uo, yo, dn, ac,
+                                    un, vn, xn, yn, x2n, pr, q, e, q2);
 }
 
 extern "C" {
@@ -1397,25 +1503,25 @@ static int ksw_exts2_impl(int32_t qlen, const uint8_t *query, int32_t tlen,
             v_o[st - 1] = (T)v1;
             x2_o[st - 1] = (T)x21;
             if (with_cigar && !right)
-                exts2_row<true, false, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                exts2_row_d<true, false, T>(W, s + st, x_o + st - 1, v_o + st - 1,
                                        x2_o + st - 1, u_o + st, y_o + st,
                                        donor + st, acceptor + st, u_n + st,
                                        v_n + st, x_n + st, y_n + st, x2_n + st,
                                        pr, (T)q, (T)e, (T)q2);
             else if (with_cigar)
-                exts2_row<true, true, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                exts2_row_d<true, true, T>(W, s + st, x_o + st - 1, v_o + st - 1,
                                       x2_o + st - 1, u_o + st, y_o + st,
                                       donor + st, acceptor + st, u_n + st,
                                       v_n + st, x_n + st, y_n + st, x2_n + st,
                                       pr, (T)q, (T)e, (T)q2);
             else if (!right)
-                exts2_row<false, false, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                exts2_row_d<false, false, T>(W, s + st, x_o + st - 1, v_o + st - 1,
                                         x2_o + st - 1, u_o + st, y_o + st,
                                         donor + st, acceptor + st, u_n + st,
                                         v_n + st, x_n + st, y_n + st, x2_n + st,
                                         nullptr, (T)q, (T)e, (T)q2);
             else
-                exts2_row<false, true, T>(W, s + st, x_o + st - 1, v_o + st - 1,
+                exts2_row_d<false, true, T>(W, s + st, x_o + st - 1, v_o + st - 1,
                                        x2_o + st - 1, u_o + st, y_o + st,
                                        donor + st, acceptor + st, u_n + st,
                                        v_n + st, x_n + st, y_n + st, x2_n + st,
