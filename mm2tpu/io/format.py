@@ -5,6 +5,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 from ..mapping.hit import Region
+from ..native import lib as _nlib
 from ..options import (MM_F_OUT_CG, MM_F_OUT_CS, MM_F_OUT_MD, MM_F_OUT_CS_LONG,
                        MM_F_COPY_COMMENT, MM_F_SOFTCLIP, MM_F_NO_QUAL)
 
@@ -75,7 +76,11 @@ def write_paf(mi, name: str, l_seq: int, r: Optional[Region], flag: int,
     if rep_len >= 0:
         s += f"\trl:i:{rep_len}"
     if r.p and (flag & MM_F_OUT_CG):
-        s += "\tcg:Z:" + "".join(f"{c >> 4}{CIGAR_STR[c & 0xF]}" for c in r.p.cigar)
+        if _nlib.has_cigar_str():
+            s += "\tcg:Z:" + _nlib.cigar_str(r.p.cigar)
+        else:
+            s += "\tcg:Z:" + "".join(
+                f"{c >> 4}{CIGAR_STR[c & 0xF]}" for c in r.p.cigar)
     if r.p and (flag & (MM_F_OUT_CS | MM_F_OUT_MD)) and qseq is not None:
         s += write_cs_or_md(mi, qseq, r, not (flag & MM_F_OUT_CS_LONG),
                             bool(flag & MM_F_OUT_MD), True)
@@ -418,6 +423,8 @@ def _sam_cigar(sam_flag: int, qlen: int, r: Region, opt_flag: int) -> str:
     clip0 = qlen - r.qe if r.rev else r.qs
     clip1 = r.qs if r.rev else qlen - r.qe
     clip_char = "H" if (sam_flag & 0x800) and not (opt_flag & MM_F_SOFTCLIP) else "S"
+    if _nlib.has_cigar_str():
+        return _nlib.cigar_str(r.p.cigar, clip0, clip1, clip_char)
     s = ""
     if clip0:
         s += f"{clip0}{clip_char}"

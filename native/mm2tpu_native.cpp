@@ -3067,4 +3067,26 @@ int64_t mm2_seed_hits(int64_t n_mv, const uint64_t *mv,
     return na;
 }
 
+// CIGAR -> text ("<len><op>" runs, format.c:365-389 write_sam_cigar and
+// the cg:Z: tag). One call formats the whole region incl. soft/hard
+// clips; the Python f-string-per-op path costs ~240 ns/op on long-read
+// CIGARs (~1k ops/read), this is ~5 ns/op. `out` must hold at least
+// 11*(n+2) bytes (10 digits + 1 op char per run). Returns bytes written.
+int64_t mm2_cigar_str(const uint32_t *cig, int64_t n, int32_t clip0,
+                      int32_t clip1, char clip_char, char *out) {
+    static const char OPS[] = "MIDNSHP=XB";
+    char *p = out;
+    auto put = [&p](uint32_t v, char op) {
+        char tmp[10];
+        int k = 0;
+        do { tmp[k++] = (char)('0' + v % 10u); v /= 10u; } while (v);
+        while (k) *p++ = tmp[--k];
+        *p++ = op;
+    };
+    if (clip0 > 0) put((uint32_t)clip0, clip_char);
+    for (int64_t i = 0; i < n; ++i) put(cig[i] >> 4, OPS[cig[i] & 0xF]);
+    if (clip1 > 0) put((uint32_t)clip1, clip_char);
+    return (int64_t)(p - out);
+}
+
 }  // extern "C"
