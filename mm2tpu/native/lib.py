@@ -281,19 +281,29 @@ def _mat_ptr(mat) -> int:
     return ent[2]
 
 
-def _parse_fill_result(lib, c):
-    from ..ops.ksw2_ref import ExtzResult
+_ExtzResult = None
 
-    ez = ExtzResult()
-    (ez.max, zd, ez.max_q, ez.max_t, ez.mqe, ez.mqe_t, ez.mte,
-     ez.mte_q, ez.score, re_) = c.ez.tolist()
-    ez.zdropped = bool(zd)
-    ez.reach_end = bool(re_)
+
+def _parse_fill_result(lib, c):
+    global _ExtzResult
+    if _ExtzResult is None:
+        from ..ops.ksw2_ref import ExtzResult
+        _ExtzResult = ExtzResult
+    # hot path (~50 calls/read): bypass the dataclass __init__ + 10
+    # setattr — one __dict__ literal per result
+    mx, zd, mq, mt, mqe, mqe_t, mte, mte_q, sc, re_ = c.ez.tolist()
     n = c.ncig.value
     if n:
-        ez.cigar = np.frombuffer(ctypes.string_at(c.cig, 4 * n),
-                                 np.uint32).tolist()
+        cig = np.frombuffer(ctypes.string_at(c.cig, 4 * n),
+                            np.uint32).tolist()
         lib.mm2_free(c.cig)
+    else:
+        cig = []
+    ez = _ExtzResult.__new__(_ExtzResult)
+    ez.__dict__ = {
+        "max": mx, "zdropped": bool(zd), "max_q": mq, "max_t": mt,
+        "mqe": mqe, "mqe_t": mqe_t, "mte": mte, "mte_q": mte_q,
+        "score": sc, "reach_end": bool(re_), "cigar": cig}
     return ez, int(c.code.value)
 
 
