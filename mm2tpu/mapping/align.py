@@ -903,7 +903,81 @@ def align1(opt: MapOptions, mi, qlen: int, qseq0, r: Region, n_a: int,
             return False
         return True
 
-    i = cnt1 - 1 if is_sr else 1
+    # batched seed-walk: the gap-fill geometry is deterministic (each
+    # fill starts at the previous seed's endpoint whatever the fill
+    # returned, until a zdrop breaks the walk) — so plan every gap up
+    # front and run the WHOLE walk in one native call
+    # (native_lib.ksw_fill_walk), instead of ~50 FFI crossings per read.
+    # Fallback to the per-gap loop for sr/HPC/splice or when any gap is
+    # routed off the fused path (device caps).
+    walked = False
+    if (_fused_const and not is_sr and rv_l is not None
+            and _native_has("has_fill_walk")):
+        sseq = mi.seq[rid]
+        plan = []  # (i_seed, qlen, tlen, q_off, ref_off, bw1)
+        plan_ok = True
+        rs_p, qs_p = rs, qs
+        i = 1
+        while i < cnt1:
+            ay = ay_l[i]
+            if (ay & (MM_SEED_IGNORE | MM_SEED_TANDEM)) and i != cnt1 - 1:
+                i += 1
+                continue
+            re_p, qe_p = rv_l[i], qv_l[i]
+            if i == cnt1 - 1 or (ay & MM_SEED_LONG_JOIN) or \
+                    (qe_p - qs_p >= opt.min_ksw_len and
+                     re_p - rs_p >= opt.min_ksw_len):
+                if not _fused_ok_fast(qe_p - qs_p, re_p - rs_p):
+                    plan_ok = False
+                    break
+                bw1 = max(qe_p - qs_p, re_p - rs_p) \
+                    if ay & MM_SEED_LONG_JOIN else bw
+                plan.append((i, qe_p - qs_p,
+                             min(re_p, sseq.length) - rs_p, qs_p,
+                             sseq.offset + rs_p, bw1))
+                rs_p, qs_p = re_p, qe_p
+            i += 1
+        if plan_ok and plan:
+            from ..native import lib as native_lib
+            if _qptr[0] is None:
+                _qptr[0] = (qseq0[0].ctypes.data, qseq0[1].ctypes.data)
+            garr = np.array([p[1:] for p in plan], np.int64)
+            n_done, zcode, ssum, zflag, wcig, wez = native_lib.ksw_fill_walk(
+                garr, _index_sptr(mi), _qptr[0][rev], mat, opt.q, opt.e,
+                opt.q2, opt.e2, opt.zdrop, opt.zdrop_inv, extra_flag,
+                not (opt.flag & (MM_F_SPLICE | MM_F_SR | MM_F_FOR_ONLY |
+                                 MM_F_REV_ONLY)),
+                opt.max_gap, opt.min_chain_score * opt.a, opt.min_dp_max)
+            if wcig:
+                append_cigar(r, wcig)
+            if r.p is None:
+                r.p = Extra()
+            r.p.dp_score += ssum
+            i_seed, _, _, gq, goff, _ = plan[n_done - 1]
+            gr = goff - sseq.offset  # last executed gap's rs
+            if zflag:
+                j = i_seed - 1
+                while j >= 0:
+                    if _i32(ax_l[j]) <= gr + wez.max_t:
+                        break
+                    j -= 1
+                dropped = True
+                if j < 0:
+                    j = 0
+                r.p.dp_score += wez.max
+                re1 = gr + (wez.max_t + 1)
+                qe1 = gq + (wez.max_q + 1)
+                if cnt1 - (j + 1) >= opt.min_cnt:
+                    r2 = split_reg(r, as1 + j + 1 - r.as_, qlen, a)
+                    if r2 is not None and zcode == 2:
+                        r2.split_inv = True
+            else:
+                rs, qs = rv_l[i_seed], qv_l[i_seed]
+                re, qe = rs, qs
+                re1, qe1 = rs, qs
+            walked = True
+
+    i = cnt1 if walked else (cnt1 - 1 if is_sr else 1)
     while i < cnt1:  # gap filling
         ay = ay_l[i]
         if (ay & (MM_SEED_IGNORE | MM_SEED_TANDEM)) and i != cnt1 - 1:

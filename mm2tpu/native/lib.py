@@ -161,6 +161,12 @@ def _load() -> Optional[ctypes.CDLL]:
     if hasattr(lib, "mm2_fix_cigar"):
         lib.mm2_fix_cigar.argtypes = [_VP, _I64, _VP, _VP, _VP]
         lib.mm2_fix_cigar.restype = _I64
+    if hasattr(lib, "mm2_ksw_fill_walk"):
+        lib.mm2_ksw_fill_walk.argtypes = [
+            _VP, _I64, _VP, _VP, _VP,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.POINTER(_I32), _VP]
+        lib.mm2_ksw_fill_walk.restype = ctypes.c_int
     if hasattr(lib, "mm2_cigar_str"):
         lib.mm2_cigar_str.argtypes = [_VP, _I64, _I32, _I32,
                                       ctypes.c_char, _VP]
@@ -261,6 +267,8 @@ class _FillCtx(_threading.local):
         self.br_cig = ctypes.byref(self.cig)
         self.br_ncig = ctypes.byref(self.ncig)
         self.br_code = ctypes.byref(self.code)
+        self.walk = np.zeros(4, np.int64)
+        self.walkp = self.walk.ctypes.data
 
 
 _fill_ctx = _FillCtx()
@@ -341,6 +349,56 @@ def ksw_extd2_fill_ref(s_ptr: int, ref_off: int, tlen: int, q_ptr: int,
     if rc != 0:
         raise MemoryError("mm2_ksw_extd2_fillp allocation failed")
     return _parse_fill_result(lib, c)
+
+
+def has_fill_walk() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_ksw_fill_walk")
+
+
+def ksw_fill_walk(gaps: np.ndarray, s_ptr: int, q_ptr: int, mat, q: int,
+                  e: int, q2: int, e2: int, zdrop: int, zdrop_inv: int,
+                  flag: int, inv_enabled: bool, max_gap: int,
+                  min_inv_score: int, min_dp_max: int):
+    """Batched seed-walk: ONE FFI crossing runs the whole precomputed
+    gap-fill plan (align.c:700-771 loop) — each row a fused fill — with
+    CIGAR boundary-merging and score accumulation in C. gaps is an
+    (n, 5) int64 array [qlen, tlen, q_off, ref_off, bw]. Returns
+    (n_done, zdrop_code, score_sum, zdropped, cigar_list, ez-of-last)."""
+    lib = _load()
+    c = _fill_ctx
+    par = c.par
+    par[2] = q
+    par[3] = e
+    par[4] = q2
+    par[5] = e2
+    par[7] = zdrop
+    par[8] = zdrop_inv
+    par[9] = flag
+    par[10] = 1 if inv_enabled else 0
+    par[11] = max_gap
+    par[12] = min_inv_score
+    par[13] = min_dp_max
+    par[14] = s_ptr
+    par[16] = q_ptr
+    ga, gp = _ptr(gaps, np.int64)
+    rc = lib.mm2_ksw_fill_walk(gp, len(ga), c.parp, _mat_ptr(mat), c.ezp,
+                               c.br_cig, c.br_ncig, c.walkp)
+    if rc != 0:
+        raise MemoryError("mm2_ksw_fill_walk allocation failed")
+    n = c.ncig.value
+    if n:
+        cig = np.frombuffer(ctypes.string_at(c.cig, 4 * n),
+                            np.uint32).tolist()
+        lib.mm2_free(c.cig)
+    else:
+        cig = []
+    c.code.value = int(c.walk[1])
+    c.ncig.value = 0
+    ez, _ = _parse_fill_result(lib, c)
+    ez.cigar = []  # the merged walk cigar rides separately
+    return (int(c.walk[0]), int(c.walk[1]), int(c.walk[2]),
+            bool(c.walk[3]), cig, ez)
 
 
 def ksw_extd2_fill(qlen: int, query: np.ndarray, tlen: int,

@@ -2456,6 +2456,79 @@ int mm2_ksw_extd2_fillp(const int64_t *par, const uint8_t *query,
         cigar_out, n_cigar_out, zdrop_code_out);
 }
 
+// Batched seed-walk (the align.c:700-771 gap-fill loop): execute a
+// PRECOMPUTED sequence of fused gap fills in ONE FFI crossing. The gap
+// geometry is deterministic — each fill starts where the previous seed
+// ended regardless of the fill's result — so the host plans the rows up
+// front and this loop only has to stop early when a fill zdrops (the
+// zdropped gap's CIGAR is still merged first, matching the host loop).
+// Per-gap CIGARs merge with the append_cigar boundary-run rule
+// (align.c:186-205) and the non-zdropped dp scores accumulate.
+// gaps: ngaps x 5 int64 rows [qlen, tlen, q_off, ref_off, bw].
+// par: the mm2_ksw_extd2_fillp constant layout (indices 2..5 scores,
+// 7..13 zdrop/flag/inv/caps, 14 = 4-bit packed reference, 16 = query
+// base pointer); per-gap w/qlen/tlen/offsets come from the rows.
+// walk_out: [n_done, zdrop_code_of_last_gap, score_sum, zdropped].
+int mm2_ksw_fill_walk(const int64_t *gaps, int64_t ngaps,
+                      const int64_t *par, const int8_t *mat,
+                      int64_t *ez_out, uint32_t **cigar_out,
+                      int32_t *n_cigar_out, int64_t *walk_out) {
+    static thread_local std::vector<uint8_t> tbuf;
+    static thread_local std::vector<uint32_t> cbuf;
+    cbuf.clear();
+    const uint32_t *S = (const uint32_t *)par[14];
+    const uint8_t *qbase = (const uint8_t *)par[16];
+    int64_t score_sum = 0, n_done = 0, zdropped = 0;
+    int32_t code = 0;
+    *cigar_out = nullptr;
+    *n_cigar_out = 0;
+    for (int64_t g = 0; g < ngaps; ++g) {
+        const int64_t *row = gaps + g * 5;
+        const int32_t qlen = (int32_t)row[0], tlen = (int32_t)row[1];
+        const int64_t off = row[3];
+        if ((int64_t)tbuf.size() < (int64_t)tlen) tbuf.resize(tlen);
+        for (int32_t t = 0; t < tlen; ++t) {
+            const int64_t o = off + t;
+            tbuf[t] = (S[o >> 3] >> ((o & 7) << 2)) & 0xF;
+        }
+        uint32_t *cig = nullptr;
+        int32_t ncig = 0;
+        int rc = mm2_ksw_extd2_fill(
+            qlen, qbase + row[2], tlen, tbuf.data(), mat, (int32_t)par[2],
+            (int32_t)par[3], (int32_t)par[4], (int32_t)par[5],
+            (int32_t)row[4], (int32_t)par[7], (int32_t)par[8],
+            (int32_t)par[9], (int32_t)par[10], (int32_t)par[11], par[12],
+            par[13], ez_out, &cig, &ncig, &code);
+        if (rc != 0) return rc;
+        if (ncig) {
+            int64_t start = 0;
+            if (!cbuf.empty() && (cbuf.back() & 0xF) == (cig[0] & 0xF)) {
+                cbuf.back() += cig[0] >> 4 << 4;  // merge the boundary run
+                start = 1;
+            }
+            cbuf.insert(cbuf.end(), cig + start, cig + ncig);
+            free(cig);
+        }
+        ++n_done;
+        if (ez_out[1]) {  // zdropped: host handles the chain split
+            zdropped = 1;
+            break;
+        }
+        score_sum += ez_out[8];
+    }
+    if (!cbuf.empty()) {
+        *cigar_out = (uint32_t *)malloc(cbuf.size() * sizeof(uint32_t));
+        if (!*cigar_out) return -1;
+        memcpy(*cigar_out, cbuf.data(), cbuf.size() * sizeof(uint32_t));
+        *n_cigar_out = (int32_t)cbuf.size();
+    }
+    walk_out[0] = n_done;
+    walk_out[1] = code;
+    walk_out[2] = score_sum;
+    walk_out[3] = zdropped;
+    return 0;
+}
+
 // mm_fix_cigar (align.c:91-167): indel left-shift, 5I6D7I merge,
 // leading-indel trim — in place on the uint32 cigar array. out =
 // [qshift, tshift, lead_op, qoff, toff]; returns the new length. The
