@@ -965,6 +965,9 @@ def align1(opt: MapOptions, mi, qlen: int, qseq0, r: Region, n_a: int,
                 if j < 0:
                     j = 0
                 r.p.dp_score += wez.max
+                # mirror the fallback loop's state on break: re/qe hold the
+                # dropped seed's endpoint (set at the top of its iteration)
+                re, qe = rv_l[i_seed], qv_l[i_seed]
                 re1 = gr + (wez.max_t + 1)
                 qe1 = gq + (wez.max_q + 1)
                 if cnt1 - (j + 1) >= opt.min_cnt:

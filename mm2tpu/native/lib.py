@@ -583,6 +583,8 @@ def cigar_str(cigar, clip0: int = 0, clip1: int = 0,
     base = ctypes.addressof(_cigstr.buf)
     n = lib.mm2_cigar_str(cp, len(ca), clip0, clip1,
                           clip_char.encode("ascii"), base)
+    if n < 0:  # op nibble >= 10: corrupt CIGAR, match the Python path's raise
+        raise IndexError("invalid CIGAR op nibble in %r" % (list(ca[:8]),))
     return ctypes.string_at(base, n).decode("ascii")
 
 

@@ -3157,7 +3157,11 @@ int64_t mm2_cigar_str(const uint32_t *cig, int64_t n, int32_t clip0,
         *p++ = op;
     };
     if (clip0 > 0) put((uint32_t)clip0, clip_char);
-    for (int64_t i = 0; i < n; ++i) put(cig[i] >> 4, OPS[cig[i] & 0xF]);
+    for (int64_t i = 0; i < n; ++i) {
+        uint32_t op = cig[i] & 0xF;
+        if (op >= 10) return -1;  // corrupt CIGAR: fail loudly, caller raises
+        put(cig[i] >> 4, OPS[op]);
+    }
     if (clip1 > 0) put((uint32_t)clip1, clip_char);
     return (int64_t)(p - out);
 }
