@@ -82,18 +82,41 @@ class DeviceQueue:
             return True
 
 
-def fit_cost_model(rows: Sequence[Sequence[float]]) -> CostModel:
-    """Least-squares fit of the five constants from measurement rows
-    (n, total_subparts, total_trip_count, dev_ms, host_ms) — the analogue
-    of hw_sw_split/find_params.py's two sklearn LinearRegressions."""
+def fit_cost_model(rows: Sequence[Sequence[float]],
+                   floor_dev_ms: Optional[float] = None) -> CostModel:
+    """Physically-constrained least-squares fit of the five constants from
+    measurement rows (n, total_subparts, total_trip_count, dev_ms, host_ms)
+    — the analogue of hw_sw_split/find_params.py's two sklearn
+    LinearRegressions, with bounds an unconstrained regression can violate
+    when the feature columns are collinear (n and subparts nearly are):
+
+      k1_dev, k2_dev >= 0   — more anchors/subparts never make the device
+                              faster (the reference's fits agree,
+                              chain_hardware.h:19-30)
+      c_dev >= floor_dev_ms — the dispatch floor: a device call cannot
+                              complete faster than one launch round-trip.
+                              The trainer measures it directly by timing
+                              a minimal device launch (train_router.py);
+                              defaults to 0 (nonnegativity only).
+      k_host >= 0           — c_host stays free (the reference's host fits
+                              have negative intercepts too)
+    """
+    from scipy.optimize import lsq_linear
     m = np.asarray(rows, dtype=np.float64)
     if m.ndim != 2 or m.shape[1] != 5 or len(m) < 3:
         raise ValueError("need >=3 rows of (n, subparts, tripcount, "
                          "dev_ms, host_ms)")
+    if floor_dev_ms is None:
+        floor_dev_ms = 0.0
     A = np.stack([m[:, 0], m[:, 1], np.ones(len(m))], axis=1)
-    (k1, k2, c), *_ = np.linalg.lstsq(A, m[:, 3], rcond=None)
+    res = lsq_linear(A, m[:, 3],
+                     bounds=([0.0, 0.0, floor_dev_ms],
+                             [np.inf, np.inf, np.inf]))
+    k1, k2, c = res.x
     B = np.stack([m[:, 2], np.ones(len(m))], axis=1)
-    (kh, ch), *_ = np.linalg.lstsq(B, m[:, 4], rcond=None)
+    resh = lsq_linear(B, m[:, 4],
+                      bounds=([0.0, -np.inf], [np.inf, np.inf]))
+    kh, ch = resh.x
     return CostModel(k1_dev=float(k1), k2_dev=float(k2), c_dev=float(c),
                      k_host=float(kh), c_host=float(ch))
 

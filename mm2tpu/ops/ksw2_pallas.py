@@ -519,6 +519,15 @@ def _backtrack_abs(rows, off, off_end, i0, j0, rev_cigar,
 # per-program VMEM round trip best before scratch pressure bites.
 ROWS_PER_PROGRAM = 8
 
+
+def rows_per_program(interpret: bool) -> int:
+    """rpp is a pure perf knob (bit-identical across values, pinned by the
+    on-chip sweep + differentials). In interpret mode the kernel body is
+    traced rpp times per program, making CPU-backend XLA programs ~rpp x
+    larger — a 3+ minute compile per shape on a 1-core box — for zero
+    benefit, so interpret runs use rpp=1."""
+    return 1 if interpret else ROWS_PER_PROGRAM
+
 # 1.5x-geometric row-count ladder: coarse enough that a whole mapping run
 # compiles only a handful of (B, Tpad, Rmax) programs (a cold XLA cache
 # paid dozens of ad-hoc Mosaic compiles before), fine enough that padded
@@ -609,7 +618,8 @@ def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
         sc_N=sc_N, w=w, right=bool(flag & KSW_EZ_RIGHT),
         approx=bool(flag & KSW_EZ_APPROX_MAX),
         approx_drop=bool(flag & KSW_EZ_APPROX_DROP),
-        Rmax=Rmax, rpp=ROWS_PER_PROGRAM, interpret=bool(interpret))
+        Rmax=Rmax, rpp=rows_per_program(bool(interpret)),
+        interpret=bool(interpret))
     d = np.asarray(d)
     ez = np.asarray(ez)
     rev_cigar = bool(flag & KSW_EZ_REV_CIGAR)
@@ -1005,7 +1015,8 @@ def exts2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
         sc_N=sc_N, right=bool(flag & KSW_EZ_RIGHT),
         approx=bool(flag & KSW_EZ_APPROX_MAX),
         approx_drop=bool(flag & KSW_EZ_APPROX_DROP),
-        Rmax=Rmax, rpp=ROWS_PER_PROGRAM, interpret=bool(interpret))
+        Rmax=Rmax, rpp=rows_per_program(bool(interpret)),
+        interpret=bool(interpret))
     d = np.asarray(d)
     ez = np.asarray(ez)
     rev_cigar = bool(flag & KSW_EZ_REV_CIGAR)

@@ -45,7 +45,7 @@ def synth_task(n: int, density: float, rng) -> np.ndarray:
 _REGIMES = {
     "map": {"ns": (512, 1024, 2048, 4096, 8192, 16384, 32768),
             "densities": (0.05, 0.3, 1.0)},
-    "asm20": {"ns": (2048, 4096, 8192, 16384, 32768, 65536),
+    "asm20": {"ns": (256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536),
               "densities": (0.5, 1.0, 2.0)},
 }
 
@@ -74,6 +74,20 @@ def main() -> int:
     rng = np.random.default_rng(0)
     rows = []
     reg = _REGIMES[args.regime]
+
+    # measure the dispatch floor directly: a minimal device launch bounds
+    # c_dev from below — the physical constraint the fit must respect
+    # (an unconstrained regression on collinear n/subparts columns can
+    # push the floor into the slopes; VERDICT r4's degenerate asm fit)
+    tiny = synth_task(64, 1.0, rng)
+    chain_scores_tpu_v2(tiny, args.max_dist_x, 5000, 500, 1024, 1.0,
+                        False, 1)  # warm-up compile
+    floor_ms = min(_time(lambda: chain_scores_tpu_v2(
+        tiny, args.max_dist_x, 5000, 500, 1024, 1.0, False, 1))
+        for _ in range(max(args.reps, 5)))
+    print("dispatch floor (n=64 launch): %.3f ms" % floor_ms,
+          file=sys.stderr)
+
     print("n\tsubparts\ttripcount\tdev_ms\thost_ms", file=sys.stderr)
     for n in reg["ns"]:
         for density in reg["densities"]:
@@ -94,7 +108,7 @@ def main() -> int:
                   % (n, total_sub, total_trip, t_dev, t_host),
                   file=sys.stderr)
 
-    model = fit_cost_model(rows)
+    model = fit_cost_model(rows, floor_dev_ms=0.9 * floor_ms)
     model.save(args.out)
     print("t_dev[ms]  ~= %.4g*n + %.4g*subparts + %.4g"
           % (model.k1_dev, model.k2_dev, model.c_dev), file=sys.stderr)

@@ -172,14 +172,67 @@ def test_default_model_loads_without_jax_but_gates_on_device():
 
 
 def test_router_feasibility_short_circuit():
-    """With the shipped v5e-tunnel constants (63 ms dispatch floor,
-    k_host*1024 < k1_dev) NO task size can prefer the device: the router
-    precomputes that and answers 'native' without the per-task feature
-    pass. A floor-free model keeps the full comparison path."""
+    """The precomputed feasibility bound must agree with the model's own
+    physics: below it the device cannot win even at the densest window
+    (MAX_TRIPCOUNT trips/anchor), at/above it the full comparison runs.
+    A floor-free model keeps the full comparison path."""
     r = ChainRouter("auto")
-    if r.cost_model is not None and r._default_model:
-        assert r._n_min_dev == float("inf")
+    m = r.cost_model
+    if m is not None and r._default_model and r._n_min_dev < float("inf"):
+        # at the bound with saturated trips, predicted times cross over
+        nb = r._n_min_dev
+        s_min = 1 if m.k2_dev >= 0 else 1024 // 128
+        t_dev = m.predict_dev(nb, s_min * nb)
+        t_host = m.predict_host(1024 * nb)
+        assert abs(t_dev - t_host) <= 1e-6 * max(abs(t_dev), 1.0)
+        # just below the bound the device strictly loses
+        assert m.predict_dev(nb * 0.9, s_min * nb * 0.9) \
+            > m.predict_host(1024 * nb * 0.9)
     free = CostModel(k1_dev=0.0, k2_dev=0.0, c_dev=0.0,
                      k_host=1e-3, c_host=0.0)
     r2 = ChainRouter("auto", cost_model=free)
     assert r2._n_min_dev == 0.0
+
+
+def test_fit_respects_physical_constraints():
+    """A collinear (n, subparts) design must not push the dispatch floor
+    into the slopes: the fitter bounds k1_dev, k2_dev, k_host >= 0 and
+    c_dev >= the measured dispatch floor (VERDICT r4: the unconstrained
+    asm fit produced c_dev = 0.2 us and k2_dev < 0)."""
+    rng = np.random.default_rng(1)
+    rows = []
+    for n in (512, 1024, 2048, 4096, 8192, 16384):
+        sub = n * 7.9  # nearly collinear with n, like dense asm tasks
+        trip = n * 900.0
+        dev = 60.0 + 2.5e-3 * n + rng.normal(0, 0.5)
+        hostt = 1.0 + 9e-7 * trip + rng.normal(0, 0.05)
+        rows.append((n, sub, trip, dev, hostt))
+    floor = 0.9 * min(r[3] for r in rows)  # trainer-measured tiny launch
+    m = fit_cost_model(rows, floor_dev_ms=floor)
+    assert m.k1_dev >= 0 and m.k2_dev >= 0 and m.k_host >= 0
+    assert m.c_dev >= floor
+    # and the fit still predicts the data well
+    for n, sub, trip, dev, hostt in rows:
+        assert abs(m.predict_dev(n, sub) - dev) < 0.3 * dev
+
+
+def test_shipped_regime_files_are_physical():
+    """Every shipped per-regime constant file (the analogue of the
+    reference's two pasted-in sets, chain_hardware.h:18-30) must satisfy
+    dispatch-floor physics: a device call cannot finish in under the
+    launch round-trip, and bigger tasks are never faster."""
+    import glob
+    import os
+    import mm2tpu
+    files = glob.glob(os.path.join(
+        os.path.dirname(mm2tpu.__file__), "data", "router_params*.json"))
+    assert files, "no shipped router constant files found"
+    for f in files:
+        m = CostModel.load(f)
+        assert m.k1_dev >= 0, f
+        assert m.k2_dev >= 0, f
+        assert m.k_host > 0, f
+        # dispatch floor: even a PCIe-attached accelerator needs ~100 us;
+        # this tunnel measures ~tens of ms. 0.05 ms is a generous lower
+        # bound that still rejects the degenerate 0.2 us fit.
+        assert m.c_dev >= 0.05, (f, m.c_dev)
