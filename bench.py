@@ -300,8 +300,8 @@ def transport_breakdown():
     and device compute — the evidence for WHERE an e2e device-path gap
     comes from on this attachment (VERDICT r2 item 1's breakdown)."""
     import jax
-    import jax.numpy as jnp
-    from mm2tpu.ops.chain_packed import chain_scores_packed
+    from mm2tpu.ops.chain_packed import (chain_scores_packed,
+                                         chain_scores_packed8, pack_tasks8)
 
     B, N = 64, 4096
     rng = np.random.default_rng(0)
@@ -320,6 +320,19 @@ def transport_breakdown():
         f, prel = chain_scores_packed(hi, lo, yhi, ylo, n, avg, **kw)
         np.asarray(f), np.asarray(prel)
 
+    # the same tasks through the delta-packed 8 B/anchor wire
+    tasks = []
+    for b in range(B):
+        x = (lo[b].astype(np.uint64))
+        y = (np.uint64(15) << np.uint64(32)) | ylo[b].astype(np.uint64)
+        tasks.append(np.stack([x, y], axis=1))
+    p8 = pack_tasks8(tasks, N)
+    bytes_up8 = sum(a.nbytes for a in p8) if p8 is not None else None
+
+    def full_roundtrip8():
+        f, prel = chain_scores_packed8(*p8, **kw)
+        np.asarray(f), np.asarray(prel)
+
     tiny = jax.jit(lambda x: x + 1)
     xt = np.zeros((8, 128), np.int32)
 
@@ -332,7 +345,7 @@ def transport_breakdown():
     t_floor = min(_t(floor_roundtrip) for _ in range(5))
     bytes_up = 4 * 4 * B * N + n.nbytes + avg.nbytes
     bytes_down = 6 * B * N
-    return {
+    out = {
         "transport_shape": "B=64xN=4096 packed (16B up + 6B down /anchor)",
         "transport_roundtrip_ms": round(t_full * 1e3, 2),
         "transport_dispatch_floor_ms": round(t_floor * 1e3, 2),
@@ -341,6 +354,13 @@ def transport_breakdown():
         "transport_wire_mb_per_s": round(
             (bytes_up + bytes_down) / max(t_full - t_floor, 1e-9) / 1e6, 1),
     }
+    if p8 is not None:
+        full_roundtrip8()
+        t_full8 = min(_t(full_roundtrip8) for _ in range(5))
+        out["transport8_roundtrip_ms"] = round(t_full8 * 1e3, 2)
+        out["transport8_bytes_up"] = bytes_up8
+        out["transport8_up_b_per_anchor"] = round(bytes_up8 / (B * N), 2)
+    return out
 
 
 def _t(fn):
@@ -439,6 +459,55 @@ def main():
         extra["e2e_device_batch_reads_per_s"] = round(n_reads / t_steady, 1)
         extra["parity_batch_vs_host"] = (out_dev == out_host) and \
             (out_dev2 == out_dev)
+        # ---- device-batch time accounting (VERDICT r4 item 4): a third
+        # profiled run decomposes the e2e wall into measured stages, and
+        # the chain.device stage into wire + dispatch floors + device
+        # compute using THIS bench's own measured transport numbers ----
+        try:
+            log("device batch accounting (profiled run)...")
+            from mm2tpu.utils import profiling as _prof
+            t_acct, _ = run_cli(["-x", "map-ont", "--map-mode", "batch",
+                                 "--profile", idx, reads])
+            snap = _prof.snapshot()
+            ctr = dict(_prof.counters)
+            _prof.disable()
+            _prof.reset()
+            stages = {k: round(v[0], 3) for k, v in snap.items()}
+            up = ctr.get("chain.bytes_up", 0)
+            down = ctr.get("chain.bytes_down", 0)
+            launches = ctr.get("chain.launches", 0)
+            padded = ctr.get("chain.padded_anchors", 0)
+            wire_bps = extra.get("transport_wire_mb_per_s", 0) * 1e6
+            floor_s = extra.get("transport_dispatch_floor_ms", 0) / 1e3
+            rate = extra.get("chain_dense_anchors_per_s", 0) or 1
+            model_wire_s = (up + down) / wire_bps if wire_bps else None
+            model_floor_s = launches * floor_s
+            model_compute_s = padded / rate
+            dev_stage_s = snap.get("chain.device", (0.0, 0))[0]
+            model_total = (model_wire_s or 0) + model_floor_s \
+                + model_compute_s
+            top = ("index", "seed", "chain.device", "chain.backtrack",
+                   "post", "align", "emit", "merge", "chain")
+            stage_sum = sum(snap.get(k, (0.0, 0))[0] for k in top)
+            extra["device_batch_accounting"] = {
+                "e2e_profiled_s": round(t_acct, 2),
+                "stages_s": stages,
+                "launches": int(launches),
+                "anchors": int(ctr.get("chain.anchors", 0)),
+                "padded_anchors": int(padded),
+                "bytes_up": int(up),
+                "bytes_down": int(down),
+                "model_wire_s": round(model_wire_s, 3)
+                if model_wire_s is not None else None,
+                "model_dispatch_floor_s": round(model_floor_s, 3),
+                "model_device_compute_s": round(model_compute_s, 3),
+                "chain_device_stage_s": round(dev_stage_s, 3),
+                "chain_device_accounted_frac": round(
+                    model_total / dev_stage_s, 3) if dev_stage_s else None,
+                "e2e_accounted_frac": round(stage_sum / t_acct, 3),
+            }
+        except Exception as e:
+            log("device batch accounting skipped: %r" % e)
     else:
         extra["e2e_device_batch_s"] = "skipped_budget"
     if time.time() - t_start < budget * 0.75:

@@ -422,8 +422,9 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
     from ..ops import chain_ref
     from ..ops.chain_pallas import WINDOW
     from ..ops.chain_pallas_v2 import v_carry_host
-    from ..ops.chain_packed import (chain_scores_packed, pack_tasks16,
-                                    pick_lanes, unpack_prel)
+    from ..ops.chain_packed import (chain_scores_packed,
+                                    chain_scores_packed8, pack_tasks8,
+                                    pack_tasks16, pick_lanes, unpack_prel)
     from ..parallel.batching import bucket_for, pack_tasks
 
     if mesh is not None:
@@ -490,15 +491,35 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
                     f, p = step(pb.hi, pb.lo, pb.qi, pb.span, pb.sid,
                                 pb.n, pb.avg)
                     return chunk, f, p, False
-                # wire-packed dispatch: 16 B/anchor up, 6 B/anchor back
-                # (ops/chain_packed.py); v3 kernel for uniseg shapes
+                # wire-packed dispatch: delta-packed 8 B/anchor up when
+                # the exception budget holds (ops/chain_packed.py;
+                # x-sorted anchors delta-encode), else 16 B/anchor;
+                # 6 B/anchor back either way; v3 kernel for uniseg shapes
+                lanes = pick_lanes(B, not is_cdna and n_segs == 1)
+                if profiling.enabled:
+                    profiling.count("chain.launches")
+                    profiling.count("chain.anchors",
+                                    sum(len(t) for t in tasks))
+                    profiling.count("chain.padded_anchors", B * N)
+                p8 = pack_tasks8(tasks, N)
+                if p8 is not None:
+                    if profiling.enabled:
+                        profiling.count("chain.bytes_up",
+                                        sum(a.nbytes for a in p8))
+                    f, prel = chain_scores_packed8(
+                        *p8, max_dist_x=mdx, max_dist_y=mdy, bw=bw,
+                        iter_cap=iter_cap, gap_scale=gs, is_cdna=is_cdna,
+                        n_segs=n_segs, interpret=interpret, lanes=lanes)
+                    return chunk, f, prel, True
                 hi, lo, yhi, ylo, n_arr, avg_arr = pack_tasks16(tasks, N)
+                if profiling.enabled:
+                    profiling.count("chain.bytes_up", 16 * B * N +
+                                    n_arr.nbytes + avg_arr.nbytes)
                 f, prel = chain_scores_packed(
                     hi, lo, yhi, ylo, n_arr, avg_arr, max_dist_x=mdx,
                     max_dist_y=mdy, bw=bw, iter_cap=iter_cap,
                     gap_scale=gs, is_cdna=is_cdna, n_segs=n_segs,
-                    interpret=interpret,
-                    lanes=pick_lanes(B, not is_cdna and n_segs == 1))
+                    interpret=interpret, lanes=lanes)
                 return chunk, f, prel, True
 
         try:
@@ -512,6 +533,8 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
             with profiling.stage("chain.device"):
                 f = np.asarray(f)
                 pr = np.asarray(pr)
+            if profiling.enabled:
+                profiling.count("chain.bytes_down", f.nbytes + pr.nbytes)
             with profiling.stage("chain.backtrack"):
                 if packed:
                     p_all = v_all = None

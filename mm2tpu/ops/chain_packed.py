@@ -77,6 +77,129 @@ def chain_scores_packed(hi, lo, yhi, ylo, n, avg, *, max_dist_x: int,
     return f, _p_rel(p)
 
 
+E_EXC = 128  # exception slots per task row (hi changes + big lo jumps)
+
+
+def pack_tasks8(tasks, N: int):
+    """Delta-packed 8 B/anchor up-plane (VERDICT r4 item 4): anchors are
+    x-sorted, so the top word hi (strand|rid) is non-decreasing under a
+    sign-bias and the low word delta-encodes to uint16 almost everywhere.
+
+    Per-anchor wire: d uint16 (lo delta) + qi int32 + spansid uint16
+    = 8 B, plus an (B, E_EXC) exception side-channel (~0.4% at N=4096)
+    carrying absolute (pos, lo-correction, biased-hi) triples wherever
+    the delta overflows or hi changes. Decode on device is one cumsum +
+    one cummax fused into the kernel's jit (_decode8).
+
+    Returns None if any row needs more than E_EXC exceptions — the
+    caller falls back to pack_tasks16 (same results, wider wire)."""
+    from .chain_ref import avg_qspan_scaled
+    B = len(tasks)
+    SENT_HI = -0x7FFFFF0  # never-matching pad sentinel (pack_anchors:202)
+    BIAS = np.uint32(0x80000000)
+    d = np.zeros((B, N), np.uint16)
+    qi = np.zeros((B, N), np.int32)
+    spansid = np.zeros((B, N), np.uint16)
+    exc_pos = np.full((B, E_EXC), N, np.int32)   # N = out-of-bounds: drop
+    exc_c = np.zeros((B, E_EXC), np.int32)
+    exc_hib = np.zeros((B, E_EXC), np.int32)
+    n_arr = np.zeros((B, 1), np.int32)
+    avg_arr = np.zeros((B, 1), np.float32)
+    sent_hib = int((np.array(SENT_HI, np.int32).view(np.uint32) ^ BIAS)
+                   .view(np.int32))
+    for b, a in enumerate(tasks):
+        m = len(a)
+        n_arr[b, 0] = m
+        if m:
+            avg_arr[b, 0] = avg_qspan_scaled(a)
+        x = a[:, 0] if m else np.zeros(0, np.uint64)
+        y = a[:, 1] if m else np.zeros(0, np.uint64)
+        hi_u = (x >> np.uint64(32)).astype(np.uint32)
+        lo_i = (x & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32)
+        hib = (hi_u ^ BIAS).view(np.int32)
+        yhi = (y >> np.uint64(32)).astype(np.uint32).view(np.int32)
+        qi[b, :m] = (y & np.uint64(0xFFFFFFFF)).astype(np.uint32) \
+            .view(np.int32)
+        spansid[b, :m] = ((yhi & 0xFF) | (((yhi >> 16) & 0xFF) << 8)) \
+            .astype(np.uint16)
+        # exception positions: first anchor, hi changes, lo-delta
+        # overflow/negative, and the first pad cell (restores the
+        # sentinel hi and zero lo of the padded region)
+        c = np.zeros(m, np.int64)
+        if m:
+            c[0] = int(lo_i[0])
+            c[1:] = lo_i[1:].astype(np.int64) - lo_i[:-1].astype(np.int64)
+        need = np.zeros(m, bool)
+        if m:
+            need[0] = True
+            need[1:] |= hib[1:] != hib[:-1]
+            need |= (c < 0) | (c > 0xFFFF)
+        idx = np.flatnonzero(need)
+        k = len(idx) + (1 if m < N else 0)
+        if k > E_EXC:
+            return None
+        fit = ~need
+        d[b, :m][fit] = c[fit].astype(np.uint16)
+        exc_pos[b, :len(idx)] = idx
+        exc_c[b, :len(idx)] = c[idx].astype(np.int32)
+        exc_hib[b, :len(idx)] = hib[idx]
+        if m < N:  # pad region: sentinel hi, lo back to 0
+            exc_pos[b, len(idx)] = m
+            exc_c[b, len(idx)] = -int(lo_i[m - 1]) if m else 0
+            exc_hib[b, len(idx)] = sent_hib
+    return (d, qi, spansid, exc_pos, exc_c, exc_hib, n_arr, avg_arr)
+
+
+def _decode8(d, qi, spansid, exc_pos, exc_c, exc_hib):
+    """Device-side inverse of pack_tasks8 (runs fused inside the same
+    jit as the chaining kernel): lo = cumsum(deltas + scattered
+    corrections), hi = cummax(scattered biased-hi) ^ bias."""
+    B, N = d.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, exc_pos.shape, 0)
+    # exception positions carry d == 0 on the wire, so a scatter-add of
+    # the absolute correction lands the true delta there
+    c = d.astype(jnp.int32).at[rows, exc_pos].add(exc_c, mode="drop")
+    lo = jnp.cumsum(c, axis=1, dtype=jnp.int32)
+    hib = jnp.full((B, N), jnp.int32(-0x80000000))
+    hib = hib.at[rows, exc_pos].max(exc_hib, mode="drop")
+    hib = jax.lax.cummax(hib, axis=1)
+    hi = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(hib, jnp.uint32)
+        ^ jnp.uint32(0x80000000), jnp.int32)
+    span = (spansid & 0xFF).astype(jnp.int32)
+    sid = (spansid >> 8).astype(jnp.int32)
+    return hi, lo, qi, span, sid
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "max_dist_x", "max_dist_y", "bw", "iter_cap", "gap_scale",
+    "is_cdna", "n_segs", "interpret", "lanes"))
+def chain_scores_packed8(d, qi, spansid, exc_pos, exc_c, exc_hib, n, avg,
+                         *, max_dist_x: int, max_dist_y: int, bw: int,
+                         iter_cap: int, gap_scale: float, is_cdna: bool,
+                         n_segs: int, interpret: bool = False,
+                         lanes: int = 1):
+    """chain_scores_packed with the delta-packed 8 B/anchor up-plane."""
+    B, _ = d.shape
+    hi, lo, qi, span, sid = _decode8(d, qi, spansid, exc_pos, exc_c,
+                                     exc_hib)
+    if not is_cdna and n_segs == 1 and B % 8 == 0:
+        from .chain_pallas_v3 import chain_scores_device_v3
+        f, p = chain_scores_device_v3(
+            hi, lo, qi, span, n, avg, max_dist_x=max_dist_x,
+            max_dist_y=max_dist_y, bw=bw, iter_cap=iter_cap,
+            gap_scale=gap_scale, interpret=interpret,
+            groups_per_program=lanes)
+    else:
+        from .chain_pallas_v2 import chain_scores_device_v2
+        f, p = chain_scores_device_v2(
+            hi, lo, qi, span, sid, n, avg, max_dist_x=max_dist_x,
+            max_dist_y=max_dist_y, bw=bw, iter_cap=iter_cap,
+            gap_scale=gap_scale, is_cdna=is_cdna, n_segs=n_segs,
+            interpret=interpret, rows_per_program=lanes)
+    return f, _p_rel(p)
+
+
 def unpack_prel(prel_row: np.ndarray, n: int) -> np.ndarray:
     """Host-side inverse of _p_rel for one row truncated to n."""
     rel = np.asarray(prel_row[:n], dtype=np.int32)
@@ -120,5 +243,5 @@ def pack_tasks16(tasks, N: int):
     return hi, lo, yhi, ylo, n_arr, avg_arr
 
 
-__all__ = ["chain_scores_packed", "unpack_prel", "pick_lanes",
-           "pack_tasks16", "WINDOW"]
+__all__ = ["chain_scores_packed", "chain_scores_packed8", "unpack_prel",
+           "pick_lanes", "pack_tasks16", "pack_tasks8", "E_EXC", "WINDOW"]

@@ -513,19 +513,22 @@ def _backtrack_abs(rows, off, off_end, i0, j0, rev_cigar,
     return cigar
 
 
-# wavefront rows per Pallas program instance (extd2_device rpp). On-chip
-# sweep of the value-carried row-fusion kernel (B=64, L=2048, w=751):
-# rpp 1/2/4/8/16 = 12.7/12.9/8.9/20.3/5.9 Gcells/s — 8 amortizes the
-# per-program VMEM round trip best before scratch pressure bites.
-ROWS_PER_PROGRAM = 8
+# wavefront rows per Pallas program instance (extd2_device rpp).
+# Round-5 steady-state on-chip sweep with the scoreboard harness
+# (scripts/sweep_ksw2_rpp.py: chained-jit, (t3-t1)/2 per-invocation,
+# B=64, L=2048, w=751): rpp 1/2/4/8/16 = 11.7/11.6/10.5/10.7/9.3
+# Gcells/s — rpp=1 is best AND compiles ~8x faster. The round-3 manual
+# reading of 20.3 at rpp=8 does not reproduce under steady-state timing
+# and is withdrawn (docs/ROOFLINE.md round-5 reconciliation).
+ROWS_PER_PROGRAM = 1
 
 
 def rows_per_program(interpret: bool) -> int:
     """rpp is a pure perf knob (bit-identical across values, pinned by the
     on-chip sweep + differentials). In interpret mode the kernel body is
     traced rpp times per program, making CPU-backend XLA programs ~rpp x
-    larger — a 3+ minute compile per shape on a 1-core box — for zero
-    benefit, so interpret runs use rpp=1."""
+    larger — minutes of compile per shape on a 1-core box — for zero
+    benefit, so interpret runs always use rpp=1."""
     return 1 if interpret else ROWS_PER_PROGRAM
 
 # 1.5x-geometric row-count ladder: coarse enough that a whole mapping run

@@ -20,12 +20,22 @@ from typing import Dict, List, Optional, Tuple
 
 enabled = False
 _acc: Dict[str, List[float]] = {}   # name -> [seconds, calls]
+counters: Dict[str, float] = {}     # name -> accumulated count
 _trace_dir: Optional[str] = None
 _trace_active = False
 
 
 def reset() -> None:
     _acc.clear()
+    counters.clear()
+
+
+def count(name: str, v: float = 1.0) -> None:
+    """Accumulate a quantity (launch counts, wire bytes, anchors) under
+    `name` — the evidence feed for bench.py's device-path accounting
+    (the reference's MEASURE_CHAINING_TIME_HW_FINE analogue)."""
+    if enabled:
+        counters[name] = counters.get(name, 0.0) + v
 
 
 def enable(trace_dir: Optional[str] = None) -> None:

@@ -109,3 +109,89 @@ def test_kernel_v3_matches_v2():
                                         n_segs=1, **kw)
         np.testing.assert_array_equal(np.asarray(f2), np.asarray(f3))
         np.testing.assert_array_equal(np.asarray(p2), np.asarray(p3))
+
+
+def test_pack8_decode_matches_pack16():
+    """The delta-packed 8 B/anchor up-plane (ops/chain_packed.py
+    pack_tasks8/_decode8) must reconstruct EXACTLY the planes the
+    16 B/anchor path ships — hi/lo including the pad sentinel region,
+    and qi/span/sid within each task."""
+    import jax.numpy as jnp
+
+    from mm2tpu.ops.chain_packed import (_decode8, _derive_qss,
+                                         pack_tasks8, pack_tasks16)
+
+    rng = np.random.default_rng(7)
+    tasks = []
+    for n, scale in [(100, 50), (1000, 1), (4000, 200), (0, 1), (1, 1)]:
+        if n == 0:
+            tasks.append(np.zeros((0, 2), np.uint64))
+            continue
+        a = synth_anchors(n, seed=n, n_rids=4, rev_frac=0.3, scale=scale)
+        # give y realistic seg ids and varied spans
+        sid = rng.integers(0, 3, n).astype(np.uint64)
+        span = rng.integers(1, 256, n).astype(np.uint64)
+        a[:, 1] = (sid << np.uint64(48)) | (span << np.uint64(32)) | \
+            (a[:, 1] & np.uint64(0xFFFFFFFF))
+        tasks.append(a)
+    N = 4096
+    hi16, lo16, yhi16, ylo16, n16, avg16 = pack_tasks16(tasks, N)
+    p8 = pack_tasks8(tasks, N)
+    assert p8 is not None
+    d, qi, spansid, ep, ec, eh, n8, avg8 = p8
+    assert np.array_equal(n8, n16) and np.array_equal(avg8, avg16)
+    hi, lo, qi_d, span_d, sid_d = [np.asarray(v) for v in _decode8(
+        jnp.asarray(d), jnp.asarray(qi), jnp.asarray(spansid),
+        jnp.asarray(ep), jnp.asarray(ec), jnp.asarray(eh))]
+    assert np.array_equal(hi, hi16)
+    assert np.array_equal(lo, lo16)
+    qi16, span16, sid16 = [np.asarray(v) for v in _derive_qss(
+        jnp.asarray(yhi16), jnp.asarray(ylo16))]
+    for b, a in enumerate(tasks):
+        m = len(a)
+        assert np.array_equal(qi_d[b, :m], qi16[b, :m])
+        assert np.array_equal(span_d[b, :m], span16[b, :m])
+        assert np.array_equal(sid_d[b, :m], sid16[b, :m])
+    # wire economy: the whole point
+    up8 = d.nbytes + qi.nbytes + spansid.nbytes + ep.nbytes + ec.nbytes \
+        + eh.nbytes
+    up16 = hi16.nbytes + lo16.nbytes + yhi16.nbytes + ylo16.nbytes
+    assert up8 < 0.6 * up16
+
+
+def test_pack8_exception_overflow_falls_back():
+    """A task whose lo deltas overflow uint16 everywhere must exceed the
+    exception budget and signal fallback (None) rather than mis-encode."""
+    from mm2tpu.ops.chain_packed import E_EXC, pack_tasks8
+
+    n = E_EXC + 64
+    pos = (np.arange(n, dtype=np.uint64) * np.uint64(1 << 20))
+    x = np.sort(pos)
+    y = (np.uint64(15) << np.uint64(32)) | np.uint64(7)
+    a = np.stack([x, np.full(n, y, np.uint64)], axis=1)
+    assert pack_tasks8([a], 4096) is None
+
+
+def test_chain_scores_packed8_matches_packed16():
+    """End-to-end through the jitted dispatch wrappers (interpret mode):
+    the 8 B and 16 B wire paths must produce identical f/prel."""
+    from mm2tpu.ops.chain_packed import (chain_scores_packed,
+                                         chain_scores_packed8,
+                                         pack_tasks8, pack_tasks16,
+                                         pick_lanes)
+
+    tasks = [synth_anchors(900, seed=11, n_rids=2, rev_frac=0.2),
+             synth_anchors(300, seed=12),
+             np.zeros((0, 2), np.uint64),
+             synth_anchors(1024, seed=13, scale=2)]
+    tasks += [np.zeros((0, 2), np.uint64)] * (8 - len(tasks))
+    N = 1024
+    kw = dict(max_dist_x=5000, max_dist_y=5000, bw=500, iter_cap=1024,
+              gap_scale=1.0, is_cdna=False, n_segs=1, interpret=True,
+              lanes=pick_lanes(8, True))
+    f16, p16 = chain_scores_packed(*pack_tasks16(tasks, N), **kw)
+    p8 = pack_tasks8(tasks, N)
+    assert p8 is not None
+    f8, pr8 = chain_scores_packed8(*p8, **kw)
+    assert np.array_equal(np.asarray(f8), np.asarray(f16))
+    assert np.array_equal(np.asarray(pr8), np.asarray(p16))
