@@ -530,13 +530,42 @@ def main():
         log("device-SAM e2e (--align-backend tpu)...")
         run_cli(["-ax", "map-ont", "--map-mode", "batch",
                  "--align-backend", "tpu", idx, reads])
+        from mm2tpu.utils import profiling as _prof2
         t_dsam, out_dsam = run_cli(["-ax", "map-ont", "--map-mode", "batch",
-                                    "--align-backend", "tpu", idx, reads])
+                                    "--align-backend", "tpu", "--profile",
+                                    idx, reads])
+        ctr2 = dict(_prof2.counters)
+        snap2 = _prof2.snapshot()
+        _prof2.disable()
+        _prof2.reset()
         extra["e2e_device_sam_s"] = round(t_dsam, 2)
         extra["e2e_device_sam_reads_per_s"] = round(n_reads / t_dsam, 1)
         strip = lambda s: "\n".join(  # noqa: E731  @PG embeds the cmdline
             l for l in s.splitlines() if not l.startswith("@PG"))
         extra["parity_devsam_vs_host"] = strip(out_dsam) == strip(out_host_sam)
+        # ---- align-stage transport breakdown (VERDICT r4 item 3):
+        # the extension stage's wire/floor decomposition, mirroring the
+        # chaining stage's. ext.* counters come from extd2_batch ----
+        try:
+            wire_bps = extra.get("transport_wire_mb_per_s", 0) * 1e6
+            floor_s = extra.get("transport_dispatch_floor_ms", 0) / 1e3
+            disp = ctr2.get("ext.dispatches", 0)
+            up2 = ctr2.get("ext.bytes_up", 0)
+            down2 = ctr2.get("ext.bytes_down", 0)
+            extra["align_transport"] = {
+                "dispatches": int(disp),
+                "device_fills": int(ctr2.get("ext.fills", 0)),
+                "device_cells": int(ctr2.get("ext.cells", 0)),
+                "bytes_up": int(up2),
+                "bytes_down": int(down2),
+                "model_wire_s": round((up2 + down2) / wire_bps, 3)
+                if wire_bps else None,
+                "model_dispatch_floor_s": round(disp * floor_s, 3),
+                "align_stage_s": round(
+                    snap2.get("align", (0.0, 0))[0], 3),
+            }
+        except Exception as e:
+            log("align transport breakdown skipped: %r" % e)
     else:
         extra["e2e_device_sam_s"] = "skipped_budget"
     extra["bench_total_s"] = round(time.time() - t_start, 1)

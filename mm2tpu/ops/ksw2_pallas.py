@@ -419,6 +419,11 @@ def extd2_device(lens, tsf, qcol, *, q: int, e: int, q2: int, e2: int,
     overhead AND the sequential VMEM scratch round trip — the latency
     bounds for thin bands (docs/ROOFLINE.md) — are paid once per rpp
     rows. Returns (d_rows (Rmax,B,Tpad) int8, ez (B,128) int32)."""
+    # base codes fit uint8: callers ship 1 B/base and the cast to the
+    # kernel's int32 lanes runs device-side, after the wire
+    lens = lens.astype(jnp.int32)
+    tsf = tsf.astype(jnp.int32)
+    qcol = qcol.astype(jnp.int32)
     B, Tpad = tsf.shape
     assert Rmax % rpp == 0 and rpp <= 128
     # the kernel's aligned-slice query gather reads 128-wide blocks
@@ -580,9 +585,95 @@ def _sf_image(t8: np.ndarray, Tpad: int, qr: np.ndarray) -> np.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("w", "Smax"))
+def trace_device(d, lens, i0, j0, *, w: int, Smax: int):
+    """ksw_backtrack ON DEVICE (VERDICT r4 item 3): the direction plane d
+    (Rmax, B, Tpad) int8 — the extension stage's down-wire killer at
+    Tpad bytes/row — never leaves HBM. A (B,)-vectorized lax.while_loop
+    replays the exact _backtrack_abs state machine (ksw2.h:119-151
+    semantics incl. the banded force-state rows) and ships back only the
+    per-step op codes: (B, Smax) uint8, ~Tpad x less wire. min_intron=0
+    (extd2 only; the splice path keeps the host backtrack).
+
+    Returns (ops (B, Smax) uint8 [255 = inactive], i_fin, j_fin) — the
+    host run-length-encodes ops and appends the i/j tail runs."""
+    B = lens.shape[0]
+    qlen = lens[:, 0].astype(jnp.int32)
+    tlen = lens[:, 1].astype(jnp.int32)
+    wv = jnp.full((B,), jnp.int32(w)) if w >= 0 \
+        else jnp.maximum(qlen, tlen)
+    bidx = jnp.arange(B, dtype=jnp.int32)
+    Rmax, _, Tpad = d.shape
+
+    def cond(c):
+        k, i, j, state, out = c
+        return (k < Smax) & jnp.any((i >= 0) & (j >= 0))
+
+    def body(c):
+        k, i, j, state, out = c
+        act = (i >= 0) & (j >= 0)
+        r = i + j
+        st0 = jnp.maximum(jnp.maximum(0, r - qlen + 1), (r - wv + 1) >> 1)
+        en0 = jnp.minimum(jnp.minimum(tlen - 1, r), (r + wv) >> 1)
+        st = st0 // 16 * 16
+        en = (en0 + 16) // 16 * 16 - 1
+        f2 = i < st
+        f1 = i > en
+        rc = jnp.clip(r, 0, Rmax - 1)
+        ic = jnp.clip(i, 0, Tpad - 1)
+        tmp = d[rc, bidx, ic].astype(jnp.int32)
+        tmp = jnp.where(f1 | f2, 0, tmp)
+        # the two-step state transition of _backtrack_abs
+        s1 = jnp.where(state == 0, tmp & 7,
+                       jnp.where(((tmp >> (state + 2)) & 1) == 0, 0,
+                                 state))
+        sn = jnp.where(s1 == 0, tmp & 7, s1)
+        sn = jnp.where(f2, 2, jnp.where(f1, 1, sn))
+        opc = jnp.where(sn == 0, 0,
+                        jnp.where((sn == 1) | (sn == 3), 2, 1))
+        i_n = jnp.where(act & (opc != 1), i - 1, i)
+        j_n = jnp.where(act & (opc != 2), j - 1, j)
+        state = jnp.where(act, sn, state)
+        col = jnp.where(act, opc.astype(jnp.uint8), jnp.uint8(255))
+        out = jax.lax.dynamic_update_slice(out, col[:, None], (0, k))
+        return k + 1, i_n, j_n, state, out
+
+    out0 = jnp.full((B, Smax), jnp.uint8(255))
+    _, i_f, j_f, _, ops = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), i0.astype(jnp.int32),
+                     j0.astype(jnp.int32), jnp.zeros(B, jnp.int32), out0))
+    return ops, i_f, j_f
+
+
+def _cigar_from_ops(ops_row: np.ndarray, i_fin: int, j_fin: int,
+                    rev_cigar: bool) -> List[int]:
+    """Host tail of trace_device: RLE the op codes + the final D/I runs,
+    reproducing _backtrack_abs's _push_cigar merging exactly."""
+    n = int(np.argmax(ops_row == 255)) if ops_row[-1] == 255 else \
+        len(ops_row)
+    if n == 0 and ops_row[0] == 255:
+        n = 0
+    cigar: List[int] = []
+    if n:
+        v = ops_row[:n].astype(np.int32)
+        brk = np.flatnonzero(v[1:] != v[:-1])
+        starts = np.concatenate(([0], brk + 1))
+        ends = np.concatenate((brk + 1, [n]))
+        for s, t in zip(starts, ends):
+            _push_cigar(cigar, int(v[s]), int(t - s))
+    if i_fin >= 0:
+        _push_cigar(cigar, 2, i_fin + 1)
+    if j_fin >= 0:
+        _push_cigar(cigar, 1, j_fin + 1)
+    if not rev_cigar:
+        cigar.reverse()
+    return cigar
+
+
 def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
                 e2: int, w: int, zdrop: int, end_bonus: int, flag: int,
-                interpret: bool | None = None) -> List[ExtzResult]:
+                interpret: bool | None = None,
+                device_trace: bool | None = None) -> List[ExtzResult]:
     """Run a batch of (q8, t8) pairs through the device kernel and finish
     each on the host (backtrack + ez tail logic, ops/ksw2_ref.py:376-385).
     All tasks share (mat, gaps, w, zdrop, flag) — the bucketing contract."""
@@ -604,9 +695,10 @@ def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
     lens = np.zeros((Bp, 2), np.int32)
     lens[:, 0] = 1  # inert padding tasks
     lens[:, 1] = 1
-    tsf = np.zeros((Bp, Tpad), np.int32)
+    # uint8 wire planes (1 B/base; extd2_device casts device-side)
+    tsf = np.zeros((Bp, Tpad), np.uint8)
     # width to a 128 multiple: the kernel's aligned-slice query gather
-    qcol = np.zeros((Bp, -(-Rmax // 128) * 128), np.int32)
+    qcol = np.zeros((Bp, -(-Rmax // 128) * 128), np.uint8)
     for bi, i in enumerate(run_idx):
         q8, t8 = tasks[i]
         qlen, tlen = len(q8), len(t8)
@@ -614,7 +706,7 @@ def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
         qr = np.zeros((qlen + 15) // 16 * 16 + 16, np.int32)
         qr[:qlen] = np.asarray(q8, np.int32)[::-1]
         tsf[bi] = _sf_image(np.asarray(t8, np.int32), Tpad, qr)
-        qcol[bi, :qlen] = np.asarray(q8, np.int32)
+        qcol[bi, :qlen] = np.asarray(q8, np.uint8)
     d, ez = extd2_device(
         jnp.asarray(lens), jnp.asarray(tsf), jnp.asarray(qcol),
         q=q, e=e, q2=q2, e2=e2, zdrop=zdrop, sc_mch=sc_mch, sc_mis=sc_mis,
@@ -623,12 +715,29 @@ def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
         approx_drop=bool(flag & KSW_EZ_APPROX_DROP),
         Rmax=Rmax, rpp=rows_per_program(bool(interpret)),
         interpret=bool(interpret))
-    d = np.asarray(d)
+    if device_trace is None:
+        # on a real accelerator the d readback IS the wire bottleneck
+        # (Tpad bytes/row); in interpret mode the host backtrack is free
+        device_trace = not interpret
     ez = np.asarray(ez)
     rev_cigar = bool(flag & KSW_EZ_REV_CIGAR)
+
+    from ..utils import profiling as _prof
+    if _prof.enabled:  # align-stage transport evidence (bench breakdown)
+        _prof.count("ext.dispatches", 2 if device_trace else 1)
+        _prof.count("ext.fills", len(run_idx))
+        _prof.count("ext.bytes_up",
+                    lens.nbytes + tsf.nbytes + qcol.nbytes)
+        _prof.count("ext.bytes_down",
+                    (Bp * Rmax + ez.nbytes + 8 * Bp) if device_trace
+                    else (Rmax * Bp * Tpad + ez.nbytes))
+        _prof.count("ext.cells", float(sum(
+            min(2 * w + 1, len(tasks[i][0])) * len(tasks[i][1])
+            for i in run_idx)) if w >= 0 else float(sum(
+                len(tasks[i][0]) * len(tasks[i][1]) for i in run_idx)))
+
     for bi, i in enumerate(run_idx):
         q8, t8 = tasks[i]
-        qlen, tlen = len(q8), len(t8)
         rz = results[i]
         rz.zdropped = bool(ez[bi, R_ZDROP])
         rz.max = int(ez[bi, R_MAX])
@@ -639,19 +748,49 @@ def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
         rz.mte = int(ez[bi, R_MTE])
         rz.mte_q = int(ez[bi, R_MTEQ])
         rz.score = int(ez[bi, R_SCORE])
-        st, en, _, _ = band_offsets(qlen, tlen, w)
-        rows = d[:, bi, :]
+
+    def _start(bi, i):
+        """(i0, j0) per _backtrack_abs dispatch; (-1, -1) = no cigar."""
+        q8, t8 = tasks[i]
+        qlen, tlen = len(q8), len(t8)
+        rz = results[i]
         if not rz.zdropped and not (flag & KSW_EZ_EXTZ_ONLY):
-            rz.cigar = _backtrack_abs(rows, st, en, tlen - 1, qlen - 1,
-                                      rev_cigar)
-        elif not rz.zdropped and (flag & KSW_EZ_EXTZ_ONLY) \
+            return tlen - 1, qlen - 1
+        if not rz.zdropped and (flag & KSW_EZ_EXTZ_ONLY) \
                 and rz.mqe + end_bonus > rz.max:
             rz.reach_end = True
-            rz.cigar = _backtrack_abs(rows, st, en, rz.mqe_t, qlen - 1,
-                                      rev_cigar)
-        elif rz.max_t >= 0 and rz.max_q >= 0:
-            rz.cigar = _backtrack_abs(rows, st, en, rz.max_t, rz.max_q,
-                                      rev_cigar)
+            return rz.mqe_t, qlen - 1
+        if rz.max_t >= 0 and rz.max_q >= 0:
+            return rz.max_t, rz.max_q
+        return -1, -1
+
+    if device_trace:
+        i0 = np.full(Bp, -1, np.int32)
+        j0 = np.full(Bp, -1, np.int32)
+        for bi, i in enumerate(run_idx):
+            i0[bi], j0[bi] = _start(bi, i)
+        ops, i_f, j_f = trace_device(d, jnp.asarray(lens),
+                                     jnp.asarray(i0), jnp.asarray(j0),
+                                     w=w, Smax=Rmax)
+        ops = np.asarray(ops)
+        i_f = np.asarray(i_f)
+        j_f = np.asarray(j_f)
+        for bi, i in enumerate(run_idx):
+            if i0[bi] >= 0 and j0[bi] >= 0:
+                results[i].cigar = _cigar_from_ops(
+                    ops[bi], int(i_f[bi]), int(j_f[bi]), rev_cigar)
+        return results
+
+    d = np.asarray(d)
+    for bi, i in enumerate(run_idx):
+        q8, t8 = tasks[i]
+        qlen, tlen = len(q8), len(t8)
+        rz = results[i]
+        st, en, _, _ = band_offsets(qlen, tlen, w)
+        rows = d[:, bi, :]
+        s_i, s_j = _start(bi, i)
+        if s_i >= 0 and s_j >= 0:
+            rz.cigar = _backtrack_abs(rows, st, en, s_i, s_j, rev_cigar)
     return results
 
 

@@ -33,13 +33,19 @@ def mutate(seq, rng, sub=0.1, ind=0.05):
 
 
 def check(tasks, q, e, q2, e2, w, zdrop, end_bonus, flag):
+    # both cigar paths: host backtrack AND the device while_loop trace
+    # (trace_device) must match the oracle exactly
     res = extd2_batch(tasks, MAT, q=q, e=e, q2=q2, e2=e2, w=w, zdrop=zdrop,
                       end_bonus=end_bonus, flag=flag, interpret=True)
+    res_t = extd2_batch(tasks, MAT, q=q, e=e, q2=q2, e2=e2, w=w,
+                        zdrop=zdrop, end_bonus=end_bonus, flag=flag,
+                        interpret=True, device_trace=True)
     for i, (q8, t8) in enumerate(tasks):
         exp = K.ksw_extd2(len(q8), q8, len(t8), t8, MAT, q, e, q2, e2, w,
                           zdrop, end_bonus, flag)
         for f in FIELDS:
             assert getattr(exp, f) == getattr(res[i], f), (i, f)
+            assert getattr(exp, f) == getattr(res_t[i], f), (i, f, "trace")
 
 
 def global_tasks(rng, n_tasks=4, lo=40, hi=160, with_n=False):
