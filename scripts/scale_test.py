@@ -172,7 +172,9 @@ def main():
     ref, reads = make(args.out_dir, args.genome_mb, args.reads)
     res["workload_gen_s"] = round(time.time() - t0, 1)
 
-    idx = os.path.join(args.out_dir, "scale.mmx")
+    # size-keyed artifact names: the resume-reuse must never hand a
+    # 300 Mb index to a 3 Gb run sharing the out-dir
+    idx = os.path.join(args.out_dir, "scale_g%dm.mmx" % int(args.genome_mb))
     if not os.path.exists(idx):  # resumable: long runs on a shared box
         log("index build from FASTA -> MMX...")
         res["index_build_s"] = round(
@@ -201,7 +203,8 @@ def main():
 
     if not args.skip_mmi:
         log(".mmi dump + reload interop...")
-        mmi = os.path.join(args.out_dir, "scale.mmi")
+        mmi = os.path.join(args.out_dir,
+                           "scale_g%dm.mmi" % int(args.genome_mb))
         res["mmi_dump_s"] = round(run_cli(["-x", "map-ont", "-d", mmi,
                                            ref]), 1)
         paf2 = os.path.join(args.out_dir, "mmi.paf")
