@@ -77,7 +77,12 @@ def chain_scores_packed(hi, lo, yhi, ylo, n, avg, *, max_dist_x: int,
     return f, _p_rel(p)
 
 
-E_EXC = 128  # exception slots per task row (hi changes + big lo jumps)
+E_EXC = 128  # base exception slots (hi changes + big lo jumps)
+# repeat-rich reads hit many loci, so their x streams carry hundreds of
+# >64 KiB jumps; a second ladder tier keeps them on the 8 B wire (the
+# side channel is still <=19% of the planes at N=4096). Beyond that,
+# fall back to the 16 B path.
+E_LADDER = (128, 512)
 
 
 def pack_tasks8(tasks, N: int):
@@ -86,13 +91,15 @@ def pack_tasks8(tasks, N: int):
     sign-bias and the low word delta-encodes to uint16 almost everywhere.
 
     Per-anchor wire: d uint16 (lo delta) + qi int32 + spansid uint16
-    = 8 B, plus an (B, E_EXC) exception side-channel (~0.4% at N=4096)
-    carrying absolute (pos, lo-correction, biased-hi) triples wherever
-    the delta overflows or hi changes. Decode on device is one cumsum +
-    one cummax fused into the kernel's jit (_decode8).
+    = 8 B, plus an (B, E) exception side-channel carrying absolute
+    (pos, lo-correction, biased-hi) triples wherever the delta overflows
+    or hi changes; E is the smallest E_LADDER tier that fits the whole
+    batch (fixed tiers keep the jit shape count at two). Decode on
+    device is one cumsum + one cummax fused into the kernel's jit
+    (_decode8).
 
-    Returns None if any row needs more than E_EXC exceptions — the
-    caller falls back to pack_tasks16 (same results, wider wire)."""
+    Returns None if any row needs more than max(E_LADDER) exceptions —
+    the caller falls back to pack_tasks16 (same results, wider wire)."""
     from .chain_ref import avg_qspan_scaled
     B = len(tasks)
     SENT_HI = -0x7FFFFF0  # never-matching pad sentinel (pack_anchors:202)
@@ -100,13 +107,12 @@ def pack_tasks8(tasks, N: int):
     d = np.zeros((B, N), np.uint16)
     qi = np.zeros((B, N), np.int32)
     spansid = np.zeros((B, N), np.uint16)
-    exc_pos = np.full((B, E_EXC), N, np.int32)   # N = out-of-bounds: drop
-    exc_c = np.zeros((B, E_EXC), np.int32)
-    exc_hib = np.zeros((B, E_EXC), np.int32)
     n_arr = np.zeros((B, 1), np.int32)
     avg_arr = np.zeros((B, 1), np.float32)
     sent_hib = int((np.array(SENT_HI, np.int32).view(np.uint32) ^ BIAS)
                    .view(np.int32))
+    per_row = []  # (idx, c, hib, m, last_lo) for the fill pass
+    k_max = 0
     for b, a in enumerate(tasks):
         m = len(a)
         n_arr[b, 0] = m
@@ -136,16 +142,24 @@ def pack_tasks8(tasks, N: int):
             need |= (c < 0) | (c > 0xFFFF)
         idx = np.flatnonzero(need)
         k = len(idx) + (1 if m < N else 0)
-        if k > E_EXC:
+        if k > E_LADDER[-1]:
             return None
+        k_max = max(k_max, k)
         fit = ~need
         d[b, :m][fit] = c[fit].astype(np.uint16)
+        per_row.append((idx, c, hib, m,
+                        int(lo_i[m - 1]) if m else 0))
+    E = next(e for e in E_LADDER if e >= k_max)
+    exc_pos = np.full((B, E), N, np.int32)   # N = out-of-bounds: drop
+    exc_c = np.zeros((B, E), np.int32)
+    exc_hib = np.zeros((B, E), np.int32)
+    for b, (idx, c, hib, m, last_lo) in enumerate(per_row):
         exc_pos[b, :len(idx)] = idx
         exc_c[b, :len(idx)] = c[idx].astype(np.int32)
         exc_hib[b, :len(idx)] = hib[idx]
         if m < N:  # pad region: sentinel hi, lo back to 0
             exc_pos[b, len(idx)] = m
-            exc_c[b, len(idx)] = -int(lo_i[m - 1]) if m else 0
+            exc_c[b, len(idx)] = -last_lo
             exc_hib[b, len(idx)] = sent_hib
     return (d, qi, spansid, exc_pos, exc_c, exc_hib, n_arr, avg_arr)
 

@@ -161,15 +161,19 @@ def test_pack8_decode_matches_pack16():
 
 def test_pack8_exception_overflow_falls_back():
     """A task whose lo deltas overflow uint16 everywhere must exceed the
-    exception budget and signal fallback (None) rather than mis-encode."""
-    from mm2tpu.ops.chain_packed import E_EXC, pack_tasks8
+    top exception-ladder tier and signal fallback (None) rather than
+    mis-encode; one that fits the second tier must use it."""
+    from mm2tpu.ops.chain_packed import E_LADDER, pack_tasks8
 
-    n = E_EXC + 64
-    pos = (np.arange(n, dtype=np.uint64) * np.uint64(1 << 20))
-    x = np.sort(pos)
-    y = (np.uint64(15) << np.uint64(32)) | np.uint64(7)
-    a = np.stack([x, np.full(n, y, np.uint64)], axis=1)
-    assert pack_tasks8([a], 4096) is None
+    def task(n):
+        pos = np.arange(n, dtype=np.uint64) * np.uint64(1 << 20)
+        y = (np.uint64(15) << np.uint64(32)) | np.uint64(7)
+        return np.stack([np.sort(pos), np.full(n, y, np.uint64)], axis=1)
+
+    assert pack_tasks8([task(E_LADDER[-1] + 64)], 4096) is None
+    p8 = pack_tasks8([task(E_LADDER[0] + 64)], 4096)
+    assert p8 is not None
+    assert p8[3].shape[1] == E_LADDER[1]  # second tier selected
 
 
 def test_chain_scores_packed8_matches_packed16():
