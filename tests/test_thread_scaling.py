@@ -87,16 +87,24 @@ def test_threaded_mapping_no_contention_regression():
     for r in reads[:2]:
         map_frag(mi, [r], mo, "warm")
 
-    t0 = time.perf_counter()
-    for r in reads:
-        map_frag(mi, [r], mo, "serial")
-    serial = time.perf_counter() - t0
+    # ~10 ms windows are scheduler-noise-prone on a loaded 1-core box:
+    # take the best of 3 attempts for each side (a real lock-serialization
+    # regression fails ALL attempts; noise doesn't)
+    def serial_once():
+        t0 = time.perf_counter()
+        for r in reads:
+            map_frag(mi, [r], mo, "serial")
+        return time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    ts = [threading.Thread(target=lambda chunk=chunk: [
-        map_frag(mi, [r], mo, "par") for r in chunk])
-        for chunk in (reads[:10], reads[10:])]
-    [t.start() for t in ts]
-    [t.join() for t in ts]
-    par = time.perf_counter() - t0
+    def par_once():
+        t0 = time.perf_counter()
+        ts = [threading.Thread(target=lambda chunk=chunk: [
+            map_frag(mi, [r], mo, "par") for r in chunk])
+            for chunk in (reads[:10], reads[10:])]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        return time.perf_counter() - t0
+
+    serial = min(serial_once() for _ in range(3))
+    par = min(par_once() for _ in range(3))
     assert par < serial * 2.5, (par, serial)
