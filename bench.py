@@ -339,10 +339,22 @@ def transport_breakdown():
     def floor_roundtrip():
         np.asarray(tiny(xt))
 
+    # STREAMING bandwidth on a production-sized transfer (the 5.7 MB
+    # kernel roundtrip under-rates the wire for the 30 MB batches the
+    # pipeline actually ships — VERDICT r4's accounting gap)
+    big = np.zeros((64, 4096, 96), np.int32)  # 100.7 MB
+    big_jit = jax.jit(lambda x: x + 1)
+
+    def big_roundtrip():
+        np.asarray(big_jit(big))
+
     full_roundtrip()
     floor_roundtrip()
+    big_roundtrip()
     t_full = min(_t(full_roundtrip) for _ in range(5))
     t_floor = min(_t(floor_roundtrip) for _ in range(5))
+    t_big = min(_t(big_roundtrip) for _ in range(3))
+    stream_mb_per_s = 2 * big.nbytes / max(t_big - t_floor, 1e-9) / 1e6
     bytes_up = 4 * 4 * B * N + n.nbytes + avg.nbytes
     bytes_down = 6 * B * N
     out = {
@@ -353,6 +365,7 @@ def transport_breakdown():
         "transport_bytes_down": bytes_down,
         "transport_wire_mb_per_s": round(
             (bytes_up + bytes_down) / max(t_full - t_floor, 1e-9) / 1e6, 1),
+        "transport_stream_mb_per_s": round(stream_mb_per_s, 1),
     }
     if p8 is not None:
         full_roundtrip8()
@@ -477,7 +490,8 @@ def main():
             down = ctr.get("chain.bytes_down", 0)
             launches = ctr.get("chain.launches", 0)
             padded = ctr.get("chain.padded_anchors", 0)
-            wire_bps = extra.get("transport_wire_mb_per_s", 0) * 1e6
+            wire_bps = (extra.get("transport_stream_mb_per_s")
+                        or extra.get("transport_wire_mb_per_s", 0)) * 1e6
             floor_s = extra.get("transport_dispatch_floor_ms", 0) / 1e3
             rate = extra.get("chain_dense_anchors_per_s", 0) or 1
             model_wire_s = (up + down) / wire_bps if wire_bps else None
@@ -547,7 +561,8 @@ def main():
         # the extension stage's wire/floor decomposition, mirroring the
         # chaining stage's. ext.* counters come from extd2_batch ----
         try:
-            wire_bps = extra.get("transport_wire_mb_per_s", 0) * 1e6
+            wire_bps = (extra.get("transport_stream_mb_per_s")
+                        or extra.get("transport_wire_mb_per_s", 0)) * 1e6
             floor_s = extra.get("transport_dispatch_floor_ms", 0) / 1e3
             disp = ctr2.get("ext.dispatches", 0)
             up2 = ctr2.get("ext.bytes_up", 0)

@@ -645,6 +645,46 @@ def trace_device(d, lens, i0, j0, *, w: int, Smax: int):
     return ops, i_f, j_f
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "q", "e", "q2", "e2", "zdrop", "sc_mch", "sc_mis", "sc_N", "w",
+    "right", "approx", "approx_drop", "Rmax", "rpp", "interpret",
+    "extz_only", "end_bonus", "Smax"))
+def extd2_device_traced(lens, tsf, qcol, *, q: int, e: int, q2: int,
+                        e2: int, zdrop: int, sc_mch: int, sc_mis: int,
+                        sc_N: int, w: int, right: bool, approx: bool,
+                        approx_drop: bool, Rmax: int, rpp: int,
+                        interpret: bool, extz_only: bool, end_bonus: int,
+                        Smax: int):
+    """extd2 rows + backtrack-start selection + device trace in ONE
+    dispatch: the per-task (i0, j0) choice (_backtrack_abs dispatch in
+    extd2_batch) is pure ez arithmetic, so running it device-side
+    removes the ez readback sync AND halves the dispatch-floor cost of
+    every extension flush (2 launches -> 1). d never leaves HBM."""
+    d, ez = extd2_device(lens, tsf, qcol, q=q, e=e, q2=q2, e2=e2,
+                         zdrop=zdrop, sc_mch=sc_mch, sc_mis=sc_mis,
+                         sc_N=sc_N, w=w, right=right, approx=approx,
+                         approx_drop=approx_drop, Rmax=Rmax, rpp=rpp,
+                         interpret=interpret)
+    qlen = lens[:, 0].astype(jnp.int32)
+    tlen = lens[:, 1].astype(jnp.int32)
+    zdropped = ez[:, R_ZDROP] != 0
+    mx = ez[:, R_MAX]
+    mq, mt = ez[:, R_MAXQ], ez[:, R_MAXT]
+    mqe, mqe_t = ez[:, R_MQE], ez[:, R_MQET]
+    have_max = (mt >= 0) & (mq >= 0)
+    if not extz_only:
+        i0 = jnp.where(~zdropped, tlen - 1,
+                       jnp.where(have_max, mt, -1))
+        j0 = jnp.where(~zdropped, qlen - 1,
+                       jnp.where(have_max, mq, -1))
+    else:
+        reach = (~zdropped) & (mqe + end_bonus > mx)
+        i0 = jnp.where(reach, mqe_t, jnp.where(have_max, mt, -1))
+        j0 = jnp.where(reach, qlen - 1, jnp.where(have_max, mq, -1))
+    ops, i_f, j_f = trace_device(d, lens, i0, j0, w=w, Smax=Smax)
+    return ez, ops, i_f, j_f
+
+
 def _cigar_from_ops(ops_row: np.ndarray, i_fin: int, j_fin: int,
                     rev_cigar: bool) -> List[int]:
     """Host tail of trace_device: RLE the op codes + the final D/I runs,
@@ -707,24 +747,38 @@ def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
         qr[:qlen] = np.asarray(q8, np.int32)[::-1]
         tsf[bi] = _sf_image(np.asarray(t8, np.int32), Tpad, qr)
         qcol[bi, :qlen] = np.asarray(q8, np.uint8)
-    d, ez = extd2_device(
-        jnp.asarray(lens), jnp.asarray(tsf), jnp.asarray(qcol),
-        q=q, e=e, q2=q2, e2=e2, zdrop=zdrop, sc_mch=sc_mch, sc_mis=sc_mis,
-        sc_N=sc_N, w=w, right=bool(flag & KSW_EZ_RIGHT),
-        approx=bool(flag & KSW_EZ_APPROX_MAX),
-        approx_drop=bool(flag & KSW_EZ_APPROX_DROP),
-        Rmax=Rmax, rpp=rows_per_program(bool(interpret)),
-        interpret=bool(interpret))
     if device_trace is None:
         # on a real accelerator the d readback IS the wire bottleneck
         # (Tpad bytes/row); in interpret mode the host backtrack is free
         device_trace = not interpret
-    ez = np.asarray(ez)
     rev_cigar = bool(flag & KSW_EZ_REV_CIGAR)
+    kw = dict(q=q, e=e, q2=q2, e2=e2, zdrop=zdrop, sc_mch=sc_mch,
+              sc_mis=sc_mis, sc_N=sc_N, w=w,
+              right=bool(flag & KSW_EZ_RIGHT),
+              approx=bool(flag & KSW_EZ_APPROX_MAX),
+              approx_drop=bool(flag & KSW_EZ_APPROX_DROP),
+              Rmax=Rmax, rpp=rows_per_program(bool(interpret)),
+              interpret=bool(interpret))
+    if device_trace:
+        # ONE dispatch: rows + start-point selection + trace fused;
+        # d never leaves HBM
+        ez, ops, i_f, j_f = extd2_device_traced(
+            jnp.asarray(lens), jnp.asarray(tsf), jnp.asarray(qcol),
+            extz_only=bool(flag & KSW_EZ_EXTZ_ONLY),
+            end_bonus=int(end_bonus), Smax=Rmax, **kw)
+        ez = np.asarray(ez)
+        ops = np.asarray(ops)
+        i_f = np.asarray(i_f)
+        j_f = np.asarray(j_f)
+        d = None
+    else:
+        d, ez = extd2_device(
+            jnp.asarray(lens), jnp.asarray(tsf), jnp.asarray(qcol), **kw)
+        ez = np.asarray(ez)
 
     from ..utils import profiling as _prof
     if _prof.enabled:  # align-stage transport evidence (bench breakdown)
-        _prof.count("ext.dispatches", 2 if device_trace else 1)
+        _prof.count("ext.dispatches", 1)
         _prof.count("ext.fills", len(run_idx))
         _prof.count("ext.bytes_up",
                     lens.nbytes + tsf.nbytes + qcol.nbytes)
@@ -750,7 +804,8 @@ def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
         rz.score = int(ez[bi, R_SCORE])
 
     def _start(bi, i):
-        """(i0, j0) per _backtrack_abs dispatch; (-1, -1) = no cigar."""
+        """(i0, j0) per _backtrack_abs dispatch; (-1, -1) = no cigar.
+        MUST mirror extd2_device_traced's device-side selection."""
         q8, t8 = tasks[i]
         qlen, tlen = len(q8), len(t8)
         rz = results[i]
@@ -765,18 +820,9 @@ def extd2_batch(tasks: Sequence[tuple], mat, q: int, e: int, q2: int,
         return -1, -1
 
     if device_trace:
-        i0 = np.full(Bp, -1, np.int32)
-        j0 = np.full(Bp, -1, np.int32)
         for bi, i in enumerate(run_idx):
-            i0[bi], j0[bi] = _start(bi, i)
-        ops, i_f, j_f = trace_device(d, jnp.asarray(lens),
-                                     jnp.asarray(i0), jnp.asarray(j0),
-                                     w=w, Smax=Rmax)
-        ops = np.asarray(ops)
-        i_f = np.asarray(i_f)
-        j_f = np.asarray(j_f)
-        for bi, i in enumerate(run_idx):
-            if i0[bi] >= 0 and j0[bi] >= 0:
+            s_i, s_j = _start(bi, i)  # also sets reach_end from ez
+            if s_i >= 0 and s_j >= 0:
                 results[i].cigar = _cigar_from_ops(
                     ops[bi], int(i_f[bi]), int(j_f[bi]), rev_cigar)
         return results
