@@ -386,14 +386,16 @@ def _seed_device_round(mi: MMIndex, opt: MapOptions, ctxs: dict,
 _SHARDED_STEPS: dict = {}
 
 
-def _sharded_step(mesh, key, interpret):
+def _sharded_step(mesh, key, interpret, packed8=False):
     """Cached shard_map-wrapped chaining step per parameter set (a fresh
-    jit per mini-batch would recompile every time)."""
-    from ..parallel.mesh import sharded_chain_step
-    ck = (id(mesh), key, interpret)
+    jit per mini-batch would recompile every time). packed8 selects the
+    delta-packed 8 B/anchor wire variant."""
+    from ..parallel.mesh import sharded_chain_step, sharded_chain_step8
+    ck = (id(mesh), key, interpret, packed8)
     if ck not in _SHARDED_STEPS:
         mdx, mdy, bw, iter_cap, gs, is_cdna, n_segs, _N = key
-        _SHARDED_STEPS[ck] = sharded_chain_step(
+        mk = sharded_chain_step8 if packed8 else sharded_chain_step
+        _SHARDED_STEPS[ck] = mk(
             mesh, max_dist_x=mdx, max_dist_y=mdy, bw=bw, iter_cap=iter_cap,
             gap_scale=gs, is_cdna=is_cdna, n_segs=n_segs,
             interpret=interpret)
@@ -486,6 +488,12 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
                 [empty] * (B - len(chunk))
             with profiling.stage("chain.device"):
                 if mesh is not None:
+                    p8m = pack_tasks8(tasks, N)
+                    if p8m is not None:  # 8 B/anchor wire over the mesh
+                        step8 = _sharded_step(mesh, key, interpret,
+                                              packed8=True)
+                        f, prel = step8(*p8m)
+                        return chunk, f, prel, True
                     pb = pack_tasks(tasks, list(range(B)), N)
                     step = _sharded_step(mesh, key, interpret)
                     f, p = step(pb.hi, pb.lo, pb.qi, pb.span, pb.sid,
