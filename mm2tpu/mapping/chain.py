@@ -62,6 +62,7 @@ class ChainRouter:
 
     def pick(self, n: int, a: Optional[np.ndarray] = None,
              max_dist_x: int = 5000) -> str:
+        from ..utils import profiling
         if self.backend != "auto":
             return self.backend
         if self.cost_model is not None and a is not None:
@@ -73,6 +74,9 @@ class ChainRouter:
             if t_dev < t_host:
                 if not self._default_model or costmodel.device_ready():
                     if self.queue.admit(t_dev, t_host):
+                        if profiling.enabled:  # routing evidence
+                            profiling.count("route.tpu")
+                            profiling.count("route.tpu_anchors", n)
                         return "tpu"
                 else:
                     # the model WANTS the device but it is not up yet:
