@@ -178,7 +178,12 @@ def test_host_death_fails_all(tmp_path):
                         "--coordinator", coord, "-o", str(merged),
                         f"{T}/MT-orang.fa", str(reads)])
              for h in range(3)]
-    time.sleep(5)  # freeze host 2 wherever it is (rendezvous or mapping)
+    # freeze host 2 right after spawn: on a fast box the whole tiny job
+    # can finish in <5 s, so a late freeze raced the success path (the
+    # flake this replaces); an early freeze pins the victim pre-connect
+    # or in early startup, and survivors must then hit a timeout either
+    # at rendezvous or at the map_done barrier
+    time.sleep(0.5)
     hosts[2].send_signal(signal.SIGSTOP)
     rcs = [hosts[h].wait(timeout=180) for h in range(2)]
     hosts[2].kill()
