@@ -479,12 +479,14 @@ def main():
         try:
             log("device batch accounting (profiled run)...")
             from mm2tpu.utils import profiling as _prof
-            t_acct, _ = run_cli(["-x", "map-ont", "--map-mode", "batch",
-                                 "--profile", idx, reads])
-            snap = _prof.snapshot()
-            ctr = dict(_prof.counters)
-            _prof.disable()
-            _prof.reset()
+            try:
+                t_acct, _ = run_cli(["-x", "map-ont", "--map-mode",
+                                     "batch", "--profile", idx, reads])
+                snap = _prof.snapshot()
+                ctr = dict(_prof.counters)
+            finally:  # never leak instrumentation into later sections
+                _prof.disable()
+                _prof.reset()
             stages = {k: round(v[0], 3) for k, v in snap.items()}
             up = ctr.get("chain.bytes_up", 0)
             down = ctr.get("chain.bytes_down", 0)
@@ -544,14 +546,21 @@ def main():
         log("device-SAM e2e (--align-backend tpu)...")
         run_cli(["-ax", "map-ont", "--map-mode", "batch",
                  "--align-backend", "tpu", idx, reads])
-        from mm2tpu.utils import profiling as _prof2
-        t_dsam, out_dsam = run_cli(["-ax", "map-ont", "--map-mode", "batch",
-                                    "--align-backend", "tpu", "--profile",
+        # the TIMED run is uninstrumented (like every other headline
+        # number); a separate profiled run below feeds the breakdown
+        t_dsam, out_dsam = run_cli(["-ax", "map-ont", "--map-mode",
+                                    "batch", "--align-backend", "tpu",
                                     idx, reads])
-        ctr2 = dict(_prof2.counters)
-        snap2 = _prof2.snapshot()
-        _prof2.disable()
-        _prof2.reset()
+        from mm2tpu.utils import profiling as _prof2
+        try:
+            _, _ = run_cli(["-ax", "map-ont", "--map-mode", "batch",
+                            "--align-backend", "tpu", "--profile",
+                            idx, reads])
+            ctr2 = dict(_prof2.counters)
+            snap2 = _prof2.snapshot()
+        finally:
+            _prof2.disable()
+            _prof2.reset()
         extra["e2e_device_sam_s"] = round(t_dsam, 2)
         extra["e2e_device_sam_reads_per_s"] = round(n_reads / t_dsam, 1)
         strip = lambda s: "\n".join(  # noqa: E731  @PG embeds the cmdline

@@ -14,6 +14,7 @@ import numpy as np
 
 from ..ops import chain_ref
 from ..options import MapOptions
+from ..utils import profiling
 from . import costmodel
 
 
@@ -62,7 +63,6 @@ class ChainRouter:
 
     def pick(self, n: int, a: Optional[np.ndarray] = None,
              max_dist_x: int = 5000) -> str:
-        from ..utils import profiling
         if self.backend != "auto":
             return self.backend
         if self.cost_model is not None and a is not None:

@@ -101,7 +101,6 @@ def fit_cost_model(rows: Sequence[Sequence[float]],
       k_host >= 0           — c_host stays free (the reference's host fits
                               have negative intercepts too)
     """
-    from scipy.optimize import lsq_linear
     m = np.asarray(rows, dtype=np.float64)
     if m.ndim != 2 or m.shape[1] != 5 or len(m) < 3:
         raise ValueError("need >=3 rows of (n, subparts, tripcount, "
@@ -109,16 +108,43 @@ def fit_cost_model(rows: Sequence[Sequence[float]],
     if floor_dev_ms is None:
         floor_dev_ms = 0.0
     A = np.stack([m[:, 0], m[:, 1], np.ones(len(m))], axis=1)
-    res = lsq_linear(A, m[:, 3],
-                     bounds=([0.0, 0.0, floor_dev_ms],
-                             [np.inf, np.inf, np.inf]))
-    k1, k2, c = res.x
+    k1, k2, c = _bounded_lstsq(A, m[:, 3],
+                               np.array([0.0, 0.0, floor_dev_ms]))
     B = np.stack([m[:, 2], np.ones(len(m))], axis=1)
-    resh = lsq_linear(B, m[:, 4],
-                      bounds=([0.0, -np.inf], [np.inf, np.inf]))
-    kh, ch = resh.x
+    kh, ch = _bounded_lstsq(B, m[:, 4], np.array([0.0, -np.inf]))
     return CostModel(k1_dev=float(k1), k2_dev=float(k2), c_dev=float(c),
                      k_host=float(kh), c_host=float(ch))
+
+
+def _bounded_lstsq(A: np.ndarray, y: np.ndarray,
+                   lo: np.ndarray) -> np.ndarray:
+    """min ||Ax - y|| s.t. x >= lo. scipy's lsq_linear when available;
+    otherwise a tiny active-set iteration (exact for these 2-3-parameter
+    fits): solve unconstrained, clamp violators to their bound, re-solve
+    the free coordinates against the residual, repeat to fixpoint."""
+    try:
+        from scipy.optimize import lsq_linear
+        return lsq_linear(A, y, bounds=(lo, np.full(len(lo),
+                                                    np.inf))).x
+    except ImportError:
+        pass
+    p = A.shape[1]
+    clamped = np.zeros(p, bool)
+    x = np.zeros(p)
+    for _ in range(p + 1):
+        free = ~clamped
+        rhs = y - A[:, clamped] @ np.where(np.isfinite(lo[clamped]),
+                                           lo[clamped], 0.0)
+        if free.any():
+            sol, *_ = np.linalg.lstsq(A[:, free], rhs, rcond=None)
+            x[free] = sol
+        x[clamped] = lo[clamped]
+        viol = free & (x < lo)
+        if not viol.any():
+            return x
+        clamped |= viol
+    x[clamped] = lo[clamped]
+    return x
 
 
 _DEFAULT_MODELS: dict = {}

@@ -77,11 +77,11 @@ def chain_scores_packed(hi, lo, yhi, ylo, n, avg, *, max_dist_x: int,
     return f, _p_rel(p)
 
 
-E_EXC = 128  # base exception slots (hi changes + big lo jumps)
+# exception-slot ladder (hi changes + big lo jumps per task row):
 # repeat-rich reads hit many loci, so their x streams carry hundreds of
-# >64 KiB jumps; a second ladder tier keeps them on the 8 B wire (the
-# side channel is still <=19% of the planes at N=4096). Beyond that,
-# fall back to the 16 B path.
+# >64 KiB jumps; the second tier keeps them on the 8 B wire (the side
+# channel is still <=19% of the planes at N=4096). Beyond that, fall
+# back to the 16 B path. Fixed tiers bound the jit shape count at two.
 E_LADDER = (128, 512)
 
 
@@ -258,4 +258,4 @@ def pack_tasks16(tasks, N: int):
 
 
 __all__ = ["chain_scores_packed", "chain_scores_packed8", "unpack_prel",
-           "pick_lanes", "pack_tasks16", "pack_tasks8", "E_EXC", "WINDOW"]
+           "pick_lanes", "pack_tasks16", "pack_tasks8", "E_LADDER", "WINDOW"]

@@ -18,9 +18,12 @@ import time
 from contextlib import contextmanager
 from typing import Dict, List, Optional, Tuple
 
+import threading as _threading
+
 enabled = False
 _acc: Dict[str, List[float]] = {}   # name -> [seconds, calls]
 counters: Dict[str, float] = {}     # name -> accumulated count
+_cnt_lock = _threading.Lock()
 _trace_dir: Optional[str] = None
 _trace_active = False
 
@@ -33,9 +36,11 @@ def reset() -> None:
 def count(name: str, v: float = 1.0) -> None:
     """Accumulate a quantity (launch counts, wire bytes, anchors) under
     `name` — the evidence feed for bench.py's device-path accounting
-    (the reference's MEASURE_CHAINING_TIME_HW_FINE analogue)."""
+    (the reference's MEASURE_CHAINING_TIME_HW_FINE analogue). Locked:
+    callers include ExtBatcher worker threads and -t N mapping threads."""
     if enabled:
-        counters[name] = counters.get(name, 0.0) + v
+        with _cnt_lock:
+            counters[name] = counters.get(name, 0.0) + v
 
 
 def enable(trace_dir: Optional[str] = None) -> None:
@@ -109,6 +114,8 @@ def report(file=None) -> str:
         lines.append("[PROF] %-24s %10.3f %9d %12.3f"
                      % (name, sec, calls, sec * 1e3 / max(calls, 1)))
     lines.append("[PROF] %-24s %10.3f  (top-level stages)" % ("SUM", total))
+    for name in sorted(counters):  # routing/wire evidence counters
+        lines.append("[PROF] %-24s %14.0f" % (name, counters[name]))
     if _trace_dir:
         lines.append("[PROF] jax.profiler trace written to %s" % _trace_dir)
     out = "\n".join(lines)

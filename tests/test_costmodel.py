@@ -236,3 +236,30 @@ def test_shipped_regime_files_are_physical():
         # this tunnel measures ~tens of ms. 0.05 ms is a generous lower
         # bound that still rejects the degenerate 0.2 us fit.
         assert m.c_dev >= 0.05, (f, m.c_dev)
+
+
+def test_bounded_lstsq_fallback_matches_scipy(monkeypatch):
+    """The no-scipy active-set fallback must agree with scipy's
+    lsq_linear on the fit shapes the trainer produces (scipy is not a
+    declared dependency; a clean install still needs working fits)."""
+    import builtins
+
+    from mm2tpu.mapping.costmodel import _bounded_lstsq
+
+    rng = np.random.default_rng(4)
+    A = np.stack([np.arange(12.0) * 97, np.arange(12.0) * 791,
+                  np.ones(12)], 1)
+    y = A @ np.array([2.5e-3, 0.0, 60.0]) + rng.normal(0, 0.3, 12)
+    lo = np.array([0.0, 0.0, 55.0])
+    want = _bounded_lstsq(A, y, lo)
+
+    real_import = builtins.__import__
+
+    def no_scipy(name, *a, **k):
+        if name.startswith("scipy"):
+            raise ImportError("scipy unavailable")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", no_scipy)
+    got = _bounded_lstsq(A, y, lo)
+    assert np.allclose(want, got, rtol=1e-6, atol=1e-8)
