@@ -465,7 +465,7 @@ def map_frags_batched(mi: MMIndex, frag_seqs: Sequence[Sequence[str]],
         # quantize the batch dimension so compiled shapes recur across
         # mini-batches (XLA compiles once per (B, N); an ad-hoc B would
         # recompile every batch)
-        B_SIZES = (8, 32, 128)
+        B_SIZES = (8, 16, 32, 64, 128)
         empty = np.zeros((0, 2), np.uint64)
         # Plan every fixed-shape chunk first, then run them through a
         # depth-bounded software pipeline: chunk k+1 is packed and

@@ -16,8 +16,12 @@ from ..ops.chain_pallas import pack_anchors, WINDOW
 from ..ops.chain_ref import avg_qspan_scaled
 
 
-# bucket boundaries in anchors; multiples of the 1024 ring so tiles align
-BUCKETS = (1024, 2048, 4096, 8192, 16384, 32768, 65536, 131072)
+# bucket boundaries in anchors; multiples of the 1024 ring so tiles
+# align. 1.5x intermediate rungs (3072, 6144, ...) bound padding waste
+# at 1.5x instead of 2x — the bench accounting showed padded/real
+# anchors at 2.4x, and padding ships on the wire like real anchors
+BUCKETS = (1024, 2048, 3072, 4096, 6144, 8192, 12288, 16384, 24576,
+           32768, 49152, 65536, 98304, 131072)
 
 
 def bucket_for(n: int) -> int:
