@@ -44,9 +44,49 @@ def _match_loop(qlen, a, r, mp_low, st):
     return en, n_match
 
 
+_NATIVE = None
+
+
+def _native():
+    global _NATIVE
+    if _NATIVE is None:
+        try:
+            from ..native import lib as native_lib
+            _NATIVE = (native_lib if native_lib.available() and
+                       native_lib.has_est_err() else False)
+        except Exception:
+            _NATIVE = False
+    return _NATIVE
+
+
 def est_err(mi, qlen: int, regs: List[Region], a: np.ndarray,
             mini_pos: np.ndarray) -> None:
     """mm_est_err (esterr.c:30-64): sets Region.div."""
+    n = len(mini_pos)
+    if n == 0:
+        return
+    nat = _native()
+    if nat and regs:
+        nr = len(regs)
+        div = nat.est_err_div(
+            qlen,
+            np.fromiter((r.as_ for r in regs), np.int64, nr),
+            np.fromiter((r.cnt for r in regs), np.int32, nr),
+            np.fromiter((r.rev for r in regs), np.uint8, nr),
+            np.fromiter((r.qs for r in regs), np.int32, nr),
+            np.fromiter((r.rs for r in regs), np.int32, nr),
+            np.fromiter((r.re for r in regs), np.int32, nr),
+            np.fromiter((mi.seq[r.rid].length for r in regs), np.int32, nr),
+            a, mini_pos)
+        for r, d in zip(regs, div.tolist()):
+            r.div = d
+        return
+    est_err_py(mi, qlen, regs, a, mini_pos)
+
+
+def est_err_py(mi, qlen: int, regs: List[Region], a: np.ndarray,
+               mini_pos: np.ndarray) -> None:
+    """NumPy reference implementation (the native path's oracle)."""
     n = len(mini_pos)
     if n == 0:
         return

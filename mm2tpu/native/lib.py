@@ -171,6 +171,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mm2_cigar_str.argtypes = [_VP, _I64, _I32, _I32,
                                       ctypes.c_char, _VP]
         lib.mm2_cigar_str.restype = _I64
+    if hasattr(lib, "mm2_est_err"):
+        lib.mm2_est_err.argtypes = [_I32, _I32] + [_VP] * 8 + [_I64, _VP,
+                                                               _VP]
+        lib.mm2_est_err.restype = None
     _lib = lib
     return lib
 
@@ -874,3 +878,33 @@ def sketch(codes: np.ndarray, w: int, k: int, rid: int,
     """Native minimizer sketch over nt4 codes; returns (n,2) uint64."""
     x, y = sketch_xy(codes, w, k, rid, is_hpc)
     return np.stack([x, y], axis=1)
+
+
+def has_est_err() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_est_err")
+
+
+def est_err_div(qlen: int, as_: np.ndarray, cnt: np.ndarray,
+                rev: np.ndarray, qs: np.ndarray, rs: np.ndarray,
+                re: np.ndarray, l_ref: np.ndarray, a: np.ndarray,
+                mini_pos: np.ndarray) -> np.ndarray:
+    """mm_est_err divergence (esterr.c:30-64) for all regions of a read
+    in one call. Returns float32 div per region (-1 = undefined)."""
+    lib = _load()
+    n_regs = len(cnt)
+    div = np.empty(n_regs, np.float32)
+    if n_regs == 0:
+        return div
+    asa, asp = _ptr(as_, np.int64)
+    ca, cp = _ptr(cnt, np.int32)
+    ra, rp = _ptr(rev, np.uint8)
+    qa, qp = _ptr(qs, np.int32)
+    rsa, rsp = _ptr(rs, np.int32)
+    rea, rep = _ptr(re, np.int32)
+    la, lp = _ptr(l_ref, np.int32)
+    aa, ap = _ptr(a, np.uint64)
+    ma, mp = _ptr(mini_pos, np.uint64)
+    lib.mm2_est_err(qlen, n_regs, asp, cp, rp, qp, rsp, rep, lp, ap,
+                    len(ma), mp, div.ctypes.data)
+    return div

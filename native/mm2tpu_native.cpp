@@ -3166,4 +3166,65 @@ int64_t mm2_cigar_str(const uint32_t *cig, int64_t n, int32_t clip0,
     return (int64_t)(p - out);
 }
 
+// Sequence-divergence estimate (mm_est_err, esterr.c:30-64): one call
+// covers every region of a read. Per-region inputs are parallel arrays
+// (as_/cnt/rev/qs/rs/re plus the region's reference length); `a` is the
+// (n,2) x,y-interleaved anchor array and mini_pos the read's sorted
+// minimizer positions. Writes div_out[i] (float32, -1 when undefined).
+// Replaces ~10 per-region NumPy dispatches in the Python path.
+static inline int32_t est_qpos(int32_t qlen, uint64_t ax, uint64_t ay) {
+    // get_for_qpos (esterr.c:7-14)
+    int32_t x = (int32_t)(uint32_t)ay;
+    int32_t q_span = (int32_t)((ay >> 32) & 0xff);
+    if (ax >> 63) x = qlen - 1 - (x + 1 - q_span);
+    return x;
+}
+
+void mm2_est_err(int32_t qlen, int32_t n_regs, const int64_t *as_,
+                 const int32_t *cnt, const uint8_t *rev, const int32_t *qs,
+                 const int32_t *rs, const int32_t *re, const int32_t *l_ref,
+                 const uint64_t *a, int64_t n_mini, const uint64_t *mini_pos,
+                 float *div_out) {
+    if (n_mini <= 0) return;
+    uint64_t sum_k = 0;
+    for (int64_t i = 0; i < n_mini; ++i)
+        sum_k += (mini_pos[i] >> 32) & 0xff;
+    float avg_k = (float)sum_k / (float)n_mini;
+    double avg_kd = (double)avg_k;  // Python compares int > float64(avg_k)
+    for (int32_t i = 0; i < n_regs; ++i) {
+        div_out[i] = -1.0f;
+        if (cnt[i] == 0) continue;
+        const int64_t a0 = as_[i];
+        const int32_t c = cnt[i];
+        const bool rv = rev[i] != 0;
+        // first anchor's forward-strand query position + binary search
+        int64_t i0 = rv ? a0 + c - 1 : a0;
+        int32_t x0 = est_qpos(qlen, a[2 * i0], a[2 * i0 + 1]);
+        int64_t L = 0, R = n_mini - 1, st = -1;
+        while (L <= R) {
+            int64_t m = (L + R) >> 1;
+            int32_t y = (int32_t)(uint32_t)mini_pos[m];
+            if (y < x0) L = m + 1;
+            else if (y > x0) R = m - 1;
+            else { st = m; break; }
+        }
+        if (st < 0) continue;  // logic inconsistency in the reference
+        // two-pointer subsequence match (esterr.c:53-58)
+        int64_t en = st;
+        int32_t n_match = 1, k = 1;
+        for (int64_t j = st + 1; j < n_mini && k < c; ++j) {
+            int64_t ik = rv ? a0 + c - 1 - k : a0 + k;
+            int32_t x = est_qpos(qlen, a[2 * ik], a[2 * ik + 1]);
+            if (x == (int32_t)(uint32_t)mini_pos[j]) { ++k; en = j; ++n_match; }
+        }
+        int32_t n_tot = (int32_t)(en - st + 1);
+        if ((double)qs[i] > avg_kd && (double)rs[i] > avg_kd) ++n_tot;
+        if ((double)(qlen - qs[i]) > avg_kd && (double)(l_ref[i] - re[i]) > avg_kd)
+            ++n_tot;
+        div_out[i] = n_match >= n_tot
+            ? 0.0f
+            : (float)(1.0 - pow((double)n_match / n_tot, 1.0 / avg_kd));
+    }
+}
+
 }  // extern "C"

@@ -227,3 +227,81 @@ def test_native_sdust_matches_python():
         for T in (20, 15, 30):
             assert sdust_core(codes, T, 64) == \
                 native_lib.sdust(codes, T, 64), (rep, T)
+
+
+def test_native_est_err_matches_python(native):
+    """mm2_est_err vs the NumPy reference (esterr.py): randomized
+    minimizer ladders, rev/fwd regions, unmatched anchors, boundary
+    n_tot bumps (esterr.c:30-64)."""
+    import numpy as np
+    from mm2tpu.mapping import esterr
+    from mm2tpu.mapping.hit import Region
+
+    class _Seq:
+        def __init__(self, length):
+            self.length = length
+
+    class _MI:
+        def __init__(self, lens):
+            self.seq = [_Seq(l) for l in lens]
+
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        qlen = int(rng.integers(200, 8000))
+        n_mini = int(rng.integers(1, 160))
+        k = int(rng.integers(10, 28))
+        qpos = np.sort(rng.choice(np.arange(k, qlen, dtype=np.uint64),
+                                  size=min(n_mini, max(1, qlen - k)),
+                                  replace=False))
+        n_mini = len(qpos)
+        spans = rng.integers(10, 28, n_mini).astype(np.uint64)
+        mini_pos = (spans << np.uint64(32)) | qpos
+        regs, rows = [], []
+        n_regs = int(rng.integers(1, 5))
+        for ri in range(n_regs):
+            cnt = int(rng.integers(1, min(12, n_mini + 1)))
+            rev = bool(rng.integers(0, 2))
+            # anchors whose forward qpos values are a subset of the ladder
+            # (sometimes corrupted so the two-pointer scan stalls)
+            sel = np.sort(rng.choice(n_mini, size=cnt, replace=False))
+            xs = qpos[sel].astype(np.int64)
+            if rng.random() < 0.3 and cnt > 1:
+                xs[int(rng.integers(1, cnt))] += 1  # unmatched anchor
+            as_ = len(rows)
+            for x in (xs[::-1] if rev else xs):
+                span = int(spans[0])
+                if rev:
+                    y_low = qlen - 1 - int(x) + span - 1
+                    ax = (np.uint64(1) << np.uint64(63))
+                else:
+                    y_low = int(x)
+                    ax = np.uint64(0)
+                ay = (np.uint64(span) << np.uint64(32)) | np.uint64(
+                    y_low & 0xFFFFFFFF)
+                rows.append((ax, ay))
+            r = Region(cnt=cnt, rev=rev, as_=as_, rid=0,
+                       qs=int(rng.integers(0, qlen // 2)),
+                       qe=qlen, rs=int(rng.integers(0, 1000)),
+                       re=int(rng.integers(1000, 5000)))
+            regs.append(r)
+        a = np.array(rows, np.uint64).reshape(-1, 2)
+        mi = _MI([6000])
+        regs2 = [Region(**{f: getattr(r, f) for f in
+                           ("cnt", "rev", "as_", "rid", "qs", "qe",
+                            "rs", "re")}) for r in regs]
+        esterr.est_err_py(mi, qlen, regs, a, mini_pos)
+        nr = len(regs2)
+        div = native.est_err_div(
+            qlen,
+            np.fromiter((r.as_ for r in regs2), np.int64, nr),
+            np.fromiter((r.cnt for r in regs2), np.int32, nr),
+            np.fromiter((r.rev for r in regs2), np.uint8, nr),
+            np.fromiter((r.qs for r in regs2), np.int32, nr),
+            np.fromiter((r.rs for r in regs2), np.int32, nr),
+            np.fromiter((r.re for r in regs2), np.int32, nr),
+            np.fromiter((mi.seq[r.rid].length for r in regs2), np.int32,
+                        nr),
+            a, mini_pos)
+        got = [float(d) for d in div]
+        want = [r.div for r in regs]
+        assert got == pytest.approx(want, abs=0.0), (trial, got, want)
