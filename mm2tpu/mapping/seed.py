@@ -68,7 +68,7 @@ def collect_seed_hits(mi: MMIndex, opt: MapOptions, max_occ: int,
                 bits, shift, lut = mi._native_lut()
                 a, rep_len, mini_pos = native_lib.seed_hits(
                     mv, mi.keys, mi.start, mi.cnt, bits, shift, lut,
-                    mi.pos, max_occ, qlen, skip_mode)
+                    mi.pos, max_occ, qlen, skip_mode, cache_obj=mi)
                 return SeedResult(a, rep_len, mini_pos, n_mv)
         except Exception:
             pass

@@ -70,6 +70,11 @@ def _load() -> Optional[ctypes.CDLL]:
         _I64, _I32, _I32, _I32, _I32, _I32, ctypes.c_float, _I32, _I32,
         _VP, _VP, _VP, _VP, _VP]
     lib.mm2_chain_exact.restype = None
+    if hasattr(lib, "mm2_chain_exact2"):
+        lib.mm2_chain_exact2.argtypes = [
+            _I64, _I32, _I32, _I32, _I32, _I32, ctypes.c_float, _I32,
+            _I32, _VP, _VP, _VP, _VP]
+        lib.mm2_chain_exact2.restype = None
     lib.mm2_v_carry.argtypes = [_I64, _VP, _VP, _VP]
     lib.mm2_v_carry.restype = None
     lib.mm2_sketch.argtypes = [
@@ -194,13 +199,20 @@ def chain_scores_exact(a: np.ndarray, max_dist_x: int, max_dist_y: int,
     p = np.full(n, -1, np.int32)
     v = np.zeros(n, np.int32)
     if n:
-        ax, axp = _ptr(a[:, 0], np.uint64)
-        ay, ayp = _ptr(a[:, 1], np.uint64)
-        lib.mm2_chain_exact(n, max_dist_x, max_dist_y, bw, max_skip,
-                            max_iter, gap_scale, int(is_cdna), n_segs,
-                            axp, ayp, f.ctypes.data, p.ctypes.data,
-                            v.ctypes.data)
-    return f, p.astype(np.int64), v
+        if hasattr(lib, "mm2_chain_exact2"):
+            aa, ap = _ptr(a, np.uint64)
+            lib.mm2_chain_exact2(n, max_dist_x, max_dist_y, bw, max_skip,
+                                 max_iter, gap_scale, int(is_cdna), n_segs,
+                                 ap, f.ctypes.data, p.ctypes.data,
+                                 v.ctypes.data)
+        else:
+            ax, axp = _ptr(a[:, 0], np.uint64)
+            ay, ayp = _ptr(a[:, 1], np.uint64)
+            lib.mm2_chain_exact(n, max_dist_x, max_dist_y, bw, max_skip,
+                                max_iter, gap_scale, int(is_cdna), n_segs,
+                                axp, ayp, f.ctypes.data, p.ctypes.data,
+                                v.ctypes.data)
+    return f, p, v
 
 
 def v_carry(f: np.ndarray, p: np.ndarray) -> np.ndarray:
@@ -244,8 +256,8 @@ def ksw_extd2(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
     ez.zdropped = bool(zd)
     ez.reach_end = bool(re_)
     if n_cig.value:
-        ez.cigar = np.ctypeslib.as_array(cig_ptr,
-                                         shape=(n_cig.value,)).tolist()
+        ez.cigar = np.frombuffer(ctypes.string_at(cig_ptr, 4 * n_cig.value),
+                                 np.uint32).tolist()
         lib.mm2_free(cig_ptr)
     return ez
 
@@ -660,39 +672,57 @@ def has_seed_hits() -> bool:
 
 def seed_hits(mv: np.ndarray, keys: np.ndarray, start: np.ndarray,
               cnt: np.ndarray, lut_bits: int, shift: int, lut: np.ndarray,
-              pos: np.ndarray, max_occ: int, qlen: int, skip_mode: int
-              ) -> Tuple[np.ndarray, int, np.ndarray]:
+              pos: np.ndarray, max_occ: int, qlen: int, skip_mode: int,
+              cache_obj=None) -> Tuple[np.ndarray, int, np.ndarray]:
     """One-pass native seeding (collect_matches + collect_seed_hits +
     radix_sort_128x, map.c:90-247): index probe, repeat accounting,
     anchor construction and stable x-sort. skip_mode: 0 none,
     1 forward-only, 2 reverse-only. Returns (anchors (n,2) u64,
-    rep_len, mini_pos u64)."""
+    rep_len, mini_pos u64).
+
+    cache_obj: optional object (the index) on which the coerced
+    index-array pointers are memoized — the five index planes are
+    identical every call, and re-deriving raw pointers costs ~30us/read.
+    The cache pins the coerced arrays, so the identity key cannot be
+    recycled while the entry is alive."""
     lib = _load()
-    mva, mvp = _ptr(np.ascontiguousarray(mv), np.uint64)
-    ka, kp = _ptr(keys, np.uint64)
-    sa, sp = _ptr(start, np.int64)
-    ca, cp = _ptr(cnt, np.int32)
-    la, lp = _ptr(lut, np.int64)
-    pa, pp = _ptr(pos, np.uint64)
+    mva, mvp = _ptr(mv, np.uint64)
+    st = getattr(cache_obj, "_nat_seedptrs", None) \
+        if cache_obj is not None else None
+    key = (id(keys), id(start), id(cnt), id(lut), id(pos))
+    if st is None or st[0] != key:
+        ka, kp = _ptr(keys, np.uint64)
+        sa, sp = _ptr(start, np.int64)
+        ca, cp = _ptr(cnt, np.int32)
+        la, lp = _ptr(lut, np.int64)
+        pa, pp = _ptr(pos, np.uint64)
+        st = (key, (keys, start, cnt, lut, pos), (ka, sa, ca, la, pa),
+              (len(ka), kp, sp, cp, lp, pp))
+        if cache_obj is not None:
+            cache_obj._nat_seedptrs = st
+    keep = st[1], st[2]  # noqa: F841  (pin originals + coerced arrays)
+    n_keys, kp, sp, cp, lp, pp = st[3]
     out_a = ctypes.POINTER(ctypes.c_uint64)()
     out_m = ctypes.POINTER(ctypes.c_uint64)()
     n_mini = _I64(0)
     rep = _I64(0)
-    na = lib.mm2_seed_hits(len(mva), mvp, len(ka), kp, sp, cp, lut_bits,
+    na = lib.mm2_seed_hits(len(mva), mvp, n_keys, kp, sp, cp, lut_bits,
                            shift, lp, pp, max_occ, qlen, skip_mode,
                            ctypes.byref(out_a), ctypes.byref(out_m),
                            ctypes.byref(n_mini), ctypes.byref(rep))
     # outputs point into per-thread native scratch (valid until this
     # thread's next call): copy out, do NOT free
     if na > 0:
-        a = np.ctypeslib.as_array(out_a, shape=(na, 2)).copy()
+        a = np.empty((na, 2), np.uint64)
+        ctypes.memmove(a.ctypes.data, out_a, na * 16)
     else:
         a = np.zeros((0, 2), np.uint64)
     if n_mini.value > 0:
-        mini = np.ctypeslib.as_array(out_m, shape=(n_mini.value,)).copy()
+        mini = np.empty(n_mini.value, np.uint64)
+        ctypes.memmove(mini.ctypes.data, out_m, n_mini.value * 8)
     else:
         mini = np.zeros(0, np.uint64)
-    return a.view(np.uint64), int(rep.value), mini.view(np.uint64)
+    return a, int(rep.value), mini
 
 
 def lookup_many(q: np.ndarray, keys: np.ndarray, start: np.ndarray,
@@ -726,7 +756,7 @@ def chain_backtrack(n: int, f: np.ndarray, p: np.ndarray, v: np.ndarray,
     """Native chain.c:348-422; same contract as chain_ref.chain_backtrack."""
     lib = _load()
     fa, fp = _ptr(f, np.int32)
-    pa, pp = _ptr(p, np.int64)
+    pa, pp = _ptr(p, np.int32)
     va, vp = _ptr(v, np.int32)
     aa, ap = _ptr(a, np.uint64)
     idx = np.empty(n, np.int64)
@@ -847,8 +877,8 @@ def ksw_exts2(qlen: int, query: np.ndarray, tlen: int, target: np.ndarray,
     ez.zdropped = bool(zd)
     ez.reach_end = bool(re_)
     if n_cig.value:
-        ez.cigar = np.ctypeslib.as_array(cig_ptr,
-                                         shape=(n_cig.value,)).tolist()
+        ez.cigar = np.frombuffer(ctypes.string_at(cig_ptr, 4 * n_cig.value),
+                                 np.uint32).tolist()
         lib.mm2_free(cig_ptr)
     return ez
 

@@ -182,6 +182,28 @@ void mm2_chain_exact(int64_t n, int32_t max_dist_x, int32_t max_dist_y,
     }
 }
 
+// Interleaved-anchor entry: `a` is the (n,2) x,y array exactly as the
+// mapping layer holds it, so the Python side ships one raw pointer
+// instead of materializing two strided-column copies per read. The
+// split into x/y planes happens here, in one cache-friendly pass.
+void mm2_chain_exact2(int64_t n, int32_t max_dist_x, int32_t max_dist_y,
+                      int32_t bw, int32_t max_skip, int32_t max_iter,
+                      float gap_scale, int32_t is_cdna, int32_t n_segs,
+                      const uint64_t *a, int32_t *f, int32_t *p,
+                      int32_t *v) {
+    if (n <= 0) return;
+    static thread_local std::vector<uint64_t> ax, ay;
+    ax.resize((size_t)n);
+    ay.resize((size_t)n);
+    for (int64_t i = 0; i < n; ++i) {
+        ax[(size_t)i] = a[2 * i];
+        ay[(size_t)i] = a[2 * i + 1];
+    }
+    mm2_chain_exact(n, max_dist_x, max_dist_y, bw, max_skip, max_iter,
+                    gap_scale, is_cdna, n_segs, ax.data(), ay.data(), f, p,
+                    v);
+}
+
 // ---------------------------------------------------------------------------
 // v[] peak-score carry for device-produced (f, p) arrays (chain.c:110).
 // ---------------------------------------------------------------------------
@@ -2654,7 +2676,7 @@ void mm2_pack_seq4(const uint8_t *codes, int64_t n, uint32_t *S,
 // a[idx]) and per-chain score<<32|cnt into u_out, chains ordered by first
 // anchor position (stable). Returns total anchors across chains; n_u via
 // pointer. f/v int32, p int64 (device-path parents are 64-bit).
-int64_t mm2_chain_backtrack(int64_t n, const int32_t *f, const int64_t *p,
+int64_t mm2_chain_backtrack(int64_t n, const int32_t *f, const int32_t *p,
                             const int32_t *v, const uint64_t *a,
                             int32_t min_cnt, int32_t min_sc,
                             int64_t *idx_out, uint64_t *u_out,
