@@ -585,7 +585,11 @@ def main():
                 "model_wire_s": round((up2 + down2) / wire_bps, 3)
                 if wire_bps else None,
                 "model_dispatch_floor_s": round(disp * floor_s, 3),
-                "align_stage_s": round(
+                # summed across the -t mapping worker threads, each of
+                # which also blocks in ExtBatcher waits — so this can
+                # exceed the e2e wall; it is the denominator the wire/
+                # floor model terms are compared against, not a wall time
+                "align_stage_thread_s": round(
                     snap2.get("align", (0.0, 0))[0], 3),
             }
         except Exception as e:
