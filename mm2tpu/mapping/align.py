@@ -592,6 +592,19 @@ def fix_bad_ends(r: Region, a, bw: int, min_match: int) -> Tuple[int, int]:
     as_, cnt = r.as_, r.cnt
     if r.cnt < 3:
         return as_, cnt
+    if _native_has("has_fix_bad_ends"):
+        from ..native import lib as native_lib
+        return native_lib.fix_bad_ends(a, r.as_, r.cnt, bw, min_match,
+                                       r.mlen)
+    return fix_bad_ends_py(r, a, bw, min_match)
+
+
+def fix_bad_ends_py(r: Region, a, bw: int, min_match: int
+                    ) -> Tuple[int, int]:
+    """Pure-Python mm_fix_bad_ends (the native path's oracle)."""
+    as_, cnt = r.as_, r.cnt
+    if r.cnt < 3:
+        return as_, cnt
     # python-int lists: the scans walk O(bw/spacing) anchors with 4
     # element reads per step — numpy scalar indexing dominates otherwise
     xs = a[r.as_: r.as_ + r.cnt, 0].tolist()

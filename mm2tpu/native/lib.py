@@ -176,6 +176,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mm2_cigar_str.argtypes = [_VP, _I64, _I32, _I32,
                                       ctypes.c_char, _VP]
         lib.mm2_cigar_str.restype = _I64
+    if hasattr(lib, "mm2_fix_bad_ends"):
+        lib.mm2_fix_bad_ends.argtypes = [_VP, _I64, _I32, _I32, _I32,
+                                         _I32, ctypes.POINTER(_I64),
+                                         ctypes.POINTER(_I64)]
+        lib.mm2_fix_bad_ends.restype = None
     if hasattr(lib, "mm2_est_err"):
         lib.mm2_est_err.argtypes = [_I32, _I32] + [_VP] * 8 + [_I64, _VP,
                                                                _VP]
@@ -938,3 +943,21 @@ def est_err_div(qlen: int, as_: np.ndarray, cnt: np.ndarray,
     lib.mm2_est_err(qlen, n_regs, asp, cp, rp, qp, rsp, rep, lp, ap,
                     len(ma), mp, div.ctypes.data)
     return div
+
+
+def has_fix_bad_ends() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "mm2_fix_bad_ends")
+
+
+def fix_bad_ends(a: np.ndarray, as0: int, cnt: int, bw: int,
+                 min_match: int, mlen: int) -> Tuple[int, int]:
+    """mm_fix_bad_ends (align.c:459-493): end-trim a chain; returns the
+    adjusted (as_, cnt)."""
+    lib = _load()
+    aa, ap = _ptr(a, np.uint64)
+    as_out = _I64(0)
+    cnt_out = _I64(0)
+    lib.mm2_fix_bad_ends(ap, as0, cnt, bw, min_match, mlen,
+                         ctypes.byref(as_out), ctypes.byref(cnt_out))
+    return int(as_out.value), int(cnt_out.value)

@@ -3188,6 +3188,60 @@ int64_t mm2_cigar_str(const uint32_t *cig, int64_t n, int32_t clip0,
     return (int64_t)(p - out);
 }
 
+// End-trimming of chains with bad anchors (mm_fix_bad_ends,
+// align.c:459-493). `a` is the read's (n,2) x,y-interleaved anchor
+// array; the scans walk from both chain ends and break early, so one
+// FFI call replaces two column .tolist() copies plus the Python loops.
+// Accumulators are int64: Python ints never overflow, and l/m stay
+// bounded only via the early-break conditions.
+void mm2_fix_bad_ends(const uint64_t *a, int64_t as0, int32_t cnt0,
+                      int32_t bw, int32_t min_match, int32_t mlen,
+                      int64_t *as_out, int64_t *cnt_out) {
+    int64_t as_ = as0;
+    int64_t cnt = cnt0;
+    if (cnt0 >= 3) {
+        const uint64_t LONG_JOIN = 1ULL << 40;
+        int64_t m, l;
+        m = l = (int64_t)((a[2 * as0 + 1] >> 32) & 0xff);
+        for (int32_t i = 1; i < cnt0 - 1; ++i) {
+            uint64_t yi = a[2 * (as0 + i) + 1];
+            int64_t q_span = (int64_t)((yi >> 32) & 0xff);
+            if (yi & LONG_JOIN) break;
+            int64_t lr = (int64_t)(int32_t)(uint32_t)a[2 * (as0 + i)] -
+                         (int64_t)(int32_t)(uint32_t)a[2 * (as0 + i - 1)];
+            int64_t lq = (int64_t)(int32_t)(uint32_t)yi -
+                         (int64_t)(int32_t)(uint32_t)a[2 * (as0 + i - 1) + 1];
+            int64_t mn = lr < lq ? lr : lq, mx = lr < lq ? lq : lr;
+            if (mx - mn > (l >> 1)) as_ = as0 + i;
+            l += mn;
+            m += mn < q_span ? mn : q_span;
+            if (l >= ((int64_t)bw << 1) || (m >= min_match && m >= bw) ||
+                m >= (mlen >> 1))
+                break;
+        }
+        cnt = as0 + cnt0 - as_;
+        m = l = (int64_t)((a[2 * (as0 + cnt0 - 1) + 1] >> 32) & 0xff);
+        for (int32_t i = cnt0 - 2; i > (int32_t)(as_ - as0); --i) {
+            uint64_t y1 = a[2 * (as0 + i + 1) + 1];
+            int64_t q_span = (int64_t)((y1 >> 32) & 0xff);
+            if (y1 & LONG_JOIN) break;
+            int64_t lr = (int64_t)(int32_t)(uint32_t)a[2 * (as0 + i + 1)] -
+                         (int64_t)(int32_t)(uint32_t)a[2 * (as0 + i)];
+            int64_t lq = (int64_t)(int32_t)(uint32_t)y1 -
+                         (int64_t)(int32_t)(uint32_t)a[2 * (as0 + i) + 1];
+            int64_t mn = lr < lq ? lr : lq, mx = lr < lq ? lq : lr;
+            if (mx - mn > (l >> 1)) cnt = as0 + i + 1 - as_;
+            l += mn;
+            m += mn < q_span ? mn : q_span;
+            if (l >= ((int64_t)bw << 1) || (m >= min_match && m >= bw) ||
+                m >= (mlen >> 1))
+                break;
+        }
+    }
+    *as_out = as_;
+    *cnt_out = cnt;
+}
+
 // Sequence-divergence estimate (mm_est_err, esterr.c:30-64): one call
 // covers every region of a read. Per-region inputs are parallel arrays
 // (as_/cnt/rev/qs/rs/re plus the region's reference length); `a` is the

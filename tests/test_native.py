@@ -305,3 +305,34 @@ def test_native_est_err_matches_python(native):
         got = [float(d) for d in div]
         want = [r.div for r in regs]
         assert got == pytest.approx(want, abs=0.0), (trial, got, want)
+
+
+def test_native_fix_bad_ends_matches_python(native):
+    """mm2_fix_bad_ends vs the Python loops (align.c:459-493):
+    randomized chains incl. LONG_JOIN seeds, jumpy ends, tiny cnt."""
+    import numpy as np
+    from mm2tpu.mapping.align import fix_bad_ends_py
+    from mm2tpu.mapping.hit import Region
+    from mm2tpu.options import MM_SEED_LONG_JOIN
+
+    rng = np.random.default_rng(11)
+    for trial in range(200):
+        cnt = int(rng.integers(1, 60))
+        pad = int(rng.integers(0, 5))
+        n = cnt + pad + int(rng.integers(0, 4))
+        x = np.cumsum(rng.integers(1, 400, n).astype(np.int64))
+        q = np.cumsum(rng.integers(1, 200, n).astype(np.int64))
+        span = rng.integers(10, 28, n).astype(np.uint64)
+        ax = x.astype(np.uint64)
+        ay = (span << np.uint64(32)) | (q.astype(np.uint64) &
+                                       np.uint64(0xFFFFFFFF))
+        if rng.random() < 0.25 and n > 2:
+            ay[int(rng.integers(1, n))] |= np.uint64(MM_SEED_LONG_JOIN)
+        a = np.stack([ax, ay], axis=1)
+        r = Region(as_=pad, cnt=cnt, mlen=int(rng.integers(0, 4000)))
+        bw = int(rng.integers(50, 2000))
+        mm = int(rng.integers(20, 200))
+        want = fix_bad_ends_py(r, a, bw, mm)
+        got = (native.fix_bad_ends(a, r.as_, r.cnt, bw, mm, r.mlen)
+               if r.cnt >= 3 else want)
+        assert got == want, (trial, got, want)
