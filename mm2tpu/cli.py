@@ -160,6 +160,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host rendezvous/barrier timeout: if any "
                         "host dies, the others exit nonzero after SEC "
                         "seconds with no merged output [600]")
+    p.add_argument("--mmi-cache", action="store_true",
+                   help="when mapping from a .mmi index, persist each "
+                        "part as an MMX sidecar (<index>.mmxcache/): the "
+                        "first load converts, later loads mmap in "
+                        "milliseconds (genome-scale .mmi parsing is "
+                        "sort-bound; see docs/STATUS.md)")
     p.add_argument("--profile", action="store_true",
                    help="print a per-stage timing table on exit (the "
                         "MEASURE_* macros' equivalent, chain_hardware.h:39-45)")
@@ -182,6 +188,8 @@ def apply_args(args, io: IdxOptions, mo: MapOptions) -> None:
         io.flag |= MM_I_NO_SEQ
     if args.batch_size:
         io.batch_size = _parse_num(args.batch_size)
+    if args.mmi_cache:
+        io.mmi_cache = True
 
     if args.bw is not None:
         mo.bw = _parse_num(args.bw)
@@ -381,6 +389,52 @@ def load_or_build_index(target: str, io: IdxOptions, out=sys.stderr,
                        bucket_bits=io.bucket_bits, n_threads=n_threads)
 
 
+def _mmi_cached_parts(target: str):
+    """`--mmi-cache`: serve .mmi parts from an MMX sidecar directory
+    (<target>.mmxcache/), building it on the first load. Genome-scale
+    .mmi parsing is bound by the global key sort (~400 ns/key; the
+    reference rebuilds per-bucket khashes instead, index.c:481-534) —
+    the MMX sidecar mmaps in milliseconds. The cache key is the .mmi's
+    (size, mtime); a stale or unwritable cache degrades to plain
+    parsing, never to an error."""
+    import json
+    from .index.build import load_index, save_index
+    from .index.mmi import read_mmi_parts
+    d = target + ".mmxcache"
+    meta_p = os.path.join(d, "meta.json")
+    st = os.stat(target)
+    sig = [st.st_size, int(st.st_mtime)]
+    try:
+        with open(meta_p) as fh:
+            meta = json.load(fh)
+        if meta.get("sig") == sig:
+            for i in range(meta["n_parts"]):
+                yield load_index(os.path.join(d, "part%d.mmx" % i))
+            return
+    except Exception:
+        pass
+    writable = True
+    try:
+        os.makedirs(d, exist_ok=True)
+    except Exception:
+        writable = False
+    n = 0
+    for mi in read_mmi_parts(target):
+        if writable:
+            try:
+                save_index(mi, os.path.join(d, "part%d.mmx" % n))
+            except Exception:
+                writable = False
+        n += 1
+        yield mi
+    if writable:
+        try:
+            with open(meta_p, "w") as fh:
+                json.dump({"sig": sig, "n_parts": n}, fh)
+        except Exception:
+            pass
+
+
 def index_parts(target: str, io: IdxOptions, n_threads: int = 1):
     """Generator over index parts (mm_idx_reader semantics, index.c:560-605).
     A prebuilt .mmi yields its stored parts; a FASTA is split into ~`-I`
@@ -390,7 +444,10 @@ def index_parts(target: str, io: IdxOptions, n_threads: int = 1):
         magic = f.read(4)
     if magic == MAGIC:
         from .index.mmi import read_mmi_parts
-        yield from read_mmi_parts(target)
+        if io.mmi_cache:
+            yield from _mmi_cached_parts(target)
+        else:
+            yield from read_mmi_parts(target)
         return
     if magic == b"MMX1" or (magic == b"PK\x03\x04" and
                             target.endswith(".npz")):

@@ -143,6 +143,9 @@ class IdxOptions:
     bucket_bits: int = 14
     mini_batch_size: int = 50_000_000
     batch_size: int = 4_000_000_000
+    # --mmi-cache: on .mmi load, persist each part as an MMX sidecar
+    # (<path>.mmxcache/) so repeat genome-scale loads are mmap-speed
+    mmi_cache: bool = False
 
 
 def set_opt(preset: Optional[str], io: IdxOptions | None = None,

@@ -155,3 +155,42 @@ def test_legacy_npz_still_loads(golden_dir, tmp_path):
     rt = load_index(p)
     np.testing.assert_array_equal(mi.keys, rt.keys)
     np.testing.assert_array_equal(mi.pos, rt.pos)
+
+
+def test_mmi_cache_sidecar(ref_test_dir, tmp_path):
+    """--mmi-cache: first load converts .mmi parts to an MMX sidecar
+    dir, later loads serve from it; output byte-identical either way,
+    including multi-part (-I) indices."""
+    import io as _io
+    import json
+    import os
+    from contextlib import redirect_stdout
+    from mm2tpu.cli import main as cli_main
+
+    def run(args):
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            assert cli_main(args.split()) == 0
+        return buf.getvalue()
+
+    ref = str(tmp_path / "two.fa")
+    with open(ref, "w") as fh:
+        for src in ("MT-orang.fa", "MT-human.fa"):
+            fh.write(open(f"{ref_test_dir}/{src}").read())
+    qry = f"{ref_test_dir}/MT-human.fa"
+    mmi = str(tmp_path / "mt.mmi")
+    run(f"-x map-ont -I 9k -d {mmi} {ref}")  # one part per contig
+    plain = run(f"-x map-ont -c {mmi} {qry}")
+    first = run(f"-x map-ont -c --mmi-cache {mmi} {qry}")
+    meta_p = tmp_path / "mt.mmi.mmxcache" / "meta.json"
+    meta = json.loads(meta_p.read_text())
+    assert meta["n_parts"] == 2
+    stamp = os.path.getmtime(meta_p)
+    cached = run(f"-x map-ont -c --mmi-cache {mmi} {qry}")
+    assert first == plain and cached == plain
+    assert os.path.getmtime(meta_p) == stamp  # second run reused it
+    # stale cache (touched .mmi) is rebuilt, not served
+    os.utime(mmi, (os.path.getmtime(mmi) + 5,) * 2)
+    rebuilt = run(f"-x map-ont -c --mmi-cache {mmi} {qry}")
+    assert rebuilt == plain
+    assert os.path.getmtime(meta_p) > stamp
