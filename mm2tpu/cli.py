@@ -403,13 +403,17 @@ def _mmi_cached_parts(target: str):
     d = target + ".mmxcache"
     meta_p = os.path.join(d, "meta.json")
     st = os.stat(target)
-    sig = [st.st_size, int(st.st_mtime)]
+    sig = [st.st_size, st.st_mtime_ns]
     try:
         with open(meta_p) as fh:
             meta = json.load(fh)
         if meta.get("sig") == sig:
-            for i in range(meta["n_parts"]):
-                yield load_index(os.path.join(d, "part%d.mmx" % i))
+            # load EVERY part before yielding any: a missing/torn part
+            # file must fall through to the rebuild path cleanly, not
+            # after part 0's mappings were already emitted
+            parts = [load_index(os.path.join(d, "part%d.mmx" % i))
+                     for i in range(meta["n_parts"])]
+            yield from parts
             return
     except Exception:
         pass
@@ -419,18 +423,26 @@ def _mmi_cached_parts(target: str):
     except Exception:
         writable = False
     n = 0
+    pid = os.getpid()
     for mi in read_mmi_parts(target):
         if writable:
+            # tmp + atomic replace: concurrent first runs and readers
+            # holding mmaps of an old cache each see a complete file
+            # (the old inode stays alive under its maps)
             try:
-                save_index(mi, os.path.join(d, "part%d.mmx" % n))
+                tmp = os.path.join(d, ".part%d.%d.tmp" % (n, pid))
+                save_index(mi, tmp)
+                os.replace(tmp, os.path.join(d, "part%d.mmx" % n))
             except Exception:
                 writable = False
         n += 1
         yield mi
     if writable:
         try:
-            with open(meta_p, "w") as fh:
+            tmp = meta_p + ".%d.tmp" % pid
+            with open(tmp, "w") as fh:
                 json.dump({"sig": sig, "n_parts": n}, fh)
+            os.replace(tmp, meta_p)
         except Exception:
             pass
 

@@ -928,7 +928,7 @@ def est_err_div(qlen: int, as_: np.ndarray, cnt: np.ndarray,
     in one call. Returns float32 div per region (-1 = undefined)."""
     lib = _load()
     n_regs = len(cnt)
-    div = np.empty(n_regs, np.float32)
+    div = np.full(n_regs, -1.0, np.float32)  # C returns early on n_mini==0
     if n_regs == 0:
         return div
     asa, asp = _ptr(as_, np.int64)

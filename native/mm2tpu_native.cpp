@@ -2675,7 +2675,8 @@ void mm2_pack_seq4(const uint8_t *codes, int64_t n, uint32_t *S,
 // Writes the compacted anchor-index order into idx_out (caller gathers
 // a[idx]) and per-chain score<<32|cnt into u_out, chains ordered by first
 // anchor position (stable). Returns total anchors across chains; n_u via
-// pointer. f/v int32, p int64 (device-path parents are 64-bit).
+// pointer. f/p/v are all int32 (the binding coerces 64-bit device-path
+// parent arrays before the call).
 int64_t mm2_chain_backtrack(int64_t n, const int32_t *f, const int32_t *p,
                             const int32_t *v, const uint64_t *a,
                             int32_t min_cnt, int32_t min_sc,
@@ -3276,14 +3277,17 @@ void mm2_est_err(int32_t qlen, int32_t n_regs, const int64_t *as_,
         // first anchor's forward-strand query position + binary search
         int64_t i0 = rv ? a0 + c - 1 : a0;
         int32_t x0 = est_qpos(qlen, a[2 * i0], a[2 * i0 + 1]);
-        int64_t L = 0, R = n_mini - 1, st = -1;
-        while (L <= R) {
+        // lower_bound (LEFTMOST match, like the Python oracle's
+        // searchsorted; positions are distinct in practice so this is
+        // also the reference's get_mini_idx result)
+        int64_t L = 0, R = n_mini;
+        while (L < R) {
             int64_t m = (L + R) >> 1;
-            int32_t y = (int32_t)(uint32_t)mini_pos[m];
-            if (y < x0) L = m + 1;
-            else if (y > x0) R = m - 1;
-            else { st = m; break; }
+            if ((int32_t)(uint32_t)mini_pos[m] < x0) L = m + 1;
+            else R = m;
         }
+        int64_t st = (L < n_mini &&
+                      (int32_t)(uint32_t)mini_pos[L] == x0) ? L : -1;
         if (st < 0) continue;  // logic inconsistency in the reference
         // two-pointer subsequence match (esterr.c:53-58)
         int64_t en = st;

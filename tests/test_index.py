@@ -189,6 +189,12 @@ def test_mmi_cache_sidecar(ref_test_dir, tmp_path):
     cached = run(f"-x map-ont -c --mmi-cache {mmi} {qry}")
     assert first == plain and cached == plain
     assert os.path.getmtime(meta_p) == stamp  # second run reused it
+    # a torn cache (part file deleted under a valid meta) must fall
+    # back to plain parsing BEFORE yielding anything — no duplicated
+    # part-0 mappings (each part's hits print separately)
+    os.unlink(tmp_path / "mt.mmi.mmxcache" / "part1.mmx")
+    torn = run(f"-x map-ont -c --mmi-cache {mmi} {qry}")
+    assert torn == plain
     # stale cache (touched .mmi) is rebuilt, not served
     os.utime(mmi, (os.path.getmtime(mmi) + 5,) * 2)
     rebuilt = run(f"-x map-ont -c --mmi-cache {mmi} {qry}")

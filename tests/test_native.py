@@ -253,6 +253,11 @@ def test_native_est_err_matches_python(native):
         qpos = np.sort(rng.choice(np.arange(k, qlen, dtype=np.uint64),
                                   size=min(n_mini, max(1, qlen - k)),
                                   replace=False))
+        if rng.random() < 0.3 and len(qpos) > 2:
+            # duplicated positions: pins the LEFTMOST-match search and
+            # the _match_loop fallback against the native path
+            dup = int(rng.integers(1, len(qpos)))
+            qpos = np.sort(np.concatenate([qpos, qpos[dup:dup + 1]]))
         n_mini = len(qpos)
         spans = rng.integers(10, 28, n_mini).astype(np.uint64)
         mini_pos = (spans << np.uint64(32)) | qpos
