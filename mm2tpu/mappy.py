@@ -133,6 +133,11 @@ class Aligner:
                 return
             if magic == MAGIC:
                 self._idx = read_mmi(fn_idx_in)
+            elif magic == b"MMX1":
+                # the TPU build's native mmap index (index/build.py);
+                # genome-scale opens in milliseconds
+                from .index.build import load_index
+                self._idx = load_index(fn_idx_in)
             else:
                 refs = list(read_fastx(fn_idx_in))
                 self._idx = build_index(

@@ -92,3 +92,25 @@ def test_fastx_read_comment(tmp_path):
     p.write_text("@r1 some comment\nACGT\n+\nIIII\n")
     recs = list(mappy.fastx_read(str(p), read_comment=True))
     assert recs == [("r1", "ACGT", "IIII", "some comment")]
+
+
+def test_aligner_accepts_mmx(tmp_path):
+    """Aligner(fn_idx_in=...) opens the TPU build's native MMX index
+    (mmap, index/build.py) in addition to .mmi — same hits either way."""
+    from mm2tpu import mappy
+    from mm2tpu.io.bseq import read_fastx
+    from mm2tpu.index.build import build_index, save_index
+
+    ref = "/root/reference/test/MT-orang.fa"
+    refs = list(read_fastx(ref))
+    mi = build_index([r.name for r in refs], [r.seq for r in refs])
+    mmx = str(tmp_path / "mt.mmx")
+    save_index(mi, mmx)
+    a_fa = mappy.Aligner(ref, preset="map-ont")
+    a_mmx = mappy.Aligner(mmx, preset="map-ont")
+    assert a_mmx  # truthy: index loaded
+    assert a_mmx.seq_names == a_fa.seq_names
+    q = next(iter(read_fastx("/root/reference/test/MT-human.fa"))).seq
+    hits_fa = [str(h) for h in a_fa.map(q)]
+    hits_mmx = [str(h) for h in a_mmx.map(q)]
+    assert hits_mmx == hits_fa and hits_mmx
