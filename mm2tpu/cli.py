@@ -12,7 +12,7 @@ from typing import List, Optional
 
 from . import __version__
 from .index.build import build_index, save_index, MM_I_HPC, MM_I_NO_SEQ
-from .index.mmi import read_mmi, write_mmi, MAGIC
+from .index.mmi import write_mmi, MAGIC
 from .io.bseq import FastxReader, read_fastx
 from .io.format import write_paf, write_sam, sam_header
 from .mapping.pipeline import map_frag
@@ -375,18 +375,6 @@ def apply_args(args, io: IdxOptions, mo: MapOptions) -> None:
         from .mapping import costmodel
         costmodel.set_default_model(costmodel.CostModel.load(
             args.router_params))
-
-
-def load_or_build_index(target: str, io: IdxOptions, out=sys.stderr,
-                        n_threads: int = 1):
-    with open(target, "rb") as f:
-        magic = f.read(4)
-    if magic == MAGIC:
-        return read_mmi(target)
-    refs = list(read_fastx(target))
-    return build_index([r.name for r in refs], [r.seq for r in refs],
-                       w=io.w, k=io.k, flag=io.flag,
-                       bucket_bits=io.bucket_bits, n_threads=n_threads)
 
 
 def _mmi_cached_parts(target: str):
